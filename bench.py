@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is fully materialized via a count-style action (the result rows
+are collected to a noop aggregate so the measurement includes the complete
+plan, not just the first stage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from full_data_infrastructure_spark import queries as registry
+    from full_data_infrastructure_spark.session import build_session
+
+    spark = build_session(app_name="fdi-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench = registry.bench_queries()
+    timings: dict[str, float] = {}
+
+    # warm up the JVM/session on a trivial action so q1 isn't charged for it
+    spark.range(1000).count()
+
+    for name, build in bench.items():
+        start = time.perf_counter()
+        df = build(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

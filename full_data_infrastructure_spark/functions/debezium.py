@@ -1,0 +1,160 @@
+"""Debezium CDC envelope encode/decode — SURVEY.md §2.8 F1/F2, §2.2 P1-P3.
+
+The reference extracts envelope fields one-by-one with ``get_json_object``
+(``spark/SaveDelta.scala:140-147``) and converts Debezium's
+microseconds-since-epoch timestamps with ``from_unixtime(x/1000000)``
+(``:143``). Here the decode is a single ``from_json`` against the full
+envelope StructType (one parse instead of seven), ``timestamp_micros`` for
+the epoch conversion, and explicit ``op`` handling — including the delete
+tombstones (``after IS NULL``) the reference silently drops at
+``SaveDelta.scala:149``; we drop them *explicitly* (or route them to a
+deletes stream for CDC-merge sinks).
+
+Used by both the batch registered query below and the streaming CDC pipeline
+(streaming/cdc.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def envelope_schema(after_schema: T.StructType) -> T.StructType:
+    """Debezium JSON envelope: {payload: {before, after, op, ts_ms}}."""
+    return T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("before", after_schema, True),
+                        T.StructField("after", after_schema, True),
+                        T.StructField("op", T.StringType(), True),
+                        T.StructField("ts_ms", T.LongType(), True),
+                    ]
+                ),
+                True,
+            )
+        ]
+    )
+
+
+def decode_envelope(
+    df: DataFrame,
+    value_col: str,
+    after_schema: T.StructType,
+    keep_ops: tuple[str, ...] = ("c", "r", "u"),
+) -> DataFrame:
+    """P1-P3/F1: parse the envelope once, keep upsert ops, drop tombstones.
+
+    Returns the flattened ``after`` image plus ``op`` and ``ts_ms``.
+    Malformed JSON yields NULL payloads and is filtered like the
+    reference's isNotNull guard (SaveDelta.scala:149).
+    """
+    parsed = df.withColumn(
+        "_env", F.from_json(F.col(value_col).cast("string"), envelope_schema(after_schema))
+    )
+    return (
+        parsed.filter(
+            F.col("_env.payload.op").isin(*keep_ops)
+            & F.col("_env.payload.after").isNotNull()
+        )
+        .select(
+            F.col("_env.payload.after.*"),
+            F.col("_env.payload.op").alias("op"),
+            F.col("_env.payload.ts_ms").alias("ts_ms"),
+        )
+    )
+
+
+def micros_to_timestamp(col: Column | str) -> Column:
+    """F2: Debezium micro-epoch int64 -> timestamp (SaveDelta.scala:143,
+    minus the reference's string round-trip)."""
+    return F.timestamp_micros(F.col(col) if isinstance(col, str) else col)
+
+
+# ---------------------------------------------------------------------------
+# Registered batch query: encode -> decode round trip over `events`
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from full_data_infrastructure_spark.queries import register  # noqa: E402
+from full_data_infrastructure_spark.sources.parquet import load_table  # noqa: E402
+
+_EVENT_AFTER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def build_envelopes(events: DataFrame) -> DataFrame:
+    """Wrap events in Debezium envelopes: purchases are inserts ('c'),
+    errors are delete tombstones (after=NULL), everything else snapshot
+    reads ('r') — per FIXTURES.md §1's envelope fixture requirements."""
+    op = (
+        F.when(F.col("event_type") == "purchase", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("r")
+    )
+    after = F.when(
+        op != "d",
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("user_id").alias("user_id"),
+            F.col("event_type").alias("event_type"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("value").alias("value"),
+        ),
+    )
+    payload = F.struct(
+        F.lit(None).cast(_EVENT_AFTER_SCHEMA).alias("before"),
+        after.alias("after"),
+        op.alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return events.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct(payload.alias("payload"))).alias("value"),
+    )
+
+
+@register(
+    "debezium_roundtrip",
+    """
+    SELECT event_id AS id,
+           user_id,
+           event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           ROUND(value, 2) AS value,
+           CASE WHEN event_type = 'purchase' THEN 'c' ELSE 'r' END AS op
+    FROM events
+    WHERE event_type != 'error'
+    """,
+    doc="CDC envelope encode->decode round trip (P1-P3, F1-F2): events "
+    "wrapped as Debezium JSON (errors become delete tombstones), parsed "
+    "with one from_json, tombstones dropped, micro-epoch timestamps "
+    "restored. Oracle computes the expected fixed point directly.",
+    tags=("reference", "cdc", "json"),
+)
+def _debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    envelopes = build_envelopes(events)
+    decoded = decode_envelope(envelopes, "value", _EVENT_AFTER_SCHEMA)
+    return decoded.select(
+        "id",
+        "user_id",
+        "event_type",
+        F.date_format(micros_to_timestamp("ts_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "event_ts"
+        ),
+        F.round("value", 2).alias("value"),
+        "op",
+    )

@@ -1,0 +1,274 @@
+"""Aggregations — SURVEY.md §2.4 plus the dashboard-metric extensions
+(distinct counts, rollup, percentiles, histogram buckets, rates) the
+reference's Superset dashboards imply (README.md:167-172).
+
+Scale notes: every groupBy here is a hash aggregate with map-side partial
+aggregation; the shuffle moves only (key, partial-state) pairs, never raw
+rows. Top-k compiles to TakeOrderedAndProject (per-partition heaps). The
+only full-data shuffle in this file is the exact COUNT(DISTINCT), which
+Catalyst expands to a two-stage aggregate; the approximate variant
+(approx_count_distinct) is the 100 TB path and is O(1) state per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.functions.money import (
+    money_avg,
+    money_sum,
+    sql_money_avg,
+    sql_money_sum,
+)
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+
+def group_agg(df: DataFrame, key: str, count_alias: str, avg_col: str, avg_alias: str) -> DataFrame:
+    """A1 (read_delta.py:123-127) — the reference's count+avg per key.
+
+    The mean uses the exact-decimal-sum convention (functions/money.py) so
+    results are deterministic across partitionings and engines.
+    """
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias(count_alias),
+        money_avg(avg_col).alias(avg_alias),
+    )
+
+
+@register(
+    "groupby_count_avg",
+    f"""
+    SELECT o_custkey AS id_employee,
+           COUNT(*) AS count_activity,
+           {sql_money_avg('o_totalprice')} AS mean_duration
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="A1 group-by multi-aggregate (read_delta.py:123-127).",
+    tags=("reference", "aggregate"),
+)
+def _groupby_count_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return group_agg(
+        orders.select(F.col("o_custkey").alias("id_employee"), "o_totalprice"),
+        "id_employee",
+        "count_activity",
+        "o_totalprice",
+        "mean_duration",
+    ).select("id_employee", "count_activity", "mean_duration")
+
+
+@register(
+    "topk_group_count",
+    """
+    SELECT l_returnflag AS sport_type, COUNT(*) AS count
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY count DESC, sport_type
+    LIMIT 5
+    """,
+    doc="A2/O1 grouped count + ORDER BY DESC LIMIT 5 (SaveDelta.scala:236-242).",
+    tags=("reference", "aggregate", "limit"),
+    bench=True,
+)
+def _topk_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("sport_type"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), "sport_type")
+        .limit(5)
+    )
+
+
+@register(
+    "scalar_count",
+    "SELECT COUNT(*) AS n FROM lineitem",
+    doc="A3/A4 scalar COUNT(*) (sql_manipulation.py:75; read_delta.py:52). "
+    "Parquet footer statistics make this metadata-only at any scale.",
+    tags=("reference", "aggregate"),
+)
+def _scalar_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "multi_aggregate",
+    f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n,
+           {sql_money_sum('l_quantity')} AS sum_qty,
+           {sql_money_sum('l_extendedprice')} AS sum_price,
+           {sql_money_avg('l_discount')} AS avg_disc,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-shaped multi-aggregate — the engine's hash-aggregate "
+    "workhorse (extension of A1; dashboard metrics README.md:167-172). "
+    "Sums/means via exact decimal (functions/money.py).",
+    tags=("extension", "aggregate"),
+    bench=True,
+)
+def _multi_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_price"),
+        money_avg("l_discount").alias("avg_disc"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "count_distinct",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="Exact distinct aggregation (engine surface; §2.4 noted gap).",
+    tags=("extension", "aggregate"),
+)
+def _count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "approx_count_distinct",
+    None,  # HLL sketches are engine-specific; rows-only check (recall tested in pytest)
+    doc="approx_count_distinct — the 100 TB path for distinct counts (O(1) "
+    "state per group vs a full shuffle). No DuckDB oracle: HLL estimates "
+    "differ per engine; tests/test_aggregates.py bounds the error vs exact.",
+    tags=("extension", "aggregate", "approx"),
+)
+def _approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+@register(
+    "rollup_counts",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (engine surface; §2.4 noted gap). COALESCE "
+    "labels the super-aggregate rows so both engines agree on NULL handling.",
+    tags=("extension", "aggregate"),
+)
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n")).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "n",
+    )
+
+
+@register(
+    "cube_counts",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions (engine surface; §2.4 noted gap).",
+    tags=("extension", "aggregate"),
+)
+def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+        "n",
+    )
+
+
+@register(
+    "histogram_buckets",
+    """
+    SELECT CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Histogram bucketing for the dashboard salary-distribution metrics "
+    "(README.md:167-172) — width_bucket-style via floor arithmetic.",
+    tags=("extension", "aggregate"),
+)
+def _histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(
+            F.floor(F.col("l_quantity") / 10.0).cast("bigint").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "conditional_rate",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS finished_rate
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Validation-rate metric (README.md:171 'taux de validation') — "
+    "conditional-count / count as one pass.",
+    tags=("reference", "aggregate"),
+)
+def _conditional_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("finished_rate"),
+    )
+
+
+@register(
+    "percentile_stats",
+    """
+    SELECT c_mktsegment,
+           ROUND(MEDIAN(c_acctbal), 4) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="Exact percentiles (engine surface; §2.4 noted gap). Both engines "
+    "interpolate linearly; rounding at 4 dp sits strictly below the "
+    "inputs' 2-decimal precision so interpolation midpoints never tie.",
+    tags=("extension", "aggregate"),
+)
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
+    )

@@ -1,0 +1,374 @@
+"""Deduplication operators for LLM training data (north-star extension):
+exact (hash-groupBy), n-gram Jaccard (exact pairwise), MinHash+LSH (the
+100 TB path), SimHash, and embedding-cosine near-dup.
+
+Scale design
+------------
+* **Exact dedup** groups on a 128-bit md5 fingerprint, not the full text —
+  the shuffle carries 16 bytes + doc_id per row.
+* **Exact n-gram Jaccard** is the correctness baseline: the shingle
+  self-join is O(sum over shingles of pairs) and only safe when shingle
+  frequencies are bounded; it exists to calibrate/verify the sketches.
+* **MinHash+LSH** is the production path: k=32 hash functions (xxhash64
+  with k seeds), banded into b=8 bands of r=4 → candidate pairs only for
+  docs sharing a band, then exact-Jaccard verification of candidates. Work
+  is O(docs * k + candidates), never O(docs^2).
+* **SimHash** pools signed token hashes into a 64-bit signature; candidate
+  generation splits it into 4 x 16-bit bands (Hamming <= 3 guarantees two
+  equal bands ... pigeonhole on 4 bands), verified with bit_count(xor).
+* All hash-sketch outputs are rows-only checked (engine-specific hash
+  functions have no DuckDB twin); recall vs the exact baseline is asserted
+  in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.functions.vector import cosine, cosine_sql
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+NGRAM = 3
+MINHASH_K = 32
+LSH_BANDS = 8  # r = K / BANDS = 4 rows per band
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+
+
+def normalized_text(col: str = "text") -> Column:
+    return F.lower(F.trim(F.regexp_replace(col, "\\s+", " ")))
+
+
+def doc_tokens(col: str = "text") -> Column:
+    return F.filter(F.split(F.lower(col), "\\s+"), lambda t: F.length(t) > 0)
+
+
+def word_shingles(toks: Column, n: int = NGRAM) -> Column:
+    """Distinct word n-gram shingles of a token array (JVM-side transform)."""
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exploded_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) pairs, distinct per doc; docs shorter than NGRAM drop."""
+    toks = doc_tokens()
+    return (
+        docs.filter(F.size(toks) >= NGRAM)
+        .select(id_col, F.explode(word_shingles(toks)).alias("sh"))
+    )
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Pairwise word-shingle Jaccard via shingle self-join (exact baseline).
+
+    Returns (doc_a, doc_b, jaccard) for doc_a < doc_b, jaccard >= threshold.
+    """
+    sh = exploded_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # Raw double: identical integer operands + one division => bit-identical
+    # across engines; ROUND would reintroduce repr-tie divergence.
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig array<bigint>): sig[i] = min over shingles of
+    xxhash64(seed_i, shingle). One aggregation — no per-permutation passes."""
+    sh = exploded_shingles(docs)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"_h{i}") for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band's hash are
+    candidates. Shuffle key is (band_idx, band_hash) — high cardinality."""
+    rows_per_band = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                               for j in range(rows_per_band)]
+                    )
+                ).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard — the scale path."""
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    sh = exploded_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb.withColumnRenamed("sh_b", "sh_a"), ["doc_b", "sh_a"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash: for each bit, sum +/-1 over token hashes; sign pools
+    to the signature bit.
+
+    Shape: explode tokens -> one hash-aggregate with 64 conditional-sum
+    columns (constant shift amounts keep everything in codegen), then OR
+    the sign bits together. One shuffle keyed on doc_id.
+    """
+    toks = doc_tokens()
+    tok_hash = (
+        docs.filter(F.size(toks) > 0)
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    bit_sums = tok_hash.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_dedup_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Candidate pairs share one of 4 16-bit bands (pigeonhole for
+    Hamming <= 3), verified by bit_count(a XOR b)."""
+    sigs = simhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright("simhash", i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sigs.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "b.band_idx", "b.band_val"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM fp
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    """,
+    doc="Exact dedup via hash-groupBy on a normalized md5 fingerprint: "
+    "duplicate groups with the kept (min) doc_id. The shuffle carries "
+    "16-byte keys, never text.",
+    tags=("llm", "dedup"),
+)
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalized_text()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _ngram_jaccard_sql(threshold: float) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= {NGRAM}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE)
+                / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {threshold}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _ngram_jaccard_sql(JACCARD_THRESHOLD),
+    doc="Exact word-3-gram Jaccard near-dup pairs (threshold "
+    f"{JACCARD_THRESHOLD}) — the correctness baseline the MinHash sketch "
+    "is verified against.",
+    tags=("llm", "dedup"),
+)
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64 sketches are engine-specific; recall asserted in tests
+    doc="MinHash(k=32) + LSH(8 bands x 4 rows) candidates, exact-Jaccard "
+    "verified — the O(n) 100 TB dedup path. Rows-only check; "
+    "tests/test_dedup.py asserts recall vs dedup_ngram_jaccard.",
+    tags=("llm", "dedup", "approx"),
+    bench=True,
+)
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs)
+
+
+@register(
+    "dedup_simhash",
+    None,  # engine-specific hash; rows-only
+    doc="SimHash-64 near-dup pairs (Hamming <= 3) via 4x16-bit band "
+    "pigeonhole + bit_count verify. Rows-only check.",
+    tags=("llm", "dedup", "approx"),
+)
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({cosine_sql('a.e', 'b.e')}, 4) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND({cosine_sql('a.e', 'b.e')}, 4) >= 0.99
+    """,
+    doc="Embedding near-dup: pairs with cosine >= 0.99. Brute-force O(n^2) "
+    "baseline (correctness); the LSH-bucketed variant in similarity.py is "
+    "the scale path.",
+    tags=("llm", "dedup", "vector"),
+)
+def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine(F.col("e_a"), F.col("e_b")), 4)
+    return pairs.select("vec_a", "vec_b", cos.alias("cos")).filter(F.col("cos") >= 0.99)

@@ -1,0 +1,264 @@
+"""Joins — SURVEY.md §2.3, plus the semi/anti/as-of/range extensions.
+
+Scale notes (100 TB): every join here is either (a) broadcast — dimension
+tables (region/nation/limits/ranges) never shuffle the fact side — or
+(b) keyed on a high-cardinality column so the shuffle partitions evenly,
+with AQE skew-join splitting as the backstop. The as-of join is implemented
+as union + ordered window (one shuffle, linear state) instead of the naive
+range cross-join, which would be quadratic per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.functions.money import (
+    money,
+    money_sum,
+    sql_money,
+    sql_money_sum,
+)
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` per key. Spark lacks a native ASOF JOIN; the
+    scalable composition is union + last(ignorenulls) over an ordered
+    window — one shuffle on the key, O(1) running state, no range
+    cross-join blowup.
+
+    The right side must be unique per (key, ts); pre-dedup for determinism.
+    """
+    l_tagged = left.withColumn("_side", F.lit(1))
+    r_tagged = right.withColumn("_side", F.lit(0))
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_tagged.schema[c].dataType))
+    for c in r_tagged.columns:
+        if c not in l_tagged.columns:
+            l_tagged = l_tagged.withColumn(c, F.lit(None).cast(r_tagged.schema[c].dataType))
+    unioned = l_tagged.select(r_tagged.columns).unionByName(r_tagged)
+
+    # Right rows sort before left rows at equal ts => "at or before" semantics.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1)
+    for c in right_value_cols:
+        out = out.drop(c).withColumnRenamed(f"_asof_{c}", c)
+    return out.drop("_side")
+
+
+@register(
+    "join_dim_snowflake",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="J5/S15 federated multi-catalog join re-expressed: one SparkSession "
+    "joining fact + two dims (Trino delta x postgresql capability, "
+    "README.md:264-266). Both dims broadcast — the fact never shuffles "
+    "for the join, only for the final aggregate.",
+    tags=("reference", "join", "aggregate"),
+    bench=True,
+)
+def _snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "semi_join",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+    doc="Left-semi join (§2.3 noted gap): customers having a large order. "
+    "Semi joins ship only the key column and stop at first match.",
+    tags=("extension", "join"),
+)
+def _semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (§2.3 noted gap): customers with zero orders — the "
+    "set the reference's left join (J2) preserves as nulls.",
+    tags=("extension", "join"),
+)
+def _anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "cte_self_join",
+    """
+    WITH prime AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F'
+                    THEN ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                               * CAST('0.05' AS DECIMAL(6,4)), 2)
+                    ELSE CAST('0.00' AS DECIMAL(18,2)) END AS commute_prime
+        FROM orders
+    )
+    SELECT o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           CAST(p.commute_prime AS DOUBLE) AS commute_prime,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) + p.commute_prime AS DOUBLE)
+               AS total_salary
+    FROM orders o
+    JOIN prime p ON o.o_orderkey = p.o_orderkey
+    """,
+    doc="J3 — the Superset CTE self-join shape (README.md:141-164), kept "
+    "as-written to preserve the reference's SQL surface even though the "
+    "join is semantically a projection.",
+    tags=("reference", "join"),
+)
+def _cte_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    prime = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.round(money("o_totalprice") * F.lit("0.05").cast("decimal(6,4)"), 2),
+        )
+        .otherwise(F.lit("0.00").cast("decimal(18,2)"))
+        .alias("commute_prime"),
+    )
+    return (
+        orders.alias("o")
+        .join(prime.alias("p"), "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("commute_prime").cast("double").alias("commute_prime"),
+            (money("o_totalprice") + F.col("commute_prime"))
+            .cast("double")
+            .alias("total_salary"),
+        )
+    )
+
+
+@register(
+    "asof_join",
+    """
+    WITH p AS (
+        SELECT user_id, ts, event_id AS p_event_id, value
+        FROM (
+            SELECT user_id, ts, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    c AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, p.p_event_id,
+           ROUND(p.value, 2) AS p_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join (extension; absent in reference, core for event "
+    "pipelines): each click matched to the user's latest purchase at or "
+    "before it. Union+window implementation — one shuffle, no range "
+    "explosion; oracle uses DuckDB's native ASOF JOIN.",
+    tags=("extension", "join", "asof"),
+    bench=True,
+)
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        purchases.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "ts", F.col("event_id").alias("p_event_id"), F.col("value").alias("p_value")
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", ts="ts", right_value_cols=["p_event_id", "p_value"]
+    )
+    return joined.select(
+        "event_id", "user_id", "p_event_id", F.round("p_value", 2).alias("p_value")
+    )
+
+
+@register(
+    "range_join",
+    """
+    WITH ranges(lo, hi, label) AS (
+        VALUES (CAST(0 AS DOUBLE),   CAST(25 AS DOUBLE),  'low'),
+               (CAST(25 AS DOUBLE),  CAST(75 AS DOUBLE),  'mid'),
+               (CAST(75 AS DOUBLE),  CAST(1e9 AS DOUBLE), 'high')
+    )
+    SELECT e.event_id, r.label
+    FROM events e
+    LEFT JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+    """,
+    doc="Range (band) join against a literal dimension (extension): value "
+    "bucketing via interval containment. Broadcast nested-loop on a 3-row "
+    "dim — O(n) at any scale.",
+    tags=("extension", "join", "range"),
+)
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [(0.0, 25.0, "low"), (25.0, 75.0, "mid"), (75.0, 1e9, "high")],
+        "lo double, hi double, label string",
+    )
+    cond = (events.value >= ranges.lo) & (events.value < ranges.hi)
+    return events.join(F.broadcast(ranges), cond, "left").select("event_id", "label")

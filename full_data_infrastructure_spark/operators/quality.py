@@ -1,0 +1,196 @@
+"""Data-quality operators — SURVEY.md §2.10 (the Great Expectations DAG,
+``airflow/dags/data_validation_dag.py:306-362``) as composable Spark checks.
+
+Each expectation compiles to ONE aggregate over the data — a suite of N
+expectations on one table is a single pass (one job, one scan), unlike the
+reference which runs GE row-by-row through a pandas bridge. ``mostly``
+semantics follow GE: fraction of non-null rows satisfying the predicate must
+be >= mostly; nulls are ignored for range checks when ``ignore_nulls``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One GE-style expectation compiled to aggregate columns."""
+
+    name: str
+    observed: Column  # fraction/metric observed
+    passed: Column  # boolean
+
+
+def expect_not_null(col: str) -> Expectation:
+    """V1 — expect_column_values_to_not_be_null (data_validation_dag.py:306-307)."""
+    nulls = F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+    return Expectation(
+        name=f"not_null:{col}",
+        observed=nulls.cast("double"),
+        passed=nulls == 0,
+    )
+
+
+def expect_between(
+    col: str,
+    min_value: float | None = None,
+    max_value: float | None = None,
+    mostly: float = 1.0,
+    ignore_nulls: bool = True,
+) -> Expectation:
+    """V2/V3 — expect_column_values_to_be_between with ``mostly``
+    (data_validation_dag.py:308-320). Null-tolerant variant matches V3's
+    ``distance >= 0 OR distance IS NULL``."""
+    pred = F.lit(True)
+    if min_value is not None:
+        pred = pred & (F.col(col) >= min_value)
+    if max_value is not None:
+        pred = pred & (F.col(col) <= max_value)
+    if ignore_nulls:
+        denom = F.sum(F.when(F.col(col).isNotNull(), 1).otherwise(0))
+        num = F.sum(F.when(F.col(col).isNotNull() & pred, 1).otherwise(0))
+    else:
+        denom = F.count(F.lit(1))
+        num = F.sum(F.when(pred, 1).otherwise(0))
+    frac = F.when(denom == 0, F.lit(1.0)).otherwise(
+        num.cast("double") / denom.cast("double")
+    )
+    return Expectation(
+        name=f"between:{col}",
+        observed=F.round(frac, 4),
+        passed=frac >= mostly,
+    )
+
+
+def run_suite(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """V4 — run a suite in ONE aggregate pass; long-format result rows."""
+    agg_cols = []
+    for i, e in enumerate(expectations):
+        agg_cols.append(e.observed.alias(f"_obs_{i}"))
+        agg_cols.append(e.passed.alias(f"_pass_{i}"))
+    wide = df.agg(*agg_cols)
+    rows = [
+        F.struct(
+            F.lit(e.name).alias("expectation"),
+            F.col(f"_obs_{i}").alias("observed"),
+            F.col(f"_pass_{i}").alias("passed"),
+        )
+        for i, e in enumerate(expectations)
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.expectation", "r.observed", "r.passed")
+    )
+
+
+def assert_suite(df: DataFrame, expectations: list[Expectation]) -> None:
+    """Fail-pipeline-on-invalid (data_validation_dag.py:330-362)."""
+    failed = [r for r in run_suite(df, expectations).collect() if not r["passed"]]
+    if failed:
+        detail = ", ".join(f"{r['expectation']} (observed={r['observed']})" for r in failed)
+        raise ValueError(f"validation failed: {detail}")
+
+
+def check_schema(df: DataFrame, required_cols: dict[str, str]) -> DataFrame:
+    """V5 — catalog/schema introspection (data_validation_dag.py:68-106):
+    verify required columns exist with expected types."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = [
+        (c, t, actual.get(c), actual.get(c) == t)
+        for c, t in required_cols.items()
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "column string, expected_type string, actual_type string, ok boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "validation_suite",
+    """
+    SELECT 'not_null:l_shipdate' AS expectation,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               AS observed,
+           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'not_null:l_returnflag',
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'between:l_quantity',
+           ROUND(CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 0
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE), 4),
+           CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 0
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) >= 1.0
+    FROM lineitem
+    UNION ALL
+    SELECT 'between:l_discount',
+           ROUND(CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                               AND l_discount >= 0 AND l_discount <= 0.5
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN l_discount IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE), 4),
+           CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                         AND l_discount >= 0 AND l_discount <= 0.5
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN l_discount IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) >= 0.95
+    FROM lineitem
+    """,
+    doc="V1-V4 — the GE expectation suite (data_validation_dag.py:306-320) "
+    "mapped onto lineitem: two not-null checks (start_datetime, "
+    "sport_type) + two range checks with mostly semantics "
+    "(activity_duration >= 0; distance bounds, null-tolerant). One "
+    "aggregate pass for the whole suite.",
+    tags=("reference", "quality"),
+)
+def _validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return run_suite(
+        lineitem,
+        [
+            expect_not_null("l_shipdate"),
+            expect_not_null("l_returnflag"),
+            expect_between("l_quantity", min_value=0, mostly=1.0),
+            expect_between("l_discount", min_value=0, max_value=0.5, mostly=0.95),
+        ],
+    )
+
+
+@register(
+    "validation_schema_check",
+    None,  # introspects df.schema — no DuckDB-view equivalent; rows-only check
+    doc="V5 — schema/column existence + type check (data_validation_dag.py:"
+    "68-106,218-258), rows-only (introspection has no SQL oracle).",
+    tags=("reference", "quality"),
+)
+def _schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return check_schema(
+        events,
+        {
+            "event_id": "bigint",
+            "ts": "timestamp",  # driver parquet stores naive timestamps
+            "user_id": "bigint",
+            "event_type": "string",
+            "value": "double",
+            "props": "string",
+        },
+    )

@@ -1,0 +1,205 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns
+(north-star extension).
+
+* ``knn_bruteforce`` — exact top-k by cosine for a query set: broadcast the
+  queries, one pass over the corpus, per-partition heaps via
+  TakeOrdered-style window ranking. Correctness baseline and the right
+  answer whenever |queries| is small.
+* ``knn_lsh`` — random-hyperplane LSH: 16 deterministic hyperplanes give a
+  16-bit bucket signature; neighbors are searched within matching buckets
+  (multi-probe over band splits). O(n) sketch + bucket-local search — the
+  100 TB path. Recall vs brute force asserted in tests/test_similarity.py.
+* ``vector_norms`` — norm/normalize surface (JVM higher-order functions).
+
+Determinism: hyperplanes come from a fixed LCG (no RNG), so signatures are
+stable across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.functions.vector import cosine, cosine_sql, l2_norm
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+N_QUERIES = 20  # query set: vec_id < 20
+TOP_K = 5
+LSH_PLANES = 16
+DIM = 64
+
+
+def lcg_plane_value(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random in [-0.5, 0.5) — identical formula is
+    reproducible in SQL for oracles: ((1103515245*(plane*DIM+dim)+12345)
+    mod 2^31) / 2^31 - 0.5."""
+    return ((1103515245 * (plane * DIM + dim) + 12345) % (2**31)) / (2**31) - 0.5
+
+
+def hyperplanes() -> list[list[float]]:
+    return [
+        [lcg_plane_value(p, d) for d in range(DIM)] for p in range(LSH_PLANES)
+    ]
+
+
+def lsh_signature(vec: Column) -> Column:
+    """16-bit random-hyperplane signature of a double-array column."""
+    planes = hyperplanes()
+    sig = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return sig
+
+
+def knn_bruteforce(
+    emb: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, rank per query.
+
+    Ranking uses the ROUNDED score (4 dp) with vec_id tiebreak so results
+    are deterministic across engines and partitionings.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("e_q")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("e_c"))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("e_q"), F.col("e_c")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+@register(
+    "knn_bruteforce",
+    f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS e_q FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND({cosine_sql('q.e_q', 'c.e')}, 4) AS cos
+        FROM q JOIN v c ON c.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    doc="Exact cosine top-5 neighbors for the query set (vec_id < 20): "
+    "broadcast queries, one corpus pass, windowed rank on rounded score.",
+    tags=("llm", "similarity", "vector"),
+    bench=True,
+)
+def _knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn_bruteforce(emb, queries)
+
+
+@register(
+    "knn_lsh",
+    None,  # approximate — recall vs knn_bruteforce asserted in tests
+    doc="LSH-bucketed ANN: 16 deterministic hyperplanes -> 16-bit signature; "
+    "candidates share a signature band (2 x 8-bit), ranked by exact cosine "
+    "within candidates. O(n) sketch, bucket-local search — the scale path. "
+    "Rows-only check.",
+    tags=("llm", "similarity", "vector", "approx"),
+)
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sigs = emb.select("vec_id", "e", lsh_signature(F.col("e")).alias("sig"))
+    # two 8-bit bands: candidates share at least one band value
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright("sig", i * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"),
+            )
+            for i in range(2)
+        ]
+    )
+    banded = sigs.select("vec_id", "e", F.explode(bands).alias("b")).select(
+        "vec_id", "e", "b.band_idx", "b.band_val"
+    )
+    q = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("e_q"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        banded.join(q, ["band_idx", "band_val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "e_q", F.col("vec_id").alias("neighbor_id"), "e")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("e_q"), F.col("e")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+@register(
+    "vector_norms",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT vec_id,
+           len(e) AS dim,
+           ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 4) AS l2_norm,
+           ROUND(list_sum(e), 4) AS component_sum
+    FROM v
+    """,
+    doc="Vector norm surface: dimension, L2 norm, component sum — all "
+    "higher-order JVM expressions over array<double>.",
+    tags=("llm", "vector"),
+)
+def _vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    comp_sum = F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round(l2_norm(F.col("e")), 4).alias("l2_norm"),
+        F.round(comp_sum, 4).alias("component_sum"),
+    )

@@ -1,0 +1,250 @@
+"""Text analysis for LLM training-data pipelines (north-star extension):
+token counting, language-ID heuristic, quality scoring, fingerprinting.
+
+All hot-path logic is built-in JVM expressions (split / regexp / md5 /
+aggregate) — no Python UDFs — so a 100 TB corpus pass stays inside
+whole-stage codegen and scans prune to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+# Order matters: ties broken by list order (en > es > fr > de), then 'und'.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols (the GPT-2
+# pre-tokenizer shape, simplified to an engine-portable character-class regex).
+TOKEN_REGEX = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lowercased text (empty strings removed)."""
+    return F.filter(
+        F.split(F.lower(col), "\\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0)) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))
+               AS n_bpe_tokens,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS space_ratio
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    doc="Text statistics: char/word/BPE-ish token counts + punctuation and "
+    "whitespace ratios — the standard quality-signal pass over a corpus.",
+    tags=("llm", "text"),
+    bench=True,
+)
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.filter(F.length(text) > 0).select(
+        "doc_id",
+        F.length(text).alias("n_chars_measured"),
+        F.size(tokens(text)).alias("n_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        (
+            F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+            / F.length(text)
+        ).alias("punct_ratio"),
+        (
+            F.length(F.regexp_replace(text, "[^ ]", "")).cast("double")
+            / F.length(text)
+        ).alias("space_ratio"),
+    )
+
+
+def _lang_id_sql() -> str:
+    """DuckDB oracle mirroring the Spark stopword-score argmax exactly."""
+    scores = ",\n           ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        f" AS score_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    # argmax with fixed priority order on ties; 'und' when all scores are 0
+    when_chain = "CASE\n"
+    for lang in langs:
+        others = [o for o in langs if o != lang]
+        before = langs[: langs.index(lang)]
+        conds = [f"score_{lang} > 0"]
+        conds += [f"score_{lang} >= score_{o}" for o in others]
+        conds += [f"score_{lang} > score_{b}" for b in before]  # earlier wins ties
+        when_chain += f"        WHEN {' AND '.join(conds)} THEN '{lang}'\n"
+    when_chain += "        ELSE 'und' END"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+           {scores}
+        FROM toks
+    )
+    SELECT doc_id, {when_chain} AS lang_pred
+    FROM scored
+    """
+
+
+@register(
+    "lang_id",
+    _lang_id_sql(),
+    doc="Language-ID heuristic (stopword-list scoring with deterministic "
+    "argmax; 'und' when no signal) — the n-gram-free baseline classifier.",
+    tags=("llm", "text"),
+)
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        *[
+            stopword_hits(toks, words).alias(f"score_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    langs = list(LANG_STOPWORDS)
+    pred = F.lit("und")
+    # build backwards so earlier languages win ties
+    for lang in reversed(langs):
+        others = [o for o in langs if o != lang]
+        before = langs[: langs.index(lang)]
+        cond = F.col(f"score_{lang}") > 0
+        for o in others:
+            cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{o}"))
+        for b in before:
+            cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{b}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+@register(
+    "quality_score",
+    """
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> length(t) > 0)) AS n_tokens,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                   AS n_stop
+        FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * LEAST(5.0 * CAST(n_stop AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE), 1.0)
+             + 0.2 * CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+               AS quality,
+           CASE WHEN
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * LEAST(5.0 * CAST(n_stop AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE), 1.0)
+             + 0.2 * CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+             >= 0.5 THEN true ELSE false END AS keep
+    FROM feats
+    """,
+    doc="Composite document quality score (length + stopword-density + "
+    "char-bounds heuristics), with a keep/drop gate — the C4-style "
+    "filter shape.",
+    tags=("llm", "text"),
+)
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        stopword_hits(toks, LANG_STOPWORDS["en"]).alias("n_stop"),
+    )
+    score = (
+        0.4 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+        + 0.4
+        * F.least(
+            5.0 * F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"),
+            F.lit(1.0),
+        )
+        + 0.2
+        * F.when(F.col("n_chars").between(50, 10000), 1.0).otherwise(0.0)
+    )
+    return feats.select(
+        "doc_id",
+        score.alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "fingerprint_md5",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 over whitespace-normalized lowercase text "
+    "— the exact-dedup key for a 100 TB corpus (hash once, group on 16 "
+    "bytes instead of full text).",
+    tags=("llm", "text", "dedup"),
+)
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@register(
+    "rolling_hash_fingerprint",
+    None,  # xxhash64-based — engine-specific hash, rows-only check
+    doc="Shingle-level rolling fingerprint: xxhash64 of each 5-token window, "
+    "min-pooled per doc (winnowing-style). Engine-specific hash => no SQL "
+    "oracle; stability is pytest-asserted.",
+    tags=("llm", "text", "dedup"),
+)
+def _rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    with_toks = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 5)
+    # 5-token shingles via transform over positions; xxhash64 per shingle.
+    n = F.size("toks") - 4
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, 5))),
+    )
+    return with_toks.select(
+        "doc_id",
+        F.array_min(shingle_hashes).alias("min_shingle_hash"),
+        F.array_max(shingle_hashes).alias("max_shingle_hash"),
+    )

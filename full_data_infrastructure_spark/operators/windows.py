@@ -1,0 +1,210 @@
+"""Window functions — SURVEY.md §2.5.
+
+The reference uses no ``OVER (...)`` anywhere; these are the engine-surface
+additions its dashboard metrics and the dedup/similarity operators need:
+ranking per group, keep-latest dedup, frame-based moving aggregates, and
+batch sessionization (gap-based), all with deterministic total tiebreakers.
+
+Scale notes: a window shuffles once on its partition key, then sorts within
+partitions. Skewed partition keys (one user with 10^9 events) are the risk at
+100 TB — AQE skew handling does not apply inside window exchanges, so keys
+here are chosen to be high-cardinality (user_id, custkey). Running frames use
+bounded ROWS BETWEEN, never RANGE over unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.functions.money import money
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+
+def keep_latest(df: DataFrame, keys: list[str], order: list) -> DataFrame:
+    """Dedup-keep-latest: row_number()=1 per key over a total order."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+@register(
+    "window_rank_topn",
+    """
+    SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal, rnk
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Top-N per group via ROW_NUMBER (engine surface, §2.5): the "
+    "per-BU salary leaders the dashboards imply.",
+    tags=("extension", "window"),
+)
+def _rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        customer.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "rnk")
+    )
+
+
+@register(
+    "window_dedup_latest",
+    """
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    """,
+    doc="Dedup-keep-latest per key (engine surface, §2.5) — the batch twin "
+    "of streaming dropDuplicates; also the CDC last-write-wins compaction.",
+    tags=("extension", "window", "dedup"),
+)
+def _dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    latest = keep_latest(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return latest.select(
+        "o_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS moving_avg
+    FROM events
+    """,
+    doc="Frame-based moving average over event time (engine surface, §2.5). "
+    "Exact decimal frame-sum => deterministic regardless of the engine's "
+    "window aggregation tree (functions/money.py rationale).",
+    tags=("extension", "window"),
+    bench=True,
+)
+def _moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    mean = F.sum(money("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return events.select("user_id", "event_id", mean.alias("moving_avg"))
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="Running total per key (engine surface, §2.5).",
+    tags=("extension", "window"),
+)
+def _running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 2) AS value_delta
+    FROM events
+    """,
+    doc="LAG delta between consecutive events per user (engine surface, §2.5).",
+    tags=("extension", "window"),
+)
+def _lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+    )
+
+
+@register(
+    "sessionize_batch",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Batch sessionization with a 30-minute inactivity gap (engine "
+    "surface; the batch twin of streaming session windows, §2.9 note).",
+    tags=("extension", "window", "session"),
+)
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order_w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = events.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(run_w).alias("session_seq"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

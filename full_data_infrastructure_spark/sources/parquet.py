@@ -1,0 +1,67 @@
+"""Columnar batch scans (S3 in SURVEY.md §2.1, generalized to parquet).
+
+The reference scans Delta tables from object storage
+(``airflow/config/read_delta.py:51``, ``spark/SaveDelta.scala:210,232``). The
+engine's batch scan is a thin, *lazy* wrapper over ``spark.read`` — no eager
+``.count()`` staging — that works identically for a local parquet directory
+and an ``s3a://`` Delta location.
+
+Scale notes (100 TB): the scan inherits predicate pushdown, column pruning,
+and partition pruning from the parquet/Delta datasource; split sizing is
+bounded by ``spark.sql.files.maxPartitionBytes`` (session.py). Nothing here
+ever collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.schemas import SYNTHETIC_TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Lazy scan of one table from a scale-factor directory.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
+    as int64 (spark.sql.legacy.parquet.nanosAsLong) — restore a proper
+    timestamp column here (microsecond precision, integer division so no
+    double rounding at 2^63 nanos).
+    """
+    if name == "events":
+        # Must hold even when the caller (e.g. the verify driver) built a
+        # vanilla session — the legacy conf is runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.format(fmt).load(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = SYNTHETIC_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_temp_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = SYNTHETIC_TABLES
+) -> None:
+    """Register every synthetic table as a temp view for ``spark.sql`` use.
+
+    Mirrors the reference's Trino catalog registration (README.md:115-121,
+    S14) — one SQL namespace over all tables.
+    """
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,98 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+For each registered query with an oracle: run the Spark builder and the
+DuckDB SQL on the same parquet tables, sort columns by name and rows by all
+values, and compare cell-by-cell (floats to 1e-9 relative; everything else
+exact). This is intentionally *stricter* than a value-hash: it localizes the
+first differing cell for debugging.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _normalize_cell(v: Any) -> Any:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if hasattr(v, "item") and not isinstance(v, (list, tuple, str, bytes)):
+        v = v.item()
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
+def normalize_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    rows = [tuple(_normalize_cell(v) for v in row) for row in out.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def _cells_equal(a: Any, b: Any) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return False
+        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def compare(spark_df, duck_rel) -> tuple[bool, str]:
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = duck_rel.fetchdf()
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
+        return False, f"schema mismatch: spark={s_cols} duckdb={d_cols}"
+    spark_pdf.columns = [c.lower() for c in spark_pdf.columns]
+    duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
+    s_rows = normalize_frame(spark_pdf)
+    d_rows = normalize_frame(duck_pdf)
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        for j, (sv, dv) in enumerate(zip(sr, dr)):
+            if not _cells_equal(sv, dv):
+                col = sorted(spark_pdf.columns)[j]
+                return False, (
+                    f"value mismatch at sorted-row {i} col '{col}': "
+                    f"spark={sv!r} duckdb={dv!r} (spark row: {sr}, duck row: {dr})"
+                )
+    return True, f"ok ({len(s_rows)} rows)"

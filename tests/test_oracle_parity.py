@@ -1,0 +1,41 @@
+"""The main correctness gate, run locally: every registered query with an
+oracle must match DuckDB exactly (the driver performs the same comparison at
+sf0.01). Rows-only queries must at least execute and return a stable schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from full_data_infrastructure_spark import queries as registry
+from tests.oracle_check import compare, duckdb_conn
+
+registry._ensure_loaded()
+ALL = sorted(registry.REGISTRY)
+WITH_ORACLE = [n for n in ALL if registry.REGISTRY[n].oracle is not None]
+ROWS_ONLY = [n for n in ALL if registry.REGISTRY[n].oracle is None]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    q = registry.REGISTRY[name]
+    sdf = q.build(spark, sf_dir)
+    rel = duck.sql(q.oracle)
+    ok, msg = compare(sdf, rel)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_executes(spark, sf_dir, name):
+    q = registry.REGISTRY[name]
+    sdf = q.build(spark, sf_dir)
+    n = sdf.count()
+    assert n >= 0
+    assert len(sdf.columns) > 0
