@@ -138,14 +138,17 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     sigs = emb.select("vec_id", "e", lsh_signature(F.col("e")).alias("sig"))
-    # two 8-bit bands: candidates share at least one band value
+    # 4 bands x 4 bits: a candidate shares at least one band value. Band
+    # width is THE recall/cost dial — fewer bits per band = more candidates
+    # = higher recall; production tuning at 100 TB raises bits per band (and
+    # the plane count) as corpus density grows.
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.shiftright("sig", i * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"),
+                F.shiftright("sig", i * 4).bitwiseAND(F.lit(0xF)).alias("band_val"),
             )
-            for i in range(2)
+            for i in range(4)
         ]
     )
     banded = sigs.select("vec_id", "e", F.explode(bands).alias("b")).select(

@@ -1,0 +1,80 @@
+"""Batch sinks — SURVEY.md §2.1 S10/S11/S13/S14.
+
+The reference overwrites its ``final`` Delta table with explicit schema
+evolution (``read_delta.py:219-222``) after a boto3 bucket-existence check
+(``:164-199``), and registers tables in Trino's catalog (README.md:115-121).
+Engine equivalents: format-agnostic overwrite/append writers (Delta when
+available, parquet otherwise), date-partitioned layouts (the scale fix for
+the reference's unpartitioned writes, SURVEY.md §4), catalog registration
+via ``saveAsTable``/SQL, and an object-store-prep seam where boto3 wiring
+belongs on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from full_data_infrastructure_spark.session import _delta_available
+
+
+def default_table_format() -> str:
+    return "delta" if _delta_available() else "parquet"
+
+
+def write_overwrite(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    partition_by: tuple[str, ...] = (),
+    overwrite_schema: bool = True,
+) -> None:
+    """S10 (read_delta.py:219-222): overwrite with schema evolution.
+
+    100 TB note: pass partition_by (e.g. a date column) — the reference
+    writes unpartitioned, which makes every downstream scan a full scan.
+    """
+    writer = df.write.format(fmt or default_table_format()).mode("overwrite")
+    if overwrite_schema:
+        writer = writer.option("overwriteSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_append(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    writer = df.write.format(fmt or default_table_format()).mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """S11 (SaveDelta.scala:65): CSV smoke-test write."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def register_table(
+    spark: SparkSession, name: str, path: str, fmt: str | None = None
+) -> None:
+    """S14 — external-catalog registration (Trino register_table,
+    README.md:115-121) as a Spark SQL external table."""
+    fmt = fmt or default_table_format()
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} USING {fmt} LOCATION '{path}'"
+    )
+
+
+def ensure_bucket(bucket: str) -> bool:
+    """S13 seam — the reference's boto3 head_bucket/create_bucket
+    (read_delta.py:164-199). Object-store credentials/clients are cluster
+    concerns; local filesystems need no preparation."""
+    try:
+        import boto3  # noqa: F401
+    except ImportError:
+        return False  # no object store in this environment; sinks use local paths
+    raise NotImplementedError("wire boto3 bucket management on a real cluster")

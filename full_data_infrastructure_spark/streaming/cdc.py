@@ -1,0 +1,132 @@
+"""CDC streaming ingest — the reference's flagship pipeline re-expressed
+(SURVEY.md §3.1; ``spark/SaveDelta.scala``).
+
+Reference chain: Kafka source (``SaveDelta.scala:104-112``) -> cast
+projection (``:134-135``) -> 7x get_json_object (``:139-148``) -> isNotNull
+filter (``:149``) -> Delta append sink with checkpoint + 30 s trigger
+(``:157-163``).
+
+Engine chain: Kafka (or file/rate, for CI) source -> ONE ``from_json``
+against the full envelope StructType -> explicit op handling (tombstones
+dropped or routed) -> parquet/Delta append sink, checkpointed, triggered.
+
+Scale notes (100 TB / high-rate topics):
+* ``maxOffsetsPerTrigger`` bounds micro-batch size (the reference leaves it
+  unset — unbounded first batch on ``earliest`` is an OOM at scale);
+* the sink partitions by event date so downstream scans prune;
+* exactly-once = checkpointed offsets + idempotent file commit (parquet/
+  Delta); the decode is stateless so recovery is trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from full_data_infrastructure_spark.functions.debezium import decode_envelope
+
+
+def kafka_cdc_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+    max_offsets_per_trigger: int | None = 1_000_000,
+) -> DataFrame:
+    """S1 (SaveDelta.scala:104-112) — Kafka streaming source.
+
+    Identical options to the reference, plus maxOffsetsPerTrigger (unset in
+    the reference; required at scale so the first earliest-offset batch is
+    bounded). Requires the spark-sql-kafka package on the cluster.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+def file_cdc_source(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """CI stand-in for the Kafka topic: a directory of JSON-lines files,
+    one envelope per line, schema (key string, value string) like Kafka
+    after the cast projection (P1)."""
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField("value", T.StringType(), True),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def rate_test_source(spark: SparkSession, rows_per_second: int = 1) -> DataFrame:
+    """S2 (SaveDelta.scala:123-127) — synthetic fallback stream."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def decode_cdc_stream(
+    raw: DataFrame,
+    after_schema: T.StructType,
+    keep_ops: tuple[str, ...] = ("c", "r", "u"),
+) -> DataFrame:
+    """P1-P3/F1-F2 on the stream: cast the Kafka value to string, parse the
+    envelope once, keep upserts, drop tombstones (explicitly — the
+    reference does this silently via isNotNull, SaveDelta.scala:149)."""
+    value = raw.selectExpr("CAST(value AS STRING) AS value")
+    return decode_envelope(value, "value", after_schema, keep_ops=keep_ops)
+
+
+def start_cdc_ingest(
+    decoded: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    fmt: str = "parquet",
+    trigger_seconds: int | None = 30,
+    available_now: bool = False,
+    partition_by: tuple[str, ...] = (),
+) -> StreamingQuery:
+    """S9/T1-T3 (SaveDelta.scala:157-163): append sink, checkpointed,
+    30 s processing-time trigger (or availableNow for bounded CI runs)."""
+    writer = (
+        decoded.writeStream.format(fmt)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start(sink_path)
+
+
+def reconcile_counts(spark: SparkSession, table_path: str, expected: int, fmt: str = "parquet") -> dict:
+    """T7/A4 (SaveDelta.scala:210-220): batch-read the streaming sink and
+    reconcile row counts — the reference's streamed-vs-stored diagnostic."""
+    actual = spark.read.format(fmt).load(table_path).count()
+    return {
+        "expected": expected,
+        "actual": actual,
+        "match": actual == expected,
+        "explanation": None
+        if actual == expected
+        else "mismatch: in-flight micro-batch, dropped tombstones, or replay",
+    }

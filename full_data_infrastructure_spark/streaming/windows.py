@@ -1,0 +1,95 @@
+"""Event-time windowed streaming aggregation — the extension surface.
+
+The reference has NO watermarks, event-time windows, or stateful dedup
+(SURVEY.md §2.9: processing-time micro-batching only). These are required
+engine surface for the north star; they run over the ``events`` fixture.
+
+Scale notes: watermarks bound state (without one, a windowed aggregate's
+state grows forever); window state is keyed by (window, key) and sharded by
+the shuffle, so high-cardinality keys spread evenly. dropDuplicates state
+is likewise watermark-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts: append-mode emits a window only
+    once the watermark passes its end — late data beyond the watermark is
+    dropped (the explicit late-data policy the reference lacks)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows — each event lands in window/slide overlapping panes."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with an inactivity gap — the streaming twin of the
+    batch sessionize_batch operator (operators/windows.py)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming dedup: first-seen wins within the watermark
+    horizon; state for keys older than the watermark is dropped, bounding
+    memory — the streaming twin of window_dedup_latest."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates([*keys])

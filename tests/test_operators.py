@@ -1,0 +1,158 @@
+"""Behavioral unit tests beyond oracle parity: sketch recall vs exact
+baselines, error paths, masking roles, generator properties, quality-suite
+failure semantics, enrichment failure rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from full_data_infrastructure_spark.operators.enrichment import (
+    enrich_with_distance,
+    failing_provider,
+    validate_enriched,
+)
+from full_data_infrastructure_spark.operators.generator import generate_activities
+from full_data_infrastructure_spark.operators.quality import (
+    assert_suite,
+    expect_between,
+    expect_not_null,
+    run_suite,
+)
+from full_data_infrastructure_spark.operators.relational import masked_projection
+from full_data_infrastructure_spark.operators.similarity import knn_bruteforce
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark, sf_dir):
+    """Documents plus planted near-duplicates (one token appended) and one
+    exact duplicate family — known ground truth for the sketches."""
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    mutated = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").union(mutated).union(exact)
+
+
+def test_minhash_recall_vs_exact(near_dup_docs):
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard_pairs(near_dup_docs, 0.5).collect()
+    }
+    assert len(truth) >= 30  # the planted pairs are found by the exact baseline
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_pairs(near_dup_docs, 0.5).collect()
+    }
+    # verification step guarantees precision; LSH banding governs recall
+    assert found <= truth
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
+
+
+def test_simhash_finds_exact_dups(near_dup_docs):
+    pairs = simhash_dedup_pairs(near_dup_docs).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    # every exact duplicate family must surface at hamming 0
+    for d in range(5):
+        assert got.get((d, d + 200000)) == 0, f"exact dup {d} missed"
+
+
+def test_knn_lsh_recall(spark, sf_dir):
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    brute = REGISTRY["knn_bruteforce"].build(spark, sf_dir).collect()
+    lsh = REGISTRY["knn_lsh"].build(spark, sf_dir).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    recall = len(truth & approx) / len(truth)
+    # random 64-d vectors are a worst case for 16-plane LSH; still demand signal
+    assert recall >= 0.15, f"knn_lsh recall {recall:.2f}"
+    assert all(q < 20 for q, _ in approx)
+
+
+def test_quality_suite_failure_raises(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="validation failed"):
+        assert_suite(lineitem, [expect_between("l_quantity", min_value=10_000)])
+
+
+def test_quality_mostly_semantics(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (-5.0,)], "x double"
+    )
+    # 2 of 3 non-null rows in range => 0.6667
+    rows = run_suite(df, [expect_between("x", min_value=0, mostly=0.5)]).collect()
+    assert rows[0]["passed"] is True
+    assert abs(rows[0]["observed"] - 0.6667) < 1e-4
+    rows = run_suite(df, [expect_between("x", min_value=0, mostly=0.9)]).collect()
+    assert rows[0]["passed"] is False
+    rows = run_suite(df, [expect_not_null("x")]).collect()
+    assert rows[0]["passed"] is False and rows[0]["observed"] == 1.0
+
+
+def test_masked_projection_roles(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    bi = masked_projection(customer, ["c_name"], "bi_user", ("bi_user",))
+    assert bi.filter(F.col("c_name").isNotNull()).count() == 0
+    analyst = masked_projection(customer, ["c_name"], "analyst", ("bi_user",))
+    assert analyst.filter(F.col("c_name").isNull()).count() == 0
+
+
+def test_enrichment_error_rows_preserved(spark, sf_dir):
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .limit(20)
+        .select(
+            F.col("c_custkey").alias("id_employee"),
+            F.col("c_mktsegment").alias("transport_mode"),
+        )
+    )
+    out = validate_enriched(enrich_with_distance(customer, provider=failing_provider))
+    rows = out.collect()
+    assert len(rows) == 20  # U1: failures become null rows, never drops
+    assert all(r["distance_m"] is None for r in rows)
+    assert all("unavailable" in r["error_message"] for r in rows)
+    assert all(r["is_valid"] is None for r in rows)
+
+
+def test_generator_properties(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    acts = generate_activities(customer, "c_custkey").cache()
+    n_emp = customer.count()
+    n = acts.count()
+    # participation ~5% weekday/15% weekend over 91 days => ~6.5 rows/employee
+    assert 3 * n_emp < n < 12 * n_emp
+    sports = {r["sport_type"] for r in acts.select("sport_type").distinct().collect()}
+    assert "yoga" in sports and "running" in sports
+    yoga = acts.filter(F.col("sport_type") == "yoga")
+    assert yoga.filter(F.col("distance_m").isNotNull()).count() == 0
+    assert yoga.filter(~F.col("duration_sec").between(1800, 7199)).count() == 0
+    assert acts.filter(F.col("sport_type") != "yoga").filter(
+        F.col("distance_m").isNull()
+    ).count() == 0
+    assert acts.filter(~F.col("start_hour").between(6, 21)).count() == 0
+    acts.unpersist()
+
+
+def test_knn_bruteforce_is_symmetric_sane(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = knn_bruteforce(emb, queries, k=2).collect()
+    assert len(out) == 6
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in out)
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)

@@ -1,0 +1,127 @@
+"""Source/sink surface tests: excel normalization, partitioned JDBC reader
+construction, parquet/csv sink round trips, catalog registration."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.schemas import EMPLOYEES
+from full_data_infrastructure_spark.sources.excel import (
+    FRENCH_COLUMN_MAP,
+    normalize_hr_frame,
+)
+from full_data_infrastructure_spark.sources.jdbc import jdbc_reader
+from full_data_infrastructure_spark.sources.parquet import (
+    load_table,
+    register_temp_views,
+)
+from full_data_infrastructure_spark.sources.sinks import (
+    register_table,
+    write_append,
+    write_csv,
+    write_overwrite,
+)
+
+
+def test_normalize_hr_frame(spark):
+    pdf = pd.DataFrame(
+        {
+            "Matricule": [1, 2],
+            "Prénom": ["Ada", "Alan"],
+            "Nom": ["L", "T"],
+            "Date de naissance": [dt.date(1990, 1, 1), dt.date(1985, 6, 2)],
+            "Date d'embauche": [dt.date(2020, 1, 1), dt.date(2019, 3, 4)],
+            "BU": ["Marketing", "IT"],
+            "Salaire brut": [50000, 60000],
+            "Type de contrat": ["CDI", "CDD"],
+            "Adresse du domicile": ["1 rue A", "2 rue B"],
+            "Moyen de déplacement domicile-travail": ["Marche/running", "Voiture"],
+            "Nombre de jours de congés payés": [25, 27],
+        }
+    )
+    df = normalize_hr_frame(spark, pdf)
+    assert [f.name for f in df.schema.fields] == [f.name for f in EMPLOYEES.fields]
+    row = df.orderBy("id_employee").first()
+    assert row["first_name"] == "Ada" and row["gross_salary"] == 50000
+    assert df.schema["gross_salary"].dataType.simpleString() == "int"
+    assert df.schema["birthday"].dataType.simpleString() == "date"
+
+
+def test_normalize_hr_frame_missing_column(spark):
+    with pytest.raises(ValueError, match="missing columns"):
+        normalize_hr_frame(spark, pd.DataFrame({"Matricule": [1]}))
+
+
+def test_jdbc_reader_builds_partitioned(spark):
+    reader = jdbc_reader(
+        spark,
+        url="jdbc:postgresql://db:5432/sport",
+        table="sport_advantages.employees",
+        user="u",
+        password="p",
+        partition_column="id_employee",
+        lower_bound=1,
+        upper_bound=100000,
+        num_partitions=32,
+    )
+    assert reader is not None  # construction is lazy; no connection yet
+
+
+def test_jdbc_reader_requires_bounds(spark):
+    with pytest.raises(ValueError, match="bounds"):
+        jdbc_reader(
+            spark,
+            url="jdbc:postgresql://db:5432/sport",
+            table="t",
+            user="u",
+            password="p",
+            partition_column="id",
+        )
+
+
+def test_write_overwrite_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_pq")
+    write_overwrite(orders, path, fmt="parquet", partition_by=("order_month",))
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: a month filter must prune input files
+    months = [r[0] for r in orders.select("order_month").distinct().collect()]
+    one = back.filter(F.col("order_month") == months[0])
+    n_one = one.count()
+    n_orders = orders.count()
+    assert n_one > 0
+    # materialize the month slice before appending — the append mutates the
+    # path `one` lazily reads from
+    slice_rows = spark.createDataFrame(one.collect(), one.schema)
+    write_append(slice_rows, path, fmt="parquet", partition_by=("order_month",))
+    assert spark.read.parquet(path).count() == n_orders + n_one
+
+
+def test_write_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_csv(nation, path)
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == nation.count()
+
+
+def test_register_table_and_views(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "reg_pq")
+    write_overwrite(load_table(spark, sf_dir, "region"), path, fmt="parquet")
+    register_table(spark, "region_registered", path, fmt="parquet")
+    assert spark.sql("SELECT COUNT(*) n FROM region_registered").first()["n"] == 5
+    spark.sql("DROP TABLE region_registered")
+
+    register_temp_views(spark, sf_dir, ("region", "nation"))
+    joined = spark.sql(
+        "SELECT r.r_name, COUNT(*) n FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    )
+    assert joined.count() == 5
