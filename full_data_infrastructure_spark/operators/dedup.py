@@ -46,23 +46,32 @@ def doc_tokens(col: str = "text") -> Column:
 
 
 def word_shingles(toks: Column, n: int = NGRAM) -> Column:
-    """Distinct word n-gram shingles of a token array (JVM-side transform)."""
-    count = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), count - 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(grams)
+    """Distinct word n-gram shingles of a token array (JVM-side transform).
+
+    Built from n aligned ``slice`` views folded with ``zip_with`` — NOT
+    ``sequence`` + per-index ``element_at``, which re-evaluates the whole
+    token-array expression per element (no common-subexpression elimination
+    across lambda boundaries; ~20x slower measured at sf0.1).
+    """
+    gram_count = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, j + 1, gram_count) for j in range(n)]
+    acc = parts[-1]
+    for prev in reversed(parts[:-1]):
+        acc = F.zip_with(prev, acc, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(acc)
 
 
 def exploded_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) pairs, distinct per doc; docs shorter than NGRAM drop."""
-    toks = doc_tokens()
-    return (
-        docs.filter(F.size(toks) >= NGRAM)
-        .select(id_col, F.explode(word_shingles(toks)).alias("sh"))
+    """(doc_id, shingle) pairs, distinct per doc; docs shorter than NGRAM drop.
+
+    Tokens are materialized through a projection first so the ``split`` runs
+    once per row, not once per downstream reference.
+    """
+    tokd = docs.select(id_col, doc_tokens().alias("toks")).filter(
+        F.size("toks") >= NGRAM
+    )
+    return tokd.select(
+        id_col, F.explode(word_shingles(F.col("toks"))).alias("sh")
     )
 
 
