@@ -1,0 +1,164 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState`` —
+north-star extension (the reference has no stateful operators at all,
+SURVEY.md §2.9: processing-time micro-batching only).
+
+Two operators over the ``events`` stream:
+
+* :func:`running_user_totals` — per-user running counters (event count,
+  value sum, last-seen timestamp) that survive across micro-batches. The
+  built-in windowed aggregates can't express "emit the running total on
+  every batch a key appears in"; this is the canonical custom-state shape.
+* :func:`inactivity_sessions` — session assembly with an explicit
+  processing-time timeout: a session closes (and is emitted) only when its
+  key has been silent for ``timeout_ms``. Unlike ``session_window`` this
+  emits exactly one row per closed session and can carry arbitrary
+  session-level state (here: first/last ts, count, value sum).
+
+Scale notes (100 TB / high-cardinality keys):
+* State lives in the state store, sharded by the shuffle on the group key —
+  per-key state here is O(1) (a handful of scalars), so total state is
+  bounded by distinct keys, not event volume.
+* ``applyInPandasWithState`` exchanges Arrow batches; the python function
+  touches each KEY once per batch, not each row.
+* Timeouts bound session state: silent keys are evicted on expiry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n_events, total_value, last_ts_us) = (
+        state.get if state.exists else (0, 0.0, 0)
+    )
+    for pdf in pdfs:
+        n_events += len(pdf)
+        total_value += float(pdf["value"].sum())
+        batch_max_us = int(pdf["ts"].max().value // 1_000)
+        last_ts_us = max(last_ts_us, batch_max_us)
+    state.update((n_events, total_value, last_ts_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "total_value": [total_value],
+            "last_ts": [pd.Timestamp(last_ts_us, unit="us")],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, last ts) emitted on every batch the
+    user appears in. Input needs columns user_id, ts (timestamp), value."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _session_fn_factory(timeout_ms: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (start_us, end_us, n_events, total_value) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n_events],
+                    "total_value": [total_value],
+                }
+            )
+            return
+        (start_us, end_us, n_events, total_value) = (
+            state.get if state.exists else (None, None, 0, 0.0)
+        )
+        for pdf in pdfs:
+            lo = int(pdf["ts"].min().value // 1_000)
+            hi = int(pdf["ts"].max().value // 1_000)
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n_events += len(pdf)
+            total_value += float(pdf["value"].sum())
+        state.update((start_us, end_us, n_events, total_value))
+        state.setTimeoutDuration(timeout_ms)
+        yield from ()  # emit nothing until the session closes
+
+    return fn
+
+
+def inactivity_sessions(events: DataFrame, timeout_ms: int = 30_000) -> DataFrame:
+    """Sessions closed by processing-time inactivity: one output row per
+    closed session. Input needs columns user_id, ts (timestamp), value."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn_factory(timeout_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -214,3 +214,106 @@ def test_metrics_listener_captures_progress(spark, sf_dir, topic_dir, tmp_path):
         assert listener.stats.summary()["mean_rows_per_batch"] > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_running_user_totals_match_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running counters: one availableNow pass must
+    equal the batch groupBy twin."""
+    from full_data_infrastructure_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "state_json")
+    events.select(
+        "user_id", F.col("ts").cast("string").alias("ts"), "value"
+    ).write.mode("overwrite").json(stream_dir)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts string, value double")
+        .json(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            "SELECT * FROM running_totals_test"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # memory sink in update mode may hold several versions per key; the
+    # last state per key must match the batch totals
+    assert got == want
+
+
+def test_inactivity_sessions_close_on_timeout(spark, sf_dir, tmp_path):
+    """Processing-time-timeout sessions: a key silent across a restart (with
+    elapsed wall time > timeout) is emitted as a closed session."""
+    import time
+
+    from full_data_infrastructure_spark.streaming.stateful import (
+        inactivity_sessions,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    stream_dir = str(tmp_path / "sess_state_json")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    first = events.filter(F.col("user_id") < 3).select(
+        "user_id", F.col("ts").cast("string").alias("ts"), "value"
+    )
+    first.coalesce(1).write.mode("overwrite").json(stream_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id bigint, ts string, value double")
+            .json(stream_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            inactivity_sessions(stream, timeout_ms=1000)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # ingest users 0-2; sessions stay open (no output yet)
+    time.sleep(1.5)  # exceed the processing-time timeout
+    # new data for OTHER users triggers a batch; expired keys fire
+    events.filter((F.col("user_id") >= 3)).select(
+        "user_id", F.col("ts").cast("string").alias("ts"), "value"
+    ).coalesce(1).write.mode("append").json(stream_dir)
+    run_once()
+
+    closed = spark.read.parquet(sink)
+    closed_users = {r["user_id"] for r in closed.select("user_id").collect()}
+    assert {0, 1, 2} <= closed_users
+    want = {
+        r["user_id"]: r["n"]
+        for r in events.filter(F.col("user_id") < 3)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in closed.filter(F.col("user_id") < 3).collect()
+    }
+    assert got == want
