@@ -98,6 +98,35 @@ def assert_suite(df: DataFrame, expectations: list[Expectation]) -> None:
         raise ValueError(f"validation failed: {detail}")
 
 
+def enforce_constraints(
+    df: DataFrame, constraints: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """V6 — SQL CHECK constraints (``data_validation_dag.py:123-124``:
+    ``CHECK (activity_duration >= 0)``, ``CHECK (distance >= 0 OR distance
+    IS NULL)``) as an enforce-on-write split: returns (valid_rows,
+    violations), where violations carry the names of the constraints they
+    break. The Delta twin is ``ALTER TABLE ADD CONSTRAINT``; this form works
+    on any sink and routes bad rows to a quarantine table instead of failing
+    the write.
+
+    One pass, no shuffle: the violation tags are a projection.
+    """
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in constraints.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("_violated", tags)
+    valid = tagged.filter(F.size("_violated") == 0).drop("_violated")
+    violations = tagged.filter(F.size("_violated") > 0).withColumnRenamed(
+        "_violated", "violated_constraints"
+    )
+    return valid, violations
+
+
 def check_schema(df: DataFrame, required_cols: dict[str, str]) -> DataFrame:
     """V5 — catalog/schema introspection (data_validation_dag.py:68-106):
     verify required columns exist with expected types."""
@@ -171,6 +200,53 @@ def _validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect_between("l_quantity", min_value=0, mostly=1.0),
             expect_between("l_discount", min_value=0, max_value=0.5, mostly=0.95),
         ],
+    )
+
+
+@register(
+    "constraint_violations",
+    """
+    SELECT o_orderkey,
+           o_totalprice,
+           o_orderstatus,
+           array_to_string(list_filter([
+               CASE WHEN NOT (o_totalprice >= 0) THEN 'totalprice_nonneg' END,
+               CASE WHEN NOT (o_totalprice <= 400000) THEN 'totalprice_cap' END,
+               CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                    THEN 'status_domain' END,
+               CASE WHEN NOT (o_custkey IS NOT NULL) THEN 'custkey_notnull' END
+           ], x -> x IS NOT NULL), ',') AS violated_constraints
+    FROM orders
+    WHERE len(list_filter([
+               CASE WHEN NOT (o_totalprice >= 0) THEN 'totalprice_nonneg' END,
+               CASE WHEN NOT (o_totalprice <= 400000) THEN 'totalprice_cap' END,
+               CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P'))
+                    THEN 'status_domain' END,
+               CASE WHEN NOT (o_custkey IS NOT NULL) THEN 'custkey_notnull' END
+           ], x -> x IS NOT NULL)) > 0
+    """,
+    doc="V6 — CHECK constraints (data_validation_dag.py:123-124) as an "
+    "enforce-on-write split: rows violating any constraint, tagged with "
+    "the constraint names they break. Delta twin: ALTER TABLE ADD "
+    "CONSTRAINT; this form quarantines instead of failing the write.",
+    tags=("reference", "quality"),
+)
+def _constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    _, violations = enforce_constraints(
+        orders,
+        {
+            "totalprice_nonneg": F.col("o_totalprice") >= 0,
+            "totalprice_cap": F.col("o_totalprice") <= 400000,
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_notnull": F.col("o_custkey").isNotNull(),
+        },
+    )
+    return violations.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.array_join("violated_constraints", ",").alias("violated_constraints"),
     )
 
 

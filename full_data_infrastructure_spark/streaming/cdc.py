@@ -93,6 +93,13 @@ def decode_cdc_stream(
     return decode_envelope(value, "value", after_schema, keep_ops=keep_ops)
 
 
+def with_ingest_timestamp(df: DataFrame, col: str = "ingested_at") -> DataFrame:
+    """F10 — the reference's ``created_at TIMESTAMP WITH TIME ZONE DEFAULT
+    CURRENT_TIMESTAMP`` insert default (init-db.sql:33) as an ingest-time
+    metadata column. Evaluated per micro-batch at write time."""
+    return df.withColumn(col, F.current_timestamp())
+
+
 def start_cdc_ingest(
     decoded: DataFrame,
     sink_path: str,
