@@ -262,3 +262,37 @@ def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cond = (events.value >= ranges.lo) & (events.value < ranges.hi)
     return events.join(F.broadcast(ranges), cond, "left").select("event_id", "label")
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: salt the (skewed) fact side, replicate the
+    dimension side once per salt.
+
+    When one join key holds a large share of the fact rows (a "hot" key), a
+    plain shuffle join sends that whole key to ONE reducer — at 100 TB a
+    single straggler task. Salting splits each key across ``n_salts``
+    reducers: the fact side gets a deterministic per-row salt, the dim side
+    is exploded x n_salts, and the join key becomes (key, salt). Cost: the
+    dim side is duplicated n_salts times — only appropriate when the dim is
+    small-but-over-broadcast-threshold or when AQE skew splitting
+    (spark.sql.adaptive.skewJoin, on in session.py) is unavailable, e.g.
+    for a stateful/streaming join where AQE cannot replan.
+
+    The salt is a hash of the whole fact row (deterministic, no rand()), so
+    results are stable across retries — a correctness requirement under
+    task re-execution.
+    """
+    fact_salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts)
+    ).cast("int")
+    salted_facts = facts.withColumn("_salt", fact_salt)
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_facts.join(salted_dim, [on, "_salt"], how).drop("_salt")

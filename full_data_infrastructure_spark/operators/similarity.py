@@ -251,3 +251,105 @@ def _vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm(F.col("e")), 4).alias("l2_norm"),
         F.round(comp_sum, 4).alias("component_sum"),
     )
+
+
+N_CELLS = 16  # IVF coarse-quantizer cells
+N_PROBE = 4  # cells probed per query
+
+
+def ivf_assignments(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
+    """Assign each vector to its ``n_best`` nearest centroid cells by cosine
+    (broadcast centroids — one corpus pass, no shuffle)."""
+    scored = emb.join(F.broadcast(centroids), F.lit(True)).select(
+        "vec_id",
+        "cell_id",
+        (
+            dot(F.col("e"), F.col("c_e")) / (F.col("nrm") * F.col("c_nrm"))
+        ).alias("cell_score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cell_score").desc(), "cell_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_best)
+        .select("vec_id", "cell_id")
+    )
+
+
+@register(
+    "knn_ivf",
+    None,  # approximate — recall vs knn_bruteforce asserted in tests
+    doc="IVF ANN: deterministic coarse quantizer (every len(corpus)/16-th "
+    "vector is a centroid), corpus vectors assigned to their nearest cell, "
+    "queries probe the 4 nearest cells, exact cosine within probed cells. "
+    "The inverted-file twin of knn_lsh: candidate volume scales with "
+    "corpus/cells x probes, independent of signature collision rates. "
+    "Rows-only check; recall asserted in tests/test_operators.py.",
+    tags=("llm", "similarity", "vector", "approx"),
+)
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+
+    # Deterministic coarse quantizer: stride-sample N_CELLS corpus vectors
+    # as centroids (at 100 TB: k-means|| offline; stride keeps CI stable).
+    n = emb.count()
+    stride = max(n // N_CELLS, 1)
+    centroids = (
+        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < N_CELLS))
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("cell_id"),
+            F.col("e").alias("c_e"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+
+    corpus_cells = ivf_assignments(emb, centroids, n_best=1)
+    query_vecs = emb.filter(F.col("vec_id") < N_QUERIES)
+    query_cells = ivf_assignments(query_vecs, centroids, n_best=N_PROBE).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+
+    # candidates: corpus vectors in any probed cell; ids only through the
+    # shuffle, vectors re-attached after dedup
+    cand = (
+        query_cells.join(corpus_cells, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                query_vecs.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("e").alias("e_q"),
+                    F.col("nrm").alias("n_q"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("e_c"),
+                F.col("nrm").alias("n_c"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

@@ -156,3 +156,48 @@ def test_knn_bruteforce_is_symmetric_sane(spark, sf_dir):
     assert len(out) == 6
     assert all(-1.0 <= r["cos"] <= 1.0 for r in out)
     assert all(r["neighbor_id"] != r["query_id"] for r in out)
+
+
+def test_knn_ivf_recall(spark, sf_dir):
+    """IVF probes 4/16 cells; top-1 neighbors should largely survive."""
+    from full_data_infrastructure_spark.queries import REGISTRY
+
+    exact = REGISTRY["knn_bruteforce"].build(spark, sf_dir).collect()
+    ivf = REGISTRY["knn_ivf"].build(spark, sf_dir).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact if r["rnk"] == 1}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.15, f"knn_ivf recall {recall:.2f}"
+    # every returned neighbor must be scored correctly: spot check one query
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos"] for r in exact
+    }
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cos"] - exact_scores[key]) < 1e-9
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from full_data_infrastructure_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(customer, "o_custkey").collect()
+    salted = salted_join(orders, customer, "o_custkey", n_salts=8).collect()
+    key = lambda r: (r["o_custkey"], r["o_orderkey"], r["c_mktsegment"])
+    assert sorted(map(key, plain)) == sorted(map(key, salted))
+
+
+def test_salted_join_left_outer(spark, sf_dir):
+    from full_data_infrastructure_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # dim missing most keys => left join must preserve unmatched facts
+    few = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 10).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    out = salted_join(orders, few, "o_custkey", n_salts=4, how="left")
+    assert out.count() == orders.count()
