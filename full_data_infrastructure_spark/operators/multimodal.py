@@ -134,3 +134,140 @@ def _multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         "n_chars",
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes int, thumb_sum_mod bigint"
+)
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_sum_mod bigint"
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> dict:
+    """Deterministic stand-in for an image resize: the 'thumbnail' is a
+    byte-stride sample of the payload sized width*height."""
+    target = max(width * height, 1)
+    stride = max(len(payload) // target, 1)
+    thumb = payload[::stride][:target]
+    return {"n_bytes": len(thumb), "thumb_sum_mod": sum(thumb) % 997}
+
+
+def resize_media(
+    df: DataFrame, width: int = 8, height: int = 8,
+    resizer: Callable[[bytes, int, int], dict] = fake_resize,
+) -> DataFrame:
+    """Resize/thumbnail stage as mapInPandas — the Spark-side shape for
+    image preprocessing: binary in, fixed-size features out, narrow output
+    schema so full payloads never leave the scan stage. Swap ``resizer``
+    for a Pillow-backed implementation on a real cluster
+    (:func:`real_image_decode` documents the seam)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [resizer(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "thumb_sum_mod": [f["thumb_sum_mod"] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling as a row-EXPANDING mapInPandas (the UDTF shape for
+    video): each payload yields ``n_frames`` evenly-spaced 'frames' (byte
+    slices in the fake decoder). Output rows >> input rows — the schema and
+    batch handling are exactly what a real video frame sampler needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_sum_mod": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                chunk = max(n // n_frames, 1)
+                for i in range(n_frames):
+                    frame = payload[i * chunk : (i + 1) * chunk]
+                    if not len(frame):
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(len(frame))
+                    rows["frame_sum_mod"].append(sum(frame) % 997)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH payloads AS (
+        SELECT doc_id, encode(text) AS payload FROM documents
+        WHERE length(text) > 0
+    ),
+    params AS (
+        SELECT doc_id, payload,
+               octet_length(payload) AS n,
+               GREATEST(octet_length(payload) // 64, 1) AS stride
+        FROM payloads
+    )
+    SELECT doc_id,
+           8 AS width,
+           8 AS height,
+           CAST(LEAST(len(range(1, n + 1, stride)), 64) AS INT) AS n_bytes,
+           CAST(list_sum(list_transform(
+                   list_slice(list_select(string_to_array(payload::VARCHAR, ''),
+                                          range(1, n + 1, stride)), 1, 64),
+                   c -> unicode(c))) % 997 AS BIGINT) AS thumb_sum_mod
+    FROM params
+    """,
+    doc="Multimodal resize/thumbnail stage: mapInPandas over binary "
+    "payloads producing fixed-size features (8x8 byte-stride thumbnail in "
+    "the deterministic fake). Oracle recomputes the stride sample in SQL "
+    "(ASCII corpus => code points == bytes).",
+    tags=("llm", "multimodal", "udf"),
+)
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return resize_media(attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH payloads AS (
+        SELECT doc_id, encode(text) AS payload FROM documents
+        WHERE length(text) > 0
+    ),
+    params AS (
+        SELECT doc_id, payload, octet_length(payload) AS n,
+               GREATEST(octet_length(payload) // 4, 1) AS chunk
+        FROM payloads
+    ),
+    frames AS (
+        SELECT doc_id, i AS frame_idx,
+               list_slice(string_to_array(payload::VARCHAR, ''),
+                          i * chunk + 1, (i + 1) * chunk) AS frame
+        FROM params, UNNEST([0, 1, 2, 3]) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(len(frame) AS INT) AS frame_bytes,
+           CAST(list_sum(list_transform(frame, c -> unicode(c))) % 997 AS BIGINT)
+               AS frame_sum_mod
+    FROM frames
+    WHERE len(frame) > 0
+    """,
+    doc="Frame sampling (video shape): row-expanding mapInPandas — each "
+    "payload emits 4 evenly-spaced frames with per-frame features. Oracle "
+    "recomputes the byte slices in SQL.",
+    tags=("llm", "multimodal", "udf"),
+)
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return sample_frames(attach_binary_payload(docs))

@@ -137,3 +137,40 @@ def reconcile_counts(spark: SparkSession, table_path: str, expected: int, fmt: s
         if actual == expected
         else "mismatch: in-flight micro-batch, dropped tombstones, or replay",
     }
+
+
+def apply_cdc_batch(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    order_col: str = "ts_ms",
+) -> DataFrame:
+    """T8 completion — apply a CDC micro-batch with FULL op semantics to a
+    table snapshot: upserts (``c``/``r``/``u``) replace rows by key, deletes
+    (``d``) remove them; the latest change per key (by ``order_col``,
+    key-tiebroken deterministically) wins within the batch.
+
+    The reference silently DROPS updates/deletes (its not-null filter,
+    ``SaveDelta.scala:149``, discards tombstones and its workload is
+    insert-only). This operator is what a ``u``/``d``-bearing topic needs.
+
+    Used from ``foreachBatch``: read current snapshot, apply, overwrite (or
+    Delta ``MERGE INTO`` where Delta is available — same semantics, atomic).
+    Shuffle cost: one window over the batch (small) + one anti-join keyed on
+    ``key``; the snapshot is never shuffled on an unkeyed column.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col("op"))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col("op") != "d").select(*snapshot.columns)
+    survivors = snapshot.join(
+        latest.select(F.col(key).alias("_k")),
+        F.col(key) == F.col("_k"),
+        "left_anti",
+    )
+    return survivors.unionByName(upserts)

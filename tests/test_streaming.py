@@ -317,3 +317,26 @@ def test_inactivity_sessions_close_on_timeout(spark, sf_dir, tmp_path):
         for r in closed.filter(F.col("user_id") < 3).collect()
     }
     assert got == want
+
+
+def test_apply_cdc_batch_upserts_and_deletes(spark):
+    """Full op semantics the reference drops: u replaces, d removes,
+    latest-per-key wins within a batch."""
+    from full_data_infrastructure_spark.streaming.cdc import apply_cdc_batch
+
+    snapshot = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, name string, value double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "u", 100),   # update key 2
+            (3, None, None, "d", 100),   # delete key 3
+            (4, "d", 40.0, "c", 100),    # insert key 4
+            (4, "d2", 41.0, "u", 200),   # then update it — later ts wins
+        ],
+        "id bigint, name string, value double, op string, ts_ms bigint",
+    )
+    out = apply_cdc_batch(snapshot, changes, key="id")
+    got = {r["id"]: (r["name"], r["value"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 4: ("d2", 41.0)}
