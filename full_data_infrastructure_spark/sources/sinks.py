@@ -78,3 +78,51 @@ def ensure_bucket(bucket: str) -> bool:
     except ImportError:
         return False  # no object store in this environment; sinks use local paths
     raise NotImplementedError("wire boto3 bucket management on a real cluster")
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction — the OSS-Delta stand-in for ``OPTIMIZE``
+    (SURVEY.md §4: streaming sinks accrete one small file per micro-batch
+    per partition; scan throughput at 100 TB dies on file-open overhead).
+
+    Rewrites the table with files sized ~``target_file_bytes``. Parquet path
+    writes to a sibling temp directory then swaps, because overwriting a
+    path Spark is lazily reading from corrupts the read; Delta's
+    transactional overwrite doesn't need the swap. Returns the new file
+    count. Run periodically (the reference has no compaction at all).
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    fmt = fmt or default_table_format()
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    n_files = max(math.ceil(total / target_file_bytes), 1)
+    df = spark.read.format(fmt).load(path)
+    compacted = (
+        df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
+    )
+    tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+    writer = compacted.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    out = 0
+    for root, _dirs, files in os.walk(path):
+        out += sum(1 for f in files if f.endswith(f".{fmt}") or f.endswith(".parquet"))
+    return out

@@ -125,3 +125,20 @@ def test_register_table_and_views(spark, sf_dir, tmp_path):
         "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
     )
     assert joined.count() == 5
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    from full_data_infrastructure_spark.sources.sinks import compact
+
+    path = str(tmp_path / "fragmented")
+    orders = load_table(spark, sf_dir, "orders")
+    # simulate micro-batch accretion: many tiny files
+    orders.repartition(40).write.mode("overwrite").parquet(path)
+    import os
+
+    before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert before >= 40
+    n_after = compact(spark, path, fmt="parquet", target_file_bytes=64 * 1024 * 1024)
+    assert n_after < before
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
