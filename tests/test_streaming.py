@@ -340,3 +340,51 @@ def test_apply_cdc_batch_upserts_and_deletes(spark):
     out = apply_cdc_batch(snapshot, changes, key="id")
     got = {r["id"]: (r["name"], r["value"]) for r in out.collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 4: ("d2", 41.0)}
+
+
+def test_upsert_sink_end_to_end(spark, tmp_path):
+    """foreachBatch CDC upsert sink: inserts, then updates+deletes in a
+    second batch, applied to the parquet snapshot with full op semantics."""
+    import json as _json
+
+    from full_data_infrastructure_spark.streaming.sinks import start_upsert_sink
+
+    stream_dir = tmp_path / "changes"
+    stream_dir.mkdir()
+    snapshot = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id bigint, v bigint, op string, ts_ms bigint")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(stream_dir))
+        )
+        q = start_upsert_sink(
+            stream, snapshot, ckpt, key="id", available_now=True
+        )
+        q.awaitTermination(120)
+
+    batch1 = [
+        {"id": 1, "v": 10, "op": "c", "ts_ms": 100},
+        {"id": 2, "v": 20, "op": "c", "ts_ms": 100},
+        {"id": 3, "v": 30, "op": "c", "ts_ms": 100},
+    ]
+    (stream_dir / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch1)
+    )
+    run_once()
+    got1 = {r["id"]: r["v"] for r in spark.read.parquet(snapshot).collect()}
+    assert got1 == {1: 10, 2: 20, 3: 30}
+
+    batch2 = [
+        {"id": 2, "v": 21, "op": "u", "ts_ms": 200},
+        {"id": 3, "v": None, "op": "d", "ts_ms": 200},
+        {"id": 4, "v": 40, "op": "c", "ts_ms": 200},
+    ]
+    (stream_dir / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch2)
+    )
+    run_once()
+    got2 = {r["id"]: r["v"] for r in spark.read.parquet(snapshot).collect()}
+    assert got2 == {1: 10, 2: 21, 4: 40}
