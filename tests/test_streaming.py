@@ -388,3 +388,42 @@ def test_upsert_sink_end_to_end(spark, tmp_path):
     run_once()
     got2 = {r["id"]: r["v"] for r in spark.read.parquet(snapshot).collect()}
     assert got2 == {1: 10, 2: 21, 4: 40}
+
+
+def test_sliding_counts_match_batch(spark, sf_dir, tmp_path):
+    from full_data_infrastructure_spark.streaming.windows import sliding_counts
+
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "slide_json")
+    events.select(
+        "event_id", F.col("ts").cast("string").alias("ts"), "event_type"
+    ).write.mode("overwrite").json(stream_dir)
+    stream = (
+        spark.readStream.schema("event_id bigint, ts string, event_type string")
+        .json(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = sliding_counts(stream, window="1 hour", slide="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    want = {
+        (r["win"]["start"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # every event lands in exactly 2 overlapping panes
+    assert sum(got.values()) == 2 * events.count()
