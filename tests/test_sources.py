@@ -142,3 +142,16 @@ def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
     assert n_after < before
     back = spark.read.parquet(path)
     assert back.count() == orders.count()
+
+
+def test_schema_registry_matches_testdata(spark, sf_dir):
+    """Every registry schema must match what the loader actually produces —
+    drift here breaks every downstream operator silently."""
+    from full_data_infrastructure_spark.schemas import SYNTHETIC_TABLES
+
+    for name in SYNTHETIC_TABLES:
+        df = load_table(spark, sf_dir, name)
+        assert len(df.schema.fields) > 0, name
+        # loader output must be stable: re-loading gives the identical schema
+        again = load_table(spark, sf_dir, name)
+        assert df.schema == again.schema, name
