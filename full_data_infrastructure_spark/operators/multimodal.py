@@ -271,3 +271,84 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     return sample_frames(attach_binary_payload(docs))
+
+
+EMBED_DIM = 16
+
+EMBED_SCHEMA = "doc_id bigint, embedding array<double>"
+
+
+def fake_feature_extract(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic stand-in for a neural feature extractor: L2-normalized
+    byte-value histogram folded into ``dim`` buckets."""
+    hist = [0] * dim
+    for b in payload:
+        hist[b % dim] += 1
+    norm = sum(h * h for h in hist) ** 0.5
+    return [h / norm for h in hist] if norm else [0.0] * dim
+
+
+def extract_features(
+    df: DataFrame,
+    extractor: Callable[[bytes], list[float]] = fake_feature_extract,
+) -> DataFrame:
+    """Feature-extraction stage (mapInPandas): binary payload -> fixed-size
+    embedding vector. The production seam for a vision/audio encoder —
+    swap ``extractor`` for a model-backed batch function; the Arrow batch
+    shape here is exactly what a GPU encoder wants (amortized per-batch
+    model dispatch, bounded by arrow.maxRecordsPerBatch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "embedding": [extractor(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, EMBED_SCHEMA)
+
+
+@register(
+    "multimodal_embed",
+    f"""
+    WITH chars AS (
+        SELECT doc_id,
+               list_transform(string_to_array(text, ''), c -> unicode(c) % {EMBED_DIM})
+                   AS buckets
+        FROM documents
+        WHERE length(text) > 0
+    ),
+    hist AS (
+        SELECT doc_id,
+               list_transform(range(0, {EMBED_DIM}),
+                              i -> CAST(len(list_filter(buckets, b -> b = i))
+                                        AS DOUBLE)) AS h
+        FROM chars
+    ),
+    normed AS (
+        SELECT doc_id,
+               list_transform(h, x -> x / sqrt(list_sum(list_transform(h, y -> y * y))))
+                   AS e
+        FROM hist
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS dim_idx,
+           e[i + 1] AS value
+    FROM normed, UNNEST(range(0, {EMBED_DIM})) AS t(i)
+    """,
+    doc="Multimodal feature extraction: payload -> fixed-size embedding via "
+    "mapInPandas (deterministic byte-histogram fake behind the encoder "
+    "seam), output exploded to (doc_id, dim_idx, value) scalars for the "
+    "oracle compare. Completes decode -> feature-extract -> (dedup/ANN); "
+    "oracle recomputes the histogram in SQL (ASCII corpus).",
+    tags=("llm", "multimodal", "udf", "vector"),
+)
+def _multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    emb = extract_features(attach_binary_payload(docs))
+    # exploded scalar form: array cells don't value-hash across engines
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "value")
+    )
