@@ -427,3 +427,30 @@ def test_sliding_counts_match_batch(spark, sf_dir, tmp_path):
     assert got == want
     # every event lands in exactly 2 overlapping panes
     assert sum(got.values()) == 2 * events.count()
+
+
+def test_decode_envelope_tolerates_schema_drift(spark):
+    """SURVEY.md §1.2: the reference streams `distance` as Double while
+    Postgres declares INT — the decoder must widen int JSON values into
+    double fields (and tolerate missing fields as NULL)."""
+    from pyspark.sql import types as T
+
+    from full_data_infrastructure_spark.functions.debezium import decode_envelope
+
+    after = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("distance", T.DoubleType()),  # drifted: JSON has int
+            T.StructField("comment", T.StringType()),   # sometimes missing
+        ]
+    )
+    rows = [
+        ('{"payload":{"after":{"id":1,"distance":42,"comment":"ok"},"op":"c","ts_ms":1}}',),
+        ('{"payload":{"after":{"id":2,"distance":7.5},"op":"u","ts_ms":2}}',),
+        ('{"payload":{"after":null,"op":"d","ts_ms":3}}',),  # tombstone
+        ("not json at all",),  # malformed
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = decode_envelope(raw, "value", after).collect()
+    got = {r["id"]: (r["distance"], r["comment"], r["op"]) for r in out}
+    assert got == {1: (42.0, "ok", "c"), 2: (7.5, None, "u")}
