@@ -79,7 +79,7 @@ def test_knn_lsh_recall(spark, sf_dir):
     approx = {(r["query_id"], r["neighbor_id"]) for r in lsh}
     recall = len(truth & approx) / len(truth)
     # random 64-d vectors are a worst case for 16-plane LSH; still demand signal
-    assert recall >= 0.15, f"knn_lsh recall {recall:.2f}"
+    assert recall >= 0.35, f"knn_lsh recall {recall:.2f}"
     assert all(q < 20 for q, _ in approx)
 
 
@@ -167,7 +167,7 @@ def test_knn_ivf_recall(spark, sf_dir):
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact if r["rnk"] == 1}
     approx = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.15, f"knn_ivf recall {recall:.2f}"
+    assert recall >= 0.35, f"knn_ivf recall {recall:.2f}"
     # every returned neighbor must be scored correctly: spot check one query
     exact_scores = {
         (r["query_id"], r["neighbor_id"]): r["cos"] for r in exact
