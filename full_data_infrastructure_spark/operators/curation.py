@@ -1,0 +1,247 @@
+"""Corpus-curation operators for LLM training-data pipelines (north-star
+extension): PII redaction, deterministic sampling / dataset splits,
+stratified sampling, and repetition (boilerplate) quality signals.
+
+The reference has no equivalent — its closest shape is the data-quality
+DAG (``airflow/dags/data_validation_dag.py:306-320``, row-level
+expectations); these operators are the corpus-level curation pass a 100 TB
+training-data pipeline runs between ingest and dedup.
+
+Scale design
+------------
+* Everything is built-in JVM expressions (regexp / md5 / list ops /
+  window) — no Python UDFs — so a full-corpus pass stays inside
+  whole-stage codegen and scans prune to the referenced columns.
+* Sampling and splits key on ``md5(doc_id)``, not ``rand()``: the sample
+  is deterministic (re-runs and retried tasks agree — at-least-once
+  executors can't double-sample a row), needs no shuffle, and pushes the
+  filter to the scan.
+* The stratified sampler is the only shuffle here (one window per
+  stratum); at 100 TB, strata counts are bounded (languages, sources), so
+  the per-stratum ``row_number`` partitions stay balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.operators.dedup import doc_tokens
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+# Regex subset chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b word boundaries —
+# no backrefs, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_RE = "\\+[0-9]{7,15}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and +international phone numbers
+    with typed placeholder tags. Order matters: emails first so the
+    user@host digits never half-match the phone pattern."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_count(text: Column | str) -> Column:
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE))
+        + F.regexp_count(text, F.lit(IPV4_RE))
+        + F.regexp_count(text, F.lit(PHONE_RE))
+    )
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic 2-hex-char bucket ('00'..'ff', 256 buckets) of a key.
+
+    String compare on the hex prefix is engine-portable (identical in
+    Spark and DuckDB), unlike integer conversions of the digest.
+    """
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, 2)
+
+
+@register(
+    "pii_redact",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '{EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{IPV4_RE}'))
+             + len(regexp_extract_all(text, '{PHONE_RE}')) AS n_pii
+    FROM documents
+    """,
+    doc="PII redaction pass: emails / IPv4 / +international phones replaced "
+    "with typed tags, plus a per-doc redaction count. Pure regexp_replace "
+    "— codegen'd, no UDF. Redaction semantics on PII-bearing rows are "
+    "asserted in tests/test_curation.py (the synthetic corpus is clean).",
+    tags=("llm", "curation"),
+)
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        redact_pii("text").alias("clean_text"),
+        pii_count("text").alias("n_pii"),
+    )
+
+
+@register(
+    "sample_hash",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+    """,
+    doc="Deterministic ~10% corpus sample: keep rows whose md5(doc_id) hex "
+    "prefix falls in the first 26/256 buckets. No RNG state, no shuffle; "
+    "the predicate evaluates at the scan, and re-runs/retries agree.",
+    tags=("llm", "curation", "sampling"),
+)
+def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(hash_bucket(F.col("doc_id")) <= "19").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "train_val_test_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic ~80/10/10 train/val/test split on md5(doc_id) hex "
+    "buckets — disjoint, exhaustive, stable across runs and engines; a "
+    "doc's split never changes as the corpus grows.",
+    tags=("llm", "curation", "sampling"),
+)
+def _train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, rn
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 5
+    """,
+    doc="Stratified sample: 5 docs per language, ordered by md5(doc_id) so "
+    "the pick is uniform-ish but deterministic. One window shuffle keyed "
+    "on the stratum; stratum count is bounded, so partitions balance.",
+    tags=("llm", "curation", "sampling"),
+)
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "repetition_signals",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               len(toks) AS total,
+               len(list_distinct(toks)) AS ndist,
+               len(list_distinct(list_transform(
+                   range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1]))) AS ndist_bigram
+        FROM toks
+        WHERE len(toks) >= 2
+    ),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_cnt
+        FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+            GROUP BY doc_id, tok
+        )
+        GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           1.0 - CAST(ndist AS DOUBLE) / total AS dup_token_frac,
+           CAST(top_cnt AS DOUBLE) / total AS top_token_frac,
+           1.0 - CAST(ndist_bigram AS DOUBLE) / (total - 1) AS dup_bigram_frac
+    FROM base JOIN top ON base.doc_id = top.doc_id
+    """,
+    doc="Gopher-style repetition signals per doc: duplicate-token fraction, "
+    "most-frequent-token fraction, duplicate-bigram fraction — the "
+    "boilerplate/template detector for corpus filtering. Token and bigram "
+    "distinct-counts are list ops on a materialized token array (one scan, "
+    "no HOF re-evaluation); the mode count is one explode + two partial "
+    "aggregates.",
+    tags=("llm", "curation", "text"),
+)
+def _repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", doc_tokens().alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    gram_count = F.size("toks") - 1
+    bigrams = F.zip_with(
+        F.slice("toks", 1, gram_count),
+        F.slice("toks", 2, gram_count),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = tokd.select(
+        "doc_id",
+        F.size("toks").alias("total"),
+        F.size(F.array_distinct("toks")).alias("ndist"),
+        F.size(F.array_distinct(bigrams)).alias("ndist_bigram"),
+    )
+    top = (
+        tokd.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        (F.lit(1.0) - F.col("ndist").cast("double") / F.col("total")).alias(
+            "dup_token_frac"
+        ),
+        (F.col("top_cnt").cast("double") / F.col("total")).alias(
+            "top_token_frac"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("ndist_bigram").cast("double") / (F.col("total") - 1)
+        ).alias("dup_bigram_frac"),
+    )

@@ -261,6 +261,84 @@ def simhash_dedup_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING)
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: every vertex adopts the smallest label among
+    itself and its neighbors until fixpoint. Returns (id, cluster_id).
+
+    Converges in O(component diameter) rounds — near-dup clusters are
+    shallow (pairs/chains), so 2-3 rounds in practice; ``max_iterations``
+    bounds pathological chains. Each round is one shuffle-join plus one
+    aggregate; ``localCheckpoint`` truncates the lineage so round N's plan
+    does not replay rounds 1..N-1. At 100 TB switch the checkpoint to a
+    reliable store and use the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce"), which hops
+    labels multiple levels per round.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select("s")
+        .distinct()
+        .select(F.col("s").alias("id"), F.col("s").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor = sym.join(
+            labels, sym["d"] == labels["id"], "inner"
+        ).select(sym["s"].alias("id"), "cluster_id")
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def _cc_oracle_sql() -> str:
+    """Recursive-CTE twin: transitive closure over the symmetric pair
+    graph, then min reachable id per vertex."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_ngram_jaccard_sql(JACCARD_THRESHOLD)}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id,
+           LEAST(s, MIN(d)) AS cluster_id,
+           LEAST(s, MIN(d)) = s AS is_keeper
+    FROM reach
+    GROUP BY s
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -364,6 +442,67 @@ def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_dedup_pairs(docs)
+
+
+@register(
+    "dedup_cluster_cc",
+    _cc_oracle_sql(),
+    doc="Near-dup cluster resolution: connected components over the exact "
+    "n-gram-Jaccard pair graph (min-label propagation; recursive-CTE "
+    "oracle). Emits (doc_id, cluster_id, is_keeper) — the step that turns "
+    "pairwise dedup output into a keep/drop decision per document.",
+    tags=("llm", "dedup"),
+)
+def _dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_keeper"),
+    )
+
+
+@register(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE pairs AS ({_ngram_jaccard_sql(JACCARD_THRESHOLD)}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    cc AS (
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+        FROM reach GROUP BY s
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN cc ON d.doc_id = cc.doc_id
+    WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id
+    """,
+    doc="End-to-end near-dedup materialization: drop every non-canonical "
+    "member of each near-dup cluster (anti-join against CC labels), keep "
+    "untouched docs. This is the corpus a training run would actually "
+    "read.",
+    tags=("llm", "dedup"),
+)
+def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
 
 
 @register(

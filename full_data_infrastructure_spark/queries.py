@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
     # Imported for their @register side effects.
     from full_data_infrastructure_spark.operators import (  # noqa: F401
         aggregates,
+        curation,
         dedup,
         enrichment,
         generator,
