@@ -1,0 +1,132 @@
+"""Hypertable-style time-bucket rollups (continuous aggregates).
+
+The reference's dashboards recompute aggregates from raw rows on every
+query (Superset SQL over the ``final`` table, ``README.md:141-172``). At
+100 TB of events that is untenable; the standard fix — TimescaleDB calls
+it a continuous aggregate, streaming systems a cube/rollup — is to keep
+*algebraic partial aggregates* per fine time bucket and answer coarser
+windows by merging partials, never rescanning raw events.
+
+Algebraic design: every kept statistic merges associatively —
+``n`` (sum), ``sum_value`` (sum), ``min``/``max`` (min/max). ``avg`` is
+derived at read time as ``sum / n``, never stored (an avg of avgs is
+wrong under uneven buckets). Sums are DECIMAL(18,2) so partial order
+never changes the result — double accumulation would make
+merged-vs-direct differ in the last ulp and across engines.
+
+Scale notes: partials shrink events by the bucket cardinality (≈10^4-10^6
+rows per 10^10) — the merge layer runs on a table that fits in one
+executor's memory. Write partials date-partitioned; late data upserts one
+bucket, not the day's raw partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+PARTIAL_COLS = ("n_events", "sum_value", "min_value", "max_value")
+
+
+def rollup_partials(
+    events: DataFrame,
+    unit: str = "hour",
+    keys: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Algebraic partial aggregates per (time bucket, *keys)."""
+    return events.groupBy(
+        F.date_trunc(unit, ts_col).alias("bucket"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def merge_partials(
+    partials: DataFrame,
+    unit: str = "day",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Re-aggregate fine partials into a coarser bucket. Each statistic
+    merges with its own combiner; no raw-event rescan."""
+    return partials.groupBy(
+        F.date_trunc(unit, "bucket").alias("bucket"), *keys
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def with_avg(df: DataFrame) -> DataFrame:
+    """Derive avg at read time: exact decimal sum over exact count, cast
+    once to double — identical operands on any engine."""
+    return df.withColumn(
+        "avg_value",
+        F.col("sum_value").cast("double") / F.col("n_events"),
+    )
+
+
+@register(
+    "hypertable_rollup_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hourly continuous-aggregate partials over events: count / decimal "
+    "sum / min / max per (hour, event_type) — the stored layer of the "
+    "hypertable rollup.",
+    tags=("rollup", "events"),
+)
+def _rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return rollup_partials(events, unit="hour")
+
+
+@register(
+    "hypertable_rollup_merge",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Daily stats answered by MERGING hourly partials (sum-of-sums, "
+    "min-of-mins, derived avg) — the oracle aggregates raw events "
+    "directly, so a hash match proves the rollup is lossless: "
+    "merge(partials) == direct aggregation.",
+    tags=("rollup", "events"),
+)
+def _rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = rollup_partials(events, unit="hour")
+    daily = with_avg(merge_partials(hourly, unit="day"))
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+        "avg_value",
+    )

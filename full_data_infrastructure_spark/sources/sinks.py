@@ -58,6 +58,31 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: tuple[str, ...],
+    num_buckets: int = 64,
+    fmt: str = "parquet",
+    sort: bool = True,
+) -> None:
+    """Hash-bucketed (and bucket-sorted) managed table — the co-located
+    join layout.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    with NO exchange on either side (and no sort, when sorted): at 100 TB
+    this turns the nightly fact x fact join from a full dual shuffle into
+    a local per-bucket merge. The reference writes everything unbucketed
+    and unpartitioned (``read_delta.py:219-222``), so every downstream
+    join repays the shuffle; bucketing pays it once at write time.
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog).
+    """
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(num_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
 def register_table(
     spark: SparkSession, name: str, path: str, fmt: str | None = None
 ) -> None:
