@@ -148,6 +148,97 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", pred.alias("lang_pred"))
 
 
+# Characteristic character trigrams per language (frequency-profile
+# heuristic, cf. Cavnar & Trenkle n-gram text categorization). Same
+# tie-priority order as LANG_STOPWORDS.
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": [" th", "the", "ing", " an", " of"],
+    "es": [" de", "la ", "ión", " qu", "os "],
+    "fr": [" le", " la", "ent", "que", "aux"],
+    "de": ["der", "ein", "sch", "ich", "und"],
+}
+
+
+def trigram_hits(text: Column, gram: str) -> Column:
+    """Occurrence count of a literal trigram via length difference —
+    pure codegen (no regex engine), identical semantics on any engine."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(gram), F.lit(""))))
+        / 3
+    ).cast("int")
+
+
+def _lang_id_trigram_sql() -> str:
+    scores = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"CAST((length(t) - length(replace(t, '{g}', ''))) / 3 AS INTEGER)"
+            for g in grams
+        )
+        + f") AS score_{lang}"
+        for lang, grams in LANG_TRIGRAMS.items()
+    )
+    langs = list(LANG_TRIGRAMS)
+    when_chain = "CASE\n"
+    for lang in langs:
+        others = [o for o in langs if o != lang]
+        before = langs[: langs.index(lang)]
+        conds = [f"score_{lang} > 0"]
+        conds += [f"score_{lang} >= score_{o}" for o in others]
+        conds += [f"score_{lang} > score_{b}" for b in before]
+        when_chain += f"        WHEN {' AND '.join(conds)} THEN '{lang}'\n"
+    when_chain += "        ELSE 'und' END"
+    return f"""
+    WITH lowered AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+           {scores}
+        FROM lowered
+    )
+    SELECT doc_id, {when_chain} AS lang_pred
+    FROM scored
+    """
+
+
+@register(
+    "lang_id_trigram",
+    _lang_id_trigram_sql(),
+    doc="Language-ID via character-trigram profile counts (Cavnar-Trenkle "
+    "shape): occurrences of each language's characteristic trigrams, "
+    "deterministic argmax, 'und' on no signal. Counting is "
+    "length-after-replace arithmetic — no regex, fully codegen'd; "
+    "complements the stopword-based lang_id.",
+    tags=("llm", "text"),
+)
+def _lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = docs.select("doc_id", F.lower("text").alias("t"))
+    scored = lowered.select(
+        "doc_id",
+        *[
+            sum(
+                (trigram_hits(F.col("t"), g) for g in grams[1:]),
+                trigram_hits(F.col("t"), grams[0]),
+            ).alias(f"score_{lang}")
+            for lang, grams in LANG_TRIGRAMS.items()
+        ],
+    )
+    langs = list(LANG_TRIGRAMS)
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        others = [o for o in langs if o != lang]
+        before = langs[: langs.index(lang)]
+        cond = F.col(f"score_{lang}") > 0
+        for o in others:
+            cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{o}"))
+        for b in before:
+            cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{b}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
 @register(
     "quality_score",
     """

@@ -201,3 +201,26 @@ def test_salted_join_left_outer(spark, sf_dir):
     )
     out = salted_join(orders, few, "o_custkey", n_salts=4, how="left")
     assert out.count() == orders.count()
+
+
+def test_lang_id_trigram_on_real_sentences(spark):
+    import unittest.mock as mock
+
+    import full_data_infrastructure_spark.operators.text as txt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox is jumping over the lazy dog of the farm"),
+            (2, "La casa de la se\u00f1ora tiene una habitaci\u00f3n muy grande"),
+            (3, "le chat dort lentement dans la maison que les souris aiment"),
+            (4, "Der Hund und die Katze sind schnell und einfach sch\u00f6n"),
+            (5, "zzz qqq 123"),
+        ],
+        "doc_id bigint, text string",
+    )
+    with mock.patch.object(txt, "load_table", lambda *_: docs):
+        preds = {
+            r["doc_id"]: r["lang_pred"]
+            for r in txt._lang_id_trigram(spark, "unused").collect()
+        }
+    assert preds == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und"}
