@@ -118,3 +118,91 @@ def start_upsert_sink(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+PARTIAL_SUM_TYPE = "decimal(30,2)"  # fixed width so stored/union schemas agree
+
+
+def start_rollup_sink(
+    events: DataFrame,
+    partials_path: str,
+    checkpoint_path: str,
+    unit: str = "hour",
+    keys: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fmt: str = "parquet",
+    available_now: bool = False,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Streaming continuous aggregate: per micro-batch, compute the batch's
+    time-bucket partials (operators/rollup.py) and fold them into the
+    stored partials table with each statistic's combiner — sum-of-counts,
+    sum-of-sums, min-of-mins, max-of-maxes. Late rows just re-merge their
+    bucket; no watermark state is held, because the stored table IS the
+    state (bounded by bucket cardinality, not event count).
+
+    Additive merges are not idempotent, so replayed micro-batches (the
+    foreachBatch at-least-once caveat) are fenced with a batch-id
+    high-water mark next to the table; a replay of an already-applied
+    batch is a no-op. On Delta, replace the swap-dir write + marker file
+    with a transactional MERGE keyed on (bucket, keys) and txnVersion.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from full_data_infrastructure_spark.operators.rollup import rollup_partials
+
+    marker = f"{partials_path.rstrip('/')}_applied_batch"
+
+    def _stabilize(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "sum_value", F.col("sum_value").cast(PARTIAL_SUM_TYPE)
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch: already applied
+        spark = batch_df.sparkSession
+        batch_partials = _stabilize(
+            rollup_partials(
+                batch_df, unit=unit, keys=keys, ts_col=ts_col, value_col=value_col
+            )
+        )
+        if os.path.exists(partials_path):
+            merged = (
+                spark.read.format(fmt)
+                .load(partials_path)
+                .unionByName(batch_partials)
+                .groupBy("bucket", *keys)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+            merged = _stabilize(merged)
+        else:
+            merged = batch_partials
+        tmp = f"{partials_path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
+        merged.write.format(fmt).mode("overwrite").save(tmp)
+        if os.path.exists(partials_path):
+            shutil.rmtree(partials_path)
+        os.rename(tmp, partials_path)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    writer = events.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

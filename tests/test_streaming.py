@@ -454,3 +454,60 @@ def test_decode_envelope_tolerates_schema_drift(spark):
     out = decode_envelope(raw, "value", after).collect()
     got = {r["id"]: (r["distance"], r["comment"], r["op"]) for r in out}
     assert got == {1: (42.0, "ok", "c"), 2: (7.5, None, "u")}
+
+
+def test_rollup_sink_matches_batch_twin(spark, tmp_path):
+    """Streaming continuous aggregate: two micro-batches of events folded
+    into stored hourly partials must equal one batch rollup over all rows
+    — including a late row that lands in an already-written bucket."""
+    import json as _json
+
+    from full_data_infrastructure_spark.operators.rollup import rollup_partials
+    from full_data_infrastructure_spark.streaming.sinks import (
+        PARTIAL_SUM_TYPE,
+        start_rollup_sink,
+    )
+
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01 10:05:00", "event_type": "click", "value": 1.5},
+        {"event_id": 2, "ts": "2024-01-01 10:40:00", "event_type": "click", "value": 2.5},
+        {"event_id": 3, "ts": "2024-01-01 11:10:00", "event_type": "view", "value": 4.0},
+    ]
+    # batch 2 includes a LATE row for the 10:00 bucket
+    batch2 = [
+        {"event_id": 4, "ts": "2024-01-01 11:30:00", "event_type": "view", "value": 6.0},
+        {"event_id": 5, "ts": "2024-01-01 10:59:00", "event_type": "click", "value": 10.0},
+    ]
+    (stream_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in batch1))
+    (stream_dir / "b2.json").write_text("\n".join(_json.dumps(r) for r in batch2))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(stream_dir))
+    )
+    q = start_rollup_sink(stream, partials, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    all_rows = spark.createDataFrame(
+        [tuple(r.values()) for r in batch1 + batch2],
+        "event_id bigint, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expected = rollup_partials(all_rows, unit="hour").withColumn(
+        "sum_value", F.col("sum_value").cast(PARTIAL_SUM_TYPE)
+    )
+    got = spark.read.parquet(partials)
+    key = lambda r: (r["bucket"], r["event_type"])  # noqa: E731
+    g = {key(r): (r["n_events"], r["sum_value"], r["min_value"], r["max_value"]) for r in got.collect()}
+    e = {key(r): (r["n_events"], r["sum_value"], r["min_value"], r["max_value"]) for r in expected.collect()}
+    assert g == e
+    assert len(g) == 2  # (10h, click) and (11h, view), late row folded in
