@@ -86,6 +86,7 @@ def _ensure_loaded() -> None:
         multimodal,
         quality,
         relational,
+        reshape,
         rollup,
         similarity,
         text,
