@@ -88,6 +88,7 @@ def _ensure_loaded() -> None:
         relational,
         reshape,
         rollup,
+        subqueries,
         similarity,
         text,
         windows,
