@@ -358,3 +358,53 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS quant_scale
+        FROM v
+    )
+    SELECT vec_id, quant_scale,
+           array_to_string(
+               list_transform(e,
+                   x -> CAST(floor(x / quant_scale * 127 + 0.5) AS BIGINT)),
+               ',') AS q_int8
+    FROM m
+    WHERE quant_scale > 0
+    """,
+    doc="Int8 embedding quantization (symmetric absmax): per-vector scale "
+    "= max |x|, values mapped to [-127, 127] — 4x memory cut for the ANN "
+    "corpus, dot products in integer arithmetic. Tie-safe across engines "
+    "via explicit floor(x + 0.5) on identical operand order; emitted as a "
+    "comma-joined string (array outputs don't normalize across engines).",
+    tags=("llm", "vector"),
+)
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # scale materialized through a projection: HOF lambdas get no CSE, so
+    # referencing it inline would recompute the array_max per element
+    scaled = emb.select(
+        "vec_id",
+        "e",
+        F.array_max(F.transform("e", lambda x: F.abs(x))).alias("quant_scale"),
+    ).filter(F.col("quant_scale") > 0)
+    q = F.transform(
+        "e",
+        lambda x: F.floor(x / F.col("quant_scale") * 127 + 0.5).cast("bigint"),
+    )
+    return scaled.select(
+        "vec_id",
+        "quant_scale",
+        F.concat_ws(",", F.transform(q, lambda i: i.cast("string"))).alias(
+            "q_int8"
+        ),
+    )

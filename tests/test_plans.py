@@ -162,3 +162,27 @@ def test_flagship_is_one_lazy_chain(spark, sf_dir, queries):
     assert len(scans) >= 3, plan  # orders+customer+lineitem in one plan
     assert "ExistingRDD" not in plan
     assert "LocalTableScan" not in plan
+
+
+def test_subqueries_plan_as_semi_anti_joins(spark, sf_dir, queries):
+    """EXISTS/IN must compile to (broadcast) semi joins and NOT EXISTS to
+    an anti join — never a per-row re-execution or a cartesian product."""
+    semi = plan_of(queries["exists_subquery"](spark, sf_dir))
+    anti = plan_of(queries["not_exists_subquery"](spark, sf_dir))
+    inq = plan_of(queries["in_subquery"](spark, sf_dir))
+    assert "LeftSemi" in semi, semi
+    assert "LeftAnti" in anti, anti
+    assert "LeftSemi" in inq, inq
+    for p in (semi, anti, inq):
+        assert "CartesianProduct" not in p
+
+
+def test_pivot_prunes_scan_and_avoids_expand(spark, sf_dir, queries):
+    """The explicit-value pivot must prune the events scan to the two
+    referenced columns and not fall back to an Expand-based plan."""
+    plan = plan_of(queries["pivot_event_counts"](spark, sf_dir))
+    assert "Expand" not in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, plan
+    for line in read_schemas:
+        assert "props" not in line and "user_id" not in line, line
