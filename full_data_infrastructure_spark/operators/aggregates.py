@@ -272,3 +272,29 @@ def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("c_acctbal"), 4).alias("median_bal"),
         F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_bal"),
     )
+
+
+GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+"""
+
+
+@register(
+    "grouping_sets_counts",
+    GROUPING_SETS_SQL,
+    doc="Explicit GROUPING SETS with GROUPING() markers — the general form "
+    "rollup/cube specialize; one ANSI string run verbatim by both engines. "
+    "Catalyst plans it as a single Expand + hash aggregate, so all four "
+    "groupings cost one shuffle.",
+    tags=("sql", "aggregate"),
+)
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.sources.parquet import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
