@@ -245,3 +245,83 @@ def _repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("ndist_bigram").cast("double") / (F.col("total") - 1)
         ).alias("dup_bigram_frac"),
     )
+
+
+EVAL_BUCKET_MAX = "0c"  # md5 buckets '00'..'0c' = ~5% of docs act as the eval set
+CONTAM_THRESHOLD = 0.25
+
+
+@register(
+    "decontaminate_overlap",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= 3
+    ),
+    eval_sh AS (
+        SELECT DISTINCT sh FROM sh
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{EVAL_BUCKET_MAX}'
+    ),
+    train_sh AS (
+        SELECT * FROM sh
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) > '{EVAL_BUCKET_MAX}'
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+        FROM train_sh t LEFT JOIN eval_sh e ON t.sh = e.sh
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           CAST(n_shared AS DOUBLE) / n_shingles AS contam_frac,
+           CAST(n_shared AS DOUBLE) / n_shingles >= {CONTAM_THRESHOLD}
+               AS contaminated
+    FROM scored
+    """,
+    doc="Benchmark decontamination: each training doc scored by the "
+    "fraction of its word-3-gram shingles that appear anywhere in the "
+    "held-out eval split (the deterministic ~5% md5 bucket). At 100 TB "
+    "the eval shingle set is tiny and broadcast, so the pass is one "
+    "map-side join over the train shingles — no shuffle of the corpus.",
+    tags=("llm", "curation", "dedup"),
+)
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as _F
+
+    from full_data_infrastructure_spark.operators.dedup import exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs)
+    bucket = hash_bucket(F.col("doc_id"))
+    eval_sh = (
+        sh.filter(bucket <= EVAL_BUCKET_MAX)
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train_sh = sh.filter(bucket > EVAL_BUCKET_MAX)
+    scored = (
+        train_sh.join(_F.broadcast(eval_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_shingles")
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        frac.alias("contam_frac"),
+        (frac >= CONTAM_THRESHOLD).alias("contaminated"),
+    )
