@@ -511,3 +511,17 @@ def test_rollup_sink_matches_batch_twin(spark, tmp_path):
     e = {key(r): (r["n_events"], r["sum_value"], r["min_value"], r["max_value"]) for r in expected.collect()}
     assert g == e
     assert len(g) == 2  # (10h, click) and (11h, view), late row folded in
+
+    # replay fencing: wipe the checkpoint so the SAME files re-deliver with
+    # the same batch ids; the high-water mark must turn both folds into
+    # no-ops (additive merges would otherwise double every count)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = start_rollup_sink(stream, partials, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    replayed = {
+        key(r): (r["n_events"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in spark.read.parquet(partials).collect()
+    }
+    assert replayed == e
