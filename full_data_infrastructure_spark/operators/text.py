@@ -339,3 +339,96 @@ def _rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(shingle_hashes).alias("min_shingle_hash"),
         F.array_max(shingle_hashes).alias("max_shingle_hash"),
     )
+
+
+@register(
+    "vocab_topk",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> length(t) > 0)) AS tok
+        FROM documents
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM toks
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """,
+    doc="Vocabulary induction: corpus-wide token frequencies, top 100 with "
+    "a deterministic tiebreak — the seed list for tokenizer training. "
+    "Explode + hash aggregate (map-side combine) + TakeOrderedAndProject; "
+    "the shuffle carries (token, partial count), never text.",
+    tags=("llm", "text"),
+)
+def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+    )
+
+
+@register(
+    "tfidf_top_token",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> length(t) > 0)) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               tf.tf * ((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, score
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    """,
+    doc="Most-distinctive token per document by rarity-weighted frequency: "
+    "tf * (N+1)/(df+1) — a rational TF-IDF variant (no transcendental "
+    "log, so scores are bit-identical across engines; same ranking "
+    "intent). Two hash aggregates + a broadcast of the tiny doc-frequency "
+    "table + one window. The keyword-extraction pass of a corpus "
+    "profiler.",
+    tags=("llm", "text"),
+)
+def _tfidf_top_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tok.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        (F.col("tf") * ((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tok", "tf", "df", "score")
+    )
