@@ -208,3 +208,61 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH clicks AS (
+        SELECT user_id, MIN(ts) AS first_click
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id
+    ),
+    conv AS (
+        SELECT c.user_id, c.first_click, MIN(p.ts) AS first_purchase
+        FROM clicks c
+        LEFT JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.first_click
+         AND p.ts <= c.first_click + INTERVAL 1 HOUR
+        GROUP BY c.user_id, c.first_click
+    )
+    SELECT user_id, first_click, first_purchase,
+           first_purchase IS NOT NULL AS converted
+    FROM conv
+    """,
+    doc="Two-step funnel: per user, first click and the earliest purchase "
+    "within the following hour (behavioral-analytics conversion). The "
+    "range join keys on user_id (equality) so it shuffles once and "
+    "applies the time bounds as a join filter — no time-bucket explosion "
+    "needed at this window size; for wide windows switch to the bucketed "
+    "range-join pattern in joins.py::_range_join.",
+    tags=("extension", "window", "events"),
+)
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("first_click"))
+        & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    conv = joined.groupBy("user_id", "first_click").agg(
+        F.min("p_ts").alias("first_purchase")
+    )
+    return conv.select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("converted"),
+    )
