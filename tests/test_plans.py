@@ -186,3 +186,29 @@ def test_pivot_prunes_scan_and_avoids_expand(spark, sf_dir, queries):
     assert read_schemas, plan
     for line in read_schemas:
         assert "props" not in line and "user_id" not in line, line
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """The scale fix for the reference's unpartitioned writes: a
+    date-partitioned table read with a date predicate must show partition
+    filters at the scan (only matching directories are listed/read)."""
+    from pyspark.sql import functions as F
+
+    from full_data_infrastructure_spark.sources.parquet import load_table
+    from full_data_infrastructure_spark.sources.sinks import write_overwrite
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_overwrite(events, path, fmt="parquet", partition_by=("day",))
+
+    one_day = events.select("day").distinct().orderBy("day").first()["day"]
+    read = spark.read.parquet(path).filter(F.col("day") == one_day)
+    plan = plan_of(read)
+    part_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_filters, plan
+    assert any("day" in l and "isnotnull" in l.lower() or one_day in l for l in part_filters), plan
+    # and the filtered read returns exactly that day's rows
+    expected = events.filter(F.col("day") == one_day).count()
+    assert read.count() == expected

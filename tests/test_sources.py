@@ -155,3 +155,18 @@ def test_schema_registry_matches_testdata(spark, sf_dir):
         # loader output must be stable: re-loading gives the identical schema
         again = load_table(spark, sf_dir, name)
         assert df.schema == again.schema, name
+
+
+def test_jsonl_source_roundtrip(spark, sf_dir, tmp_path):
+    """load_table's fmt seam covers line-delimited JSON sources (the other
+    common corpus interchange format besides parquet)."""
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "documents.jsonl.parquet")  # table_path suffix
+    docs.write.mode("overwrite").json(path)
+    back = load_table(spark, str(tmp_path), "documents.jsonl", fmt="json")
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    b = {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()}
+    assert a == b
