@@ -266,3 +266,44 @@ def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_purchase",
         F.col("first_purchase").isNotNull().alias("converted"),
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER)
+               AS week_offset,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: users grouped by first-activity week, "
+    "counted in each later week they were active — the retention-matrix "
+    "feed. Week offsets are exact day-multiples of 7 (both operands are "
+    "week-truncated), so integer division is engine-exact. Two "
+    "aggregates plus a join on user_id; the distinct-activity table is "
+    "bounded by users x weeks, far smaller than events.",
+    tags=("extension", "window", "events"),
+)
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = events.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = events.select("user_id", wk.alias("active_week")).distinct()
+    joined = firsts.join(activity, "user_id")
+    offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return joined.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        offset.alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
