@@ -325,3 +325,42 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("contam_frac"),
         (frac >= CONTAM_THRESHOLD).alias("contaminated"),
     )
+
+
+@register(
+    "proportional_sample",
+    """
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    WHERE rn <= CEIL(0.1 * n)
+    """,
+    doc="Proportional stratified sample: ~10% of each source, allocation "
+    "computed from the stratum size (complements the fixed-count "
+    "stratified_sample). Deterministic md5 ordering; the ceil keeps "
+    "small strata represented. One window shuffle keyed on the stratum.",
+    tags=("llm", "curation", "sampling"),
+)
+def _proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    wn = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.1 * F.col("n")))
+        .select("doc_id", "source")
+    )
