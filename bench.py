@@ -7,6 +7,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized via a count-style action (the result rows
 are collected to a noop aggregate so the measurement includes the complete
 plan, not just the first stage).
+
+Caveat for comparing runs: on a shared host these totals vary up to ~2x
+run-to-run (host contention; heavy-expression queries also pay one-time
+Janino codegen on first execution). Treat cross-run deltas under 2x as
+noise; plan-shape regressions are caught by tests/test_plans.py instead.
 """
 
 from __future__ import annotations
