@@ -151,7 +151,7 @@ def _count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # HLL sketches are engine-specific; rows-only check (recall tested in pytest)
     doc="approx_count_distinct — the 100 TB path for distinct counts (O(1) "
     "state per group vs a full shuffle). No DuckDB oracle: HLL estimates "
-    "differ per engine; tests/test_aggregates.py bounds the error vs exact.",
+    "differ per engine; tests/test_operators.py bounds the error vs exact.",
     tags=("extension", "aggregate", "approx"),
 )
 def _approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

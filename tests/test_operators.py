@@ -224,3 +224,21 @@ def test_lang_id_trigram_on_real_sentences(spark):
             for r in txt._lang_id_trigram(spark, "unused").collect()
         }
     assert preds == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und"}
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """The HLL estimate (rsd=0.01) must land within 5% of the exact
+    distinct count per group — the bound that justifies using it as the
+    100 TB path."""
+    from pyspark.sql import functions as F
+
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    both = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    for r in both.collect():
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
+        assert rel_err < 0.05, (r["l_returnflag"], r["approx_parts"], r["exact_parts"])
