@@ -18,7 +18,7 @@ Scale design
   equal bands ... pigeonhole on 4 bands), verified with bit_count(xor).
 * All hash-sketch outputs are rows-only checked (engine-specific hash
   functions have no DuckDB twin); recall vs the exact baseline is asserted
-  in tests/test_dedup.py.
+  in tests/test_operators.py.
 """
 
 from __future__ import annotations
@@ -442,7 +442,7 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # xxhash64 sketches are engine-specific; recall asserted in tests
     doc="MinHash(k=32) + LSH(8 bands x 4 rows) candidates, exact-Jaccard "
     "verified — the O(n) 100 TB dedup path. Rows-only check; "
-    "tests/test_dedup.py asserts recall vs dedup_ngram_jaccard.",
+    "tests/test_operators.py asserts recall vs dedup_ngram_jaccard.",
     tags=("llm", "dedup", "approx"),
     bench=True,
 )
