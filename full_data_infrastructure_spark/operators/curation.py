@@ -277,7 +277,11 @@ CONTAM_THRESHOLD = 0.25
     scored AS (
         SELECT t.doc_id,
                COUNT(*) AS n_shingles,
-               SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+               -- CAST: DuckDB SUM(int) is HUGEINT, which pandas widens to
+               -- float64 and the driver's value hash then mismatches
+               -- Spark's int64. BIGINT keeps both sides integer-typed.
+               CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared
         FROM train_sh t LEFT JOIN eval_sh e ON t.sh = e.sh
         GROUP BY t.doc_id
     )

@@ -176,10 +176,14 @@ def _lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                               AND CURRENT ROW) AS session_seq
+               -- CAST: DuckDB windowed SUM(int) is HUGEINT -> pandas
+               -- float64, which breaks the driver's value hash vs Spark's
+               -- int64 session_seq. BIGINT keeps both sides integer-typed.
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events

@@ -32,6 +32,25 @@ def test_oracle_parity(spark, sf_dir, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_emits_no_hugeint(duck, name):
+    """DuckDB returns SUM(INTEGER) as HUGEINT, which pandas widens to
+    float64 while Spark emits int64 — the driver's exact value hash then
+    diverges on representation even when every value matches (the round-1
+    ``decontaminate_overlap`` failure). This class of bug is invisible to
+    the float-tolerant comparison above, so probe every oracle's declared
+    output types (planning only, no execution) and demand a BIGINT cast.
+    """
+    q = registry.REGISTRY[name]
+    rel = duck.sql(q.oracle)
+    bad = [
+        f"{c}: {t}"
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+    ]
+    assert not bad, f"{name}: oracle emits {bad} — CAST(... AS BIGINT) in the SQL"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_executes(spark, sf_dir, name):
     q = registry.REGISTRY[name]
