@@ -1,0 +1,61 @@
+"""Guard the driver-attestation window.
+
+The external verify driver hash-checks exactly the FIRST 50 registered
+queries in insertion order, so the registry's explicit DRIVER_WINDOW must
+stay exactly 50 names, lead with the flagship queries, and keep at least
+one representative of every operator family inside the window — otherwise
+a family silently loses its correctness attestation.
+"""
+
+from full_data_infrastructure_spark import queries as registry
+
+registry._ensure_loaded()
+
+DRIVER_CAP = 50
+
+
+def test_window_is_exactly_the_driver_cap():
+    assert len(registry.DRIVER_WINDOW) == DRIVER_CAP
+    assert len(set(registry.DRIVER_WINDOW)) == DRIVER_CAP
+
+
+def test_registry_iterates_window_first():
+    names = list(registry.REGISTRY)
+    assert tuple(names[:DRIVER_CAP]) == registry.DRIVER_WINDOW
+    # Nothing dropped: the rest of the registry follows the window.
+    assert len(names) == len(set(names))
+    assert set(names[DRIVER_CAP:]) == set(registry.REGISTRY) - set(
+        registry.DRIVER_WINDOW
+    )
+
+
+def test_flagship_queries_lead_the_window():
+    assert registry.DRIVER_WINDOW[0] == "flagship_benefits"
+    assert registry.DRIVER_WINDOW[1] == "bu_salary_dashboard"
+
+
+def test_every_family_tag_has_a_window_representative():
+    window = set(registry.DRIVER_WINDOW)
+    tags_in_window: set[str] = set()
+    all_tags: set[str] = set()
+    for name, q in registry.REGISTRY.items():
+        all_tags.update(q.tags)
+        if name in window:
+            tags_in_window.update(q.tags)
+    missing = all_tags - tags_in_window
+    assert not missing, f"families with no driver-attested representative: {missing}"
+
+
+def test_window_queries_are_oracle_checked_where_possible():
+    """Inside the window, only the by-design rows-only queries may lack an
+    oracle (approximate sketches whose output is engine-specific)."""
+    rows_only_by_design = {
+        "dedup_minhash_lsh",
+        "knn_lsh",
+        "knn_ivf",
+        "rolling_hash_fingerprint",
+    }
+    for name in registry.DRIVER_WINDOW:
+        q = registry.REGISTRY[name]
+        if q.oracle is None:
+            assert name in rows_only_by_design, f"{name} lost its oracle"
