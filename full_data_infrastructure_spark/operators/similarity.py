@@ -299,12 +299,21 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Deterministic coarse quantizer: stride-sample N_CELLS corpus vectors
     # as centroids (at 100 TB: k-means|| offline; stride keeps CI stable).
-    n = emb.count()
-    stride = max(n // N_CELLS, 1)
+    # The stride is derived from a broadcast 1-row aggregate so the builder
+    # stays a single lazy plan — no eager .count() job before execution.
+    corpus_n = emb.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / N_CELLS), F.lit(1).cast("bigint")
+        ).alias("stride")
+    )
     centroids = (
-        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < N_CELLS))
+        emb.crossJoin(F.broadcast(corpus_n))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") / F.col("stride") < N_CELLS)
+        )
         .select(
-            (F.col("vec_id") / stride).cast("int").alias("cell_id"),
+            (F.col("vec_id") / F.col("stride")).cast("int").alias("cell_id"),
             F.col("e").alias("c_e"),
             F.col("nrm").alias("c_nrm"),
         )

@@ -416,15 +416,23 @@ def _tfidf_top_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = tok.select("doc_id").distinct().count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        "tf",
-        "df",
-        (F.col("tf") * ((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))).alias(
-            "score"
-        ),
+    # Corpus size stays inside the lazy plan as a broadcast 1-row aggregate
+    # (mirrors the oracle's CROSS JOIN n): an eager .count() here would run
+    # a full extra corpus scan before the returned plan even executes.
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * ((F.col("n_docs").cast("double") + 1.0) / (F.col("df") + 1.0))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
     return (

@@ -212,3 +212,39 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     # and the filtered read returns exactly that day's rows
     expected = events.filter(F.col("day") == one_day).count()
     assert read.count() == expected
+
+
+def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
+    """Query builders must return ONE lazy plan: no builder may run a
+    data-touching Spark job (an eager .count()/.collect()/.first()) before
+    the returned DataFrame is acted on — at 100 TB a hidden action is a
+    full extra corpus pass. Two exceptions, both inherent:
+
+    * every ``spark.read.parquet`` fires a 1-task ``load at …`` job that
+      reads only file footers for schema inference — allowed;
+    * genuinely iterative builders (connected components) must materialize
+      each iteration via ``localCheckpoint`` — exempted by name.
+    """
+    iterative_by_design = {"dedup_cluster_cc", "dedup_survivors"}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    eager = {}
+    for name, build in queries.items():
+        if name in iterative_by_design:
+            continue
+        group = f"builder-probe-{name}"
+        sc.setJobGroup(group, "no-data-jobs-during-build assertion")
+        try:
+            build(spark, sf_dir)
+        finally:
+            sc.setJobGroup(None, None)
+        bad_stages = []
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            for sid in info.stageIds if info else ():
+                stage = tracker.getStageInfo(sid)
+                if stage and not stage.name.startswith("load at"):
+                    bad_stages.append(stage.name)
+        if bad_stages:
+            eager[name] = bad_stages
+    assert not eager, f"builders ran data jobs before execution: {eager}"
