@@ -6,9 +6,10 @@ microseconds-since-epoch timestamps with ``from_unixtime(x/1000000)``
 (``:143``). Here the decode is a single ``from_json`` against the full
 envelope StructType (one parse instead of seven), ``timestamp_micros`` for
 the epoch conversion, and explicit ``op`` handling — including the delete
-tombstones (``after IS NULL``) the reference silently drops at
-``SaveDelta.scala:149``; we drop them *explicitly* (or route them to a
-deletes stream for CDC-merge sinks).
+events (``after IS NULL``, row image in ``before``) the reference silently
+drops at ``SaveDelta.scala:149``; here they are dropped *explicitly* by
+default, and decoded from the ``before`` image when ``'d'`` is kept (the
+full-upsert/delete path of ``apply_cdc_batch``).
 
 Used by both the batch registered query below and the streaming CDC pipeline
 (streaming/cdc.py).
@@ -47,23 +48,29 @@ def decode_envelope(
     after_schema: T.StructType,
     keep_ops: tuple[str, ...] = ("c", "r", "u"),
 ) -> DataFrame:
-    """P1-P3/F1: parse the envelope once, keep upsert ops, drop tombstones.
+    """P1-P3/F1: parse the envelope once, keep ``keep_ops``, flatten the image.
 
-    Returns the flattened ``after`` image plus ``op`` and ``ts_ms``.
+    Upsert ops (``c``/``r``/``u``) carry their row image in ``after``;
+    delete events carry it in ``before`` (Debezium emits ``after=null`` on
+    deletes), so when ``'d'`` is kept the ``before`` image is projected —
+    otherwise deletes could never reach ``apply_cdc_batch`` regardless of
+    ``keep_ops``. Returns the flattened image plus ``op`` and ``ts_ms``.
     Malformed JSON yields NULL payloads and is filtered like the
     reference's isNotNull guard (SaveDelta.scala:149).
     """
     parsed = df.withColumn(
         "_env", F.from_json(F.col(value_col).cast("string"), envelope_schema(after_schema))
     )
+    op = F.col("_env.payload.op")
+    image = F.when(op == "d", F.col("_env.payload.before")).otherwise(
+        F.col("_env.payload.after")
+    )
     return (
-        parsed.filter(
-            F.col("_env.payload.op").isin(*keep_ops)
-            & F.col("_env.payload.after").isNotNull()
-        )
+        parsed.withColumn("_img", image)
+        .filter(op.isin(*keep_ops) & F.col("_img").isNotNull())
         .select(
-            F.col("_env.payload.after.*"),
-            F.col("_env.payload.op").alias("op"),
+            F.col("_img.*"),
+            op.alias("op"),
             F.col("_env.payload.ts_ms").alias("ts_ms"),
         )
     )
@@ -104,19 +111,18 @@ def build_envelopes(events: DataFrame) -> DataFrame:
         .when(F.col("event_type") == "error", "d")
         .otherwise("r")
     )
-    after = F.when(
-        op != "d",
-        F.struct(
-            F.col("event_id").alias("id"),
-            F.col("user_id").alias("user_id"),
-            F.col("event_type").alias("event_type"),
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-            F.col("value").alias("value"),
-        ),
+    image = F.struct(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").alias("value"),
     )
+    # Debezium contract: deletes put the row image in `before` with
+    # after=null; upserts put it in `after`.
     payload = F.struct(
-        F.lit(None).cast(_EVENT_AFTER_SCHEMA).alias("before"),
-        after.alias("after"),
+        F.when(op == "d", image).alias("before"),
+        F.when(op != "d", image).alias("after"),
         op.alias("op"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
     )

@@ -456,6 +456,46 @@ def test_decode_envelope_tolerates_schema_drift(spark):
     assert got == {1: (42.0, "ok", "c"), 2: (7.5, None, "u")}
 
 
+def test_decode_envelope_delete_path_reaches_apply_cdc(spark):
+    """Debezium deletes carry their row image in ``before`` (after=null).
+    With keep_ops including 'd' the decoder must surface them — keyed from
+    the before image — so apply_cdc_batch can actually remove rows; the
+    documented full c/r/u/d upsert sink is otherwise a silent no-op for
+    deletes."""
+    from pyspark.sql import types as T
+
+    from full_data_infrastructure_spark.functions.debezium import decode_envelope
+    from full_data_infrastructure_spark.streaming.cdc import apply_cdc_batch
+
+    after = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    rows = [
+        ('{"payload":{"after":{"id":1,"name":"new"},"op":"c","ts_ms":10}}',),
+        ('{"payload":{"before":{"id":2,"name":"old"},"after":null,"op":"d","ts_ms":11}}',),
+        ('{"payload":{"before":null,"after":null,"op":"d","ts_ms":12}}',),  # keyless
+        ("garbage",),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+
+    # Default keep_ops still drops deletes explicitly.
+    assert {r["op"] for r in decode_envelope(raw, "value", after).collect()} == {"c"}
+
+    decoded = decode_envelope(raw, "value", after, keep_ops=("c", "r", "u", "d"))
+    got = {r["id"]: r["op"] for r in decoded.collect()}
+    assert got == {1: "c", 2: "d"}  # delete keyed from `before`; keyless dropped
+
+    snapshot = spark.createDataFrame([(2, "old"), (3, "keep")], ["id", "name"])
+    applied = apply_cdc_batch(snapshot, decoded, key="id")
+    assert {(r["id"], r["name"]) for r in applied.collect()} == {
+        (1, "new"),
+        (3, "keep"),
+    }
+
+
 def test_rollup_sink_matches_batch_twin(spark, tmp_path):
     """Streaming continuous aggregate: two micro-batches of events folded
     into stored hourly partials must equal one batch rollup over all rows
