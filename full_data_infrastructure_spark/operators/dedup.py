@@ -331,6 +331,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting the bound without a fixpoint means some component's
+        # diameter exceeds max_iterations and its labels are WRONG (they
+        # would silently diverge from the transitive-closure oracle).
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — component diameter exceeds the bound; raise "
+            "max_iterations (or switch to the large-star/small-star variant)"
+        )
     sym.unpersist()
     return labels
 

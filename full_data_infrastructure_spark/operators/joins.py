@@ -54,17 +54,22 @@ def asof_join(
         .orderBy(ts, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_value_cols
-        ],
+    # Carry ONE last(ignorenulls) over a struct of ALL right value columns:
+    # per-column carries would let a NULL in one column of the matched right
+    # row fall back to an older right row for that column only, mixing
+    # columns from different right matches in one output row. The struct is
+    # NULL on left rows (a struct of NULLs is itself non-null, so it must be
+    # built conditionally) and non-null exactly on right rows.
+    r_img = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(c) for c in right_value_cols])
+    )
+    carried = unioned.withColumn("_r_img", r_img).select(
+        "*", F.last("_r_img", ignorenulls=True).over(w).alias("_asof")
     )
     out = carried.filter(F.col("_side") == 1)
     for c in right_value_cols:
-        out = out.drop(c).withColumnRenamed(f"_asof_{c}", c)
-    return out.drop("_side")
+        out = out.drop(c).withColumn(c, F.col(f"_asof.{c}"))
+    return out.drop("_side", "_r_img", "_asof")
 
 
 @register(

@@ -144,9 +144,16 @@ def start_rollup_sink(
 
     Additive merges are not idempotent, so replayed micro-batches (the
     foreachBatch at-least-once caveat) are fenced with a batch-id
-    high-water mark next to the table; a replay of an already-applied
-    batch is a no-op. On Delta, replace the swap-dir write + marker file
-    with a transactional MERGE keyed on (bucket, keys) and txnVersion.
+    high-water mark stored INSIDE the table directory: the marker is
+    written into the swap dir before the rename, so data and fence commit
+    atomically via the same rename (a marker beside the table could lag a
+    crash between rename and marker-write, double-applying the batch), and
+    deleting the table deletes the fence with it. If the checkpoint is
+    recreated (batch ids restart at 0), delete the partials table too —
+    the fence would otherwise skip genuinely new batches. Spark ignores
+    ``_``-prefixed files, so the marker never pollutes reads. On Delta,
+    replace all of this with a transactional MERGE keyed on
+    (bucket, keys) and txnVersion.
     """
     import os
     import shutil
@@ -156,7 +163,7 @@ def start_rollup_sink(
 
     from full_data_infrastructure_spark.operators.rollup import rollup_partials
 
-    marker = f"{partials_path.rstrip('/')}_applied_batch"
+    marker_name = "_applied_batch"
 
     def _stabilize(df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -164,6 +171,7 @@ def start_rollup_sink(
         )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(partials_path, marker_name)
         if os.path.exists(marker):
             with open(marker) as fh:
                 if batch_id <= int(fh.read().strip()):
@@ -192,11 +200,13 @@ def start_rollup_sink(
             merged = batch_partials
         tmp = f"{partials_path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
         merged.write.format(fmt).mode("overwrite").save(tmp)
+        # Fence written into the swap dir BEFORE the rename: data + marker
+        # become visible in one atomic directory swap.
+        with open(os.path.join(tmp, marker_name), "w") as fh:
+            fh.write(str(batch_id))
         if os.path.exists(partials_path):
             shutil.rmtree(partials_path)
         os.rename(tmp, partials_path)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
 
     writer = events.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_path

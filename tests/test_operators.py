@@ -159,7 +159,7 @@ def test_knn_bruteforce_is_symmetric_sane(spark, sf_dir):
 
 
 def test_knn_ivf_recall(spark, sf_dir):
-    """IVF probes 4/16 cells; top-1 neighbors should largely survive."""
+    """IVF probes 6/16 cells; top-1 neighbors should largely survive."""
     from full_data_infrastructure_spark.queries import REGISTRY
 
     exact = REGISTRY["knn_bruteforce"].build(spark, sf_dir).collect()

@@ -58,6 +58,23 @@ def test_asof_join_matches_naive(spark, left, right):
         assert got.get(i) == want, (i, k, t, cands, got)
 
 
+def test_asof_join_null_value_does_not_mix_right_rows(spark):
+    """All right value columns must come from the SAME matched right row:
+    a NULL in one column of the latest match must surface as NULL, not
+    fall back to an older right row's value for that column only."""
+    ldf = spark.createDataFrame([(1, 10, 0)], "k bigint, ts bigint, row_id bigint")
+    rdf = spark.createDataFrame(
+        [(1, 1, 100, "old"), (1, 5, None, "new")],
+        "k bigint, ts bigint, v bigint, tag string",
+    )
+    out = asof_join(ldf, rdf, on="k", ts="ts", right_value_cols=["v", "tag"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    # Latest match at ts=5 carries (v=NULL, tag='new'); a per-column carry
+    # would wrongly emit (v=100, tag='new') — columns from two right rows.
+    assert (row["v"], row["tag"]) == (None, "new"), row
+
+
 @given(
     facts=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=10),
     dims=st.lists(keys, min_size=0, max_size=4, unique=True),
