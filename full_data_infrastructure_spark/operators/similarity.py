@@ -6,12 +6,14 @@
   TakeOrdered-style window ranking. Correctness baseline and the right
   answer whenever |queries| is small.
 * ``knn_lsh`` — random-hyperplane LSH: 32 deterministic hyperplanes give a
-  32-bit bucket signature banded into 8 x 4 bits; neighbors are searched
-  within matching buckets. O(n) sketch + bucket-local search — the scale
-  path. Recall vs brute force asserted in tests/test_operators.py
-  (recall@5 = 0.60 on the WORST case: near-uniform synthetic embeddings;
-  real clustered corpora collide within clusters, raising recall while
-  the candidate fraction falls with corpus size).
+  32-bit bucket signature banded into 8 x 4 bits; queries multi-probe each
+  band's four 1-bit flips and candidates must share >=2 probed bands, then
+  exact cosine ranks within candidates. O(n) sketch + bucket-local search
+  — the scale path. Recall vs brute force asserted in
+  tests/test_operators.py (recall@5 = 0.86 at sf0.1 on the WORST case:
+  near-uniform synthetic embeddings; real clustered corpora collide
+  within clusters, raising recall while the candidate fraction falls
+  with corpus size).
 * ``vector_norms`` — norm/normalize surface (JVM higher-order functions).
 
 Determinism: hyperplanes come from a fixed LCG (no RNG), so signatures are
@@ -147,10 +149,14 @@ def _knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_lsh",
     None,  # approximate — recall vs knn_bruteforce asserted in tests
-    doc="LSH-bucketed ANN: 32 deterministic hyperplanes -> 32-bit signature; "
-    "candidates share one 4-bit band of 8, ranked by exact cosine within "
-    "candidates. O(n) sketch, bucket-local search — the scale path. "
-    "Rows-only check; recall@5=0.60 vs brute force at sf0.1.",
+    doc="LSH-bucketed ANN: 32 deterministic hyperplanes -> 32-bit signature "
+    "banded 8 x 4 bits; queries multi-probe each band's 1-bit flips and "
+    "candidates must share >=2 probed bands, ranked by exact cosine. "
+    "O(n) sketch, bucket-local search — the scale path. Rows-only check; "
+    "recall@5 vs brute force 0.86 at sf0.1 (was 0.60 pre-multi-probe) at "
+    "0.61 candidate fraction on near-uniform synthetic embeddings — the "
+    "adversarial case for LSH; clustered real corpora cut the fraction "
+    "while holding recall.",
     tags=("llm", "similarity", "vector", "approx"),
 )
 def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,16 +186,36 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select("vec_id", F.explode(bands).alias("b")).select(
         "vec_id", "b.band_idx", "b.band_val"
     )
-    q_bands = banded.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "band_idx", "band_val"
+    # Multi-probe on the QUERY side only: each query band also probes its
+    # four 1-bit-flip variants, admitting corpus vectors whose band differs
+    # by one plane's vote. The corpus sketch/banding pass is untouched; the
+    # probe table stays tiny (|queries| x bands x 5), so the extra recall
+    # is nearly free at any corpus size.
+    probe_vals = F.array(
+        F.col("band_val"),
+        *[F.col("band_val").bitwiseXOR(F.lit(1 << b)) for b in range(4)],
     )
-    # candidate-id pairs deduped BEFORE vectors are attached — the distinct
-    # shuffles (query_id, neighbor_id) pairs, never 64-dim arrays
+    q_bands = (
+        banded.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "band_idx",
+            F.explode(probe_vals).alias("band_val"),
+        )
+    )
+    # Candidate-id pairs aggregated BEFORE vectors are attached — the
+    # groupBy shuffles (query_id, neighbor_id) pairs, never 64-dim arrays.
+    # Requiring >=2 probed-band matches is the precision dial that offsets
+    # multi-probe's recall boost: measured at sf0.1, >=1 band gives
+    # recall 0.97 at 0.78 candidate fraction, >=2 gives 0.86 at 0.61,
+    # >=3 gives 0.75 at 0.47 (near-uniform embeddings, LSH's worst case).
     cand = (
         banded.join(q_bands, ["band_idx", "band_val"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .filter(F.col("_nb") >= 2)
+        .select("query_id", "neighbor_id")
     )
     vec = sigs.select("vec_id", "e", "nrm")
     scored = (

@@ -78,8 +78,11 @@ def test_knn_lsh_recall(spark, sf_dir):
     truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
     approx = {(r["query_id"], r["neighbor_id"]) for r in lsh}
     recall = len(truth & approx) / len(truth)
-    # random 64-d vectors are a worst case for 16-plane LSH; still demand signal
-    assert recall >= 0.35, f"knn_lsh recall {recall:.2f}"
+    # Deterministic (LCG hyperplanes): measured 0.78 / 0.84 / 0.86 at
+    # sf0.001 / 0.01 / 0.1 with query-side multi-probe + >=2-band filter.
+    # Random 64-d vectors are LSH's worst case; 0.70 is the floor with
+    # margin across every SF this suite runs at.
+    assert recall >= 0.70, f"knn_lsh recall {recall:.2f}"
     assert all(q < 20 for q, _ in approx)
 
 
