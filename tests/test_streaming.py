@@ -390,6 +390,61 @@ def test_upsert_sink_end_to_end(spark, tmp_path):
     assert got2 == {1: 10, 2: 21, 4: 40}
 
 
+def test_upsert_sink_delta_merge(spark, tmp_path):
+    """With delta-spark installed, the upsert sink runs one transactional
+    DeltaTable.merge per batch (matched delete / matched update / unmatched
+    insert) instead of the parquet directory swap. Skipped where
+    delta-spark is not importable (this container); the session must also
+    carry the Delta SQL extension (session.py wires it when available)."""
+    import json as _json
+
+    pytest.importorskip("delta")
+
+    from full_data_infrastructure_spark.streaming.sinks import start_upsert_sink
+
+    stream_dir = tmp_path / "changes"
+    stream_dir.mkdir()
+    snapshot = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id bigint, v bigint, op string, ts_ms bigint")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(stream_dir))
+        )
+        q = start_upsert_sink(
+            stream, snapshot, ckpt, key="id", fmt="delta", available_now=True
+        )
+        q.awaitTermination(120)
+
+    (stream_dir / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"id": 1, "v": 10, "op": "c", "ts_ms": 100},
+                {"id": 2, "v": 20, "op": "c", "ts_ms": 100},
+            ]
+        )
+    )
+    run_once()
+    (stream_dir / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"id": 1, "v": None, "op": "d", "ts_ms": 200},
+                {"id": 2, "v": 21, "op": "u", "ts_ms": 200},
+                {"id": 3, "v": 30, "op": "c", "ts_ms": 200},
+            ]
+        )
+    )
+    run_once()
+    got = {
+        r["id"]: r["v"] for r in spark.read.format("delta").load(snapshot).collect()
+    }
+    assert got == {2: 21, 3: 30}
+
+
 def test_sliding_counts_match_batch(spark, sf_dir, tmp_path):
     from full_data_infrastructure_spark.streaming.windows import sliding_counts
 
