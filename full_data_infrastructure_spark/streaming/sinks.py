@@ -41,21 +41,33 @@ def start_notification_sink(
     required_cols: tuple[str, ...] = (),
     available_now: bool = False,
     trigger_seconds: int | None = None,
+    on_executors: bool = True,
 ) -> StreamingQuery:
-    """S12: filter rows worth notifying, then deliver per row via
-    foreachBatch. Delivery happens on the driver in small batches — at
-    scale the per-batch row count stays tiny because of the comment filter
-    (the reference's ~29% comment rate), and the webhook is the bottleneck
-    anyway; keep heavy fan-out OUT of foreachBatch."""
+    """S12: filter rows worth notifying, then deliver per row.
+
+    Default delivery is ``foreachPartition`` on the EXECUTORS: the notifier
+    is shipped to the workers (it must be picklable and hold no
+    driver-only state) and rows never transit the driver — at any scale
+    the driver stays out of the data path and webhook POSTs parallelize
+    per partition. ``on_executors=False`` falls back to a driver-side
+    collect for notifiers that close over driver state (test collectors,
+    driver-held connections); that is only safe because the filtered
+    notification stream is tiny by construction (the reference's ~29%
+    comment rate) — never use it on the raw stream."""
     filtered = decoded.filter(F.col(comment_col).isNotNull())
     for c in required_cols:
         filtered = filtered.filter(F.col(c).isNotNull())
 
     def deliver(batch_df: DataFrame, batch_id: int) -> None:
-        # collect() is safe: the filtered notification stream is tiny by
-        # construction; never do this with the raw stream.
-        for row in batch_df.collect():
-            notify(row.asDict())
+        if on_executors:
+            def send(rows) -> None:
+                for row in rows:
+                    notify(row.asDict())
+
+            batch_df.foreachPartition(send)
+        else:
+            for row in batch_df.collect():
+                notify(row.asDict())
 
     writer = filtered.writeStream.foreachBatch(deliver).option(
         "checkpointLocation", checkpoint_path

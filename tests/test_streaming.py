@@ -91,7 +91,12 @@ def test_notification_sink_filters_and_delivers(spark, sf_dir, topic_dir, tmp_pa
     )
     received: list[dict] = []
     q = start_notification_sink(
-        decoded, received.append, ckpt, comment_col="comment", available_now=True
+        decoded,
+        received.append,
+        ckpt,
+        comment_col="comment",
+        available_now=True,
+        on_executors=False,  # collector closes over driver state
     )
     q.awaitTermination(120)
 
@@ -101,6 +106,42 @@ def test_notification_sink_filters_and_delivers(spark, sf_dir, topic_dir, tmp_pa
     ).count()
     assert len(received) == expected
     assert all(r["comment"].startswith("high value") for r in received)
+
+
+def test_notification_sink_delivers_from_executors(spark, sf_dir, topic_dir, tmp_path):
+    """Default delivery runs foreachPartition on the executors — the
+    driver never collects the batch. The notifier is pickled to workers,
+    so it records deliveries through the filesystem (one file per row),
+    not through driver memory."""
+    import uuid as _uuid
+
+    ckpt = str(tmp_path / "ckpt_exec")
+    outbox = tmp_path / "outbox"
+    outbox.mkdir()
+    outbox_path = str(outbox)
+
+    def file_notify(payload: dict) -> None:
+        fname = f"{payload['id']}_{_uuid.uuid4().hex[:8]}.txt"
+        with open(f"{outbox_path}/{fname}", "w") as fh:
+            fh.write(payload["comment"])
+
+    raw = file_cdc_source(spark, topic_dir)
+    decoded = decode_cdc_stream(raw, _EVENT_AFTER_SCHEMA).withColumn(
+        "comment",
+        F.when(F.col("value") > 90, F.format_string("high value %.0f", "value")),
+    )
+    q = start_notification_sink(
+        decoded, file_notify, ckpt, comment_col="comment", available_now=True
+    )
+    q.awaitTermination(120)
+
+    events = load_table(spark, sf_dir, "events")
+    expected = events.filter(
+        (F.col("event_type") != "error") & (F.col("value") > 90)
+    ).count()
+    delivered = list(outbox.iterdir())
+    assert len(delivered) == expected
+    assert all(p.read_text().startswith("high value") for p in delivered[:10])
 
 
 def test_tumbling_counts_match_batch(spark, sf_dir, tmp_path):
