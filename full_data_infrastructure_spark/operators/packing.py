@@ -1,0 +1,252 @@
+"""Training-batch assembly — sequence packing, mixture sampling, C4 filters.
+
+The reference stops at ingest/report (its pipeline ends in Superset
+dashboards); an LLM-data user needs the last mile from a curated corpus to
+training batches. These operators cover it Spark-first:
+
+* ``pack_sequences`` — assign documents to fixed-token-budget training
+  bins ("sequence packing"). A global greedy packer would need one total
+  order (single-reducer at 100 TB), so documents are first hash-bucketed
+  into independent packing groups and packed by running token count
+  WITHIN each group: 256 parallel windows, no global sort, and bucket
+  count scales with the cluster (thousands at 100 TB) — the fill loss vs
+  a global packer is the tail bin of each bucket, negligible when
+  buckets >> bins-per-bucket.
+* ``mixture_sample`` — hit target corpus proportions per language
+  ("domain mixing"): the largest feasible total T is found from per-lang
+  counts (T = min n_l / w_l), then each language keeps a deterministic
+  md5-bucket fraction sized to w_l * T / n_l. No RNG, no shuffle of the
+  corpus — the keep predicate evaluates at the scan, and the per-lang
+  rate table is a broadcast 5-row aggregate.
+* ``c4_quality_filters`` — doc-level C4-style keep/drop rules (Raffel et
+  al., "Exploring the Limits of Transfer Learning", §2.2): too-short
+  docs, missing terminal punctuation, brace-bearing (code) docs, lorem
+  ipsum, degenerate mean word length. Pure codegen string expressions —
+  no UDFs, filters evaluate in the scan stage.
+
+All three are SQL-expressible, so each carries a DuckDB oracle. Integer
+window sums are CAST to BIGINT in the oracles (DuckDB SUM -> HUGEINT ->
+pandas float64 would break the driver's exact value hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from full_data_infrastructure_spark.operators.curation import hash_bucket
+from full_data_infrastructure_spark.operators.text import tokens
+from full_data_infrastructure_spark.queries import register
+from full_data_infrastructure_spark.sources.parquet import load_table
+
+CONTEXT_TOKENS = 2048  # packing bin budget (tokens per training sequence)
+
+# Target corpus mixture by language; langs absent from the table drop out.
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "en": 0.50,
+    "zh": 0.20,
+    "es": 0.15,
+    "fr": 0.10,
+    "de": 0.05,
+}
+
+_TOK_SQL = "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0))"
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH sized AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+               CAST({_TOK_SQL} AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, bucket, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY bucket ORDER BY ord_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM sized
+    )
+    SELECT doc_id, bucket, n_tok,
+           CAST(FLOOR(cum_before / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
+           cum_before % {CONTEXT_TOKENS} AS bin_offset
+    FROM packed
+    """,
+    doc="Sequence packing: documents assigned to 2048-token training bins "
+    "within 256 deterministic md5 hash buckets — parallel windowed "
+    "cumulative token counts, no global sort. Output: (bucket, bin_id) "
+    "locates each doc's bin; bin_offset its start position. At 100 TB "
+    "the bucket count rises with the cluster; fill loss is one tail bin "
+    "per bucket.",
+    tags=("llm", "packing", "text"),
+)
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("ord_key"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("ord_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.select(
+        "doc_id",
+        "bucket",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return packed.select(
+        "doc_id",
+        "bucket",
+        "n_tok",
+        F.floor(F.col("cum_before") / CONTEXT_TOKENS).alias("bin_id"),
+        (F.col("cum_before") % CONTEXT_TOKENS).alias("bin_offset"),
+    )
+
+
+def _mixture_weights_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', CAST({w} AS DOUBLE))" for lang, w in MIXTURE_WEIGHTS.items()
+    )
+    return f"(VALUES {rows}) AS w(lang, wt)"
+
+
+@register(
+    "mixture_sample",
+    f"""
+    WITH w AS (SELECT * FROM {_mixture_weights_sql()}),
+    n AS (
+        SELECT d.lang, CAST(COUNT(*) AS DOUBLE) AS n_l, ANY_VALUE(w.wt) AS wt
+        FROM documents d JOIN w ON d.lang = w.lang
+        GROUP BY d.lang
+    ),
+    t AS (SELECT MIN(n_l / wt) AS t_max FROM n),
+    rates AS (
+        SELECT n.lang,
+               CAST(FLOOR(LEAST(n.wt * t.t_max / n.n_l, 1.0) * 256)
+                    AS BIGINT) AS k
+        FROM n CROSS JOIN t
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN rates r ON d.lang = r.lang
+    WHERE r.k >= 256
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.k)
+    """,
+    doc="Domain-mixture sampling: keep a deterministic md5-bucket fraction "
+    "of each language sized so the OUTPUT hits the target proportions "
+    "(en .50 / zh .20 / es .15 / fr .10 / de .05) at the largest feasible "
+    "total T = min(n_l / w_l). The 5-row rate table broadcasts; the keep "
+    "predicate is scan-local — the corpus never shuffles and retries "
+    "agree. Rate granularity is 1/256 (the 2-hex-char bucket).",
+    tags=("llm", "curation", "sampling", "packing"),
+)
+def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [(lang, float(w)) for lang, w in MIXTURE_WEIGHTS.items()], ["lang", "wt"]
+    )
+    n = (
+        docs.join(F.broadcast(weights), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_l"),
+            F.any_value("wt").alias("wt"),
+        )
+    )
+    t = n.agg(F.min(F.col("n_l") / F.col("wt")).alias("t_max"))
+    rates = n.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.floor(F.least(F.col("wt") * F.col("t_max") / F.col("n_l"), F.lit(1.0)) * 256)
+        .cast("bigint")
+        .alias("k"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(
+            (F.col("k") >= 256)
+            | (hash_bucket(F.col("doc_id")) < F.format_string("%02x", F.col("k")))
+        )
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "c4_quality_filters",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST({_TOK_SQL} AS BIGINT) AS n_tok,
+               length(text) AS n_chars,
+               trim(text) AS t
+        FROM documents
+    )
+    SELECT doc_id, n_tok,
+           n_tok < 5 AS too_short,
+           right(t, 1) IN ('.', '!', '?', '"') AS has_terminal_punct,
+           contains(t, '{{') OR contains(t, '}}') AS has_brace,
+           contains(lower(t), 'lorem ipsum') AS has_lorem,
+           (n_tok > 0 AND (n_chars / CAST(n_tok AS DOUBLE)) NOT BETWEEN 3 AND 12)
+               AS degenerate_word_len,
+           (n_tok >= 5
+            AND right(t, 1) IN ('.', '!', '?', '"')
+            AND NOT (contains(t, '{{') OR contains(t, '}}'))
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND n_tok > 0
+            AND (n_chars / CAST(n_tok AS DOUBLE)) BETWEEN 3 AND 12) AS keep
+    FROM scored
+    """,
+    doc="C4-style document quality rules (Raffel et al. §2.2, adapted): "
+    "minimum length, terminal punctuation, no code braces, no lorem "
+    "ipsum, sane mean word length — each surfaced as a flag plus the "
+    "combined keep decision. All codegen string expressions; the filter "
+    "runs in the scan stage with zero shuffles.",
+    tags=("llm", "text", "curation"),
+)
+def _c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_flags(load_table(spark, sf_dir, "documents"))
+
+
+def c4_flags(docs: DataFrame) -> DataFrame:
+    """C4 rule flags + keep decision for any (doc_id, text) DataFrame.
+
+    The registered query applies this to the documents table; tests also
+    drive it with crafted docs, because the synthetic corpus never ends a
+    document with terminal punctuation (so corpus-level keep is 0 there —
+    faithful to C4, which is aggressive by design).
+    """
+    t = F.trim(F.col("text"))
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    scored = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        t.alias("t"),
+    )
+    last_ch = F.substring(F.col("t"), -1, 1)
+    too_short = F.col("n_tok") < 5
+    terminal = last_ch.isin(".", "!", "?", '"')
+    brace = F.col("t").contains("{") | F.col("t").contains("}")
+    lorem = F.lower(F.col("t")).contains("lorem ipsum")
+    word_len = F.col("n_chars") / F.col("n_tok").cast("double")
+    sane_len = (F.col("n_tok") > 0) & word_len.between(3, 12)
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        too_short.alias("too_short"),
+        terminal.alias("has_terminal_punct"),
+        brace.alias("has_brace"),
+        lorem.alias("has_lorem"),
+        ((F.col("n_tok") > 0) & ~word_len.between(3, 12)).alias(
+            "degenerate_word_len"
+        ),
+        (~too_short & terminal & ~brace & ~lorem & sane_len).alias("keep"),
+    )

@@ -130,7 +130,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_cluster_cc",
     "decontaminate_overlap",  # oracle dtype fixed; needs a fresh green row
-    "sample_hash",
+    "mixture_sample",  # covers curation/sampling + the new packing family
     "multimodal_decode",
     "validation_suite",
     "masked_projection",
@@ -171,6 +171,7 @@ def _ensure_loaded() -> None:
         generator,
         joins,
         multimodal,
+        packing,
         quality,
         relational,
         reshape,

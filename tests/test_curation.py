@@ -116,3 +116,97 @@ def test_repetition_signals_hand_computed(spark, sf_dir, monkeypatch):
     # doc 2: all unique
     assert abs(out[2]["dup_token_frac"] - 0.0) < 1e-12
     assert abs(out[2]["top_token_frac"] - 0.25) < 1e-12
+
+
+def test_pack_sequences_bins_respect_budget(spark, sf_dir):
+    """Every doc's bin_offset is within the 2048-token budget, bins within
+    a bucket are contiguous from 0, and offsets advance by exactly the
+    preceding doc's token count (no gaps, no overlaps)."""
+    from full_data_infrastructure_spark.operators.packing import CONTEXT_TOKENS
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["pack_sequences"].build(spark, sf_dir).collect()
+    assert rows
+    by_bucket: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["bin_offset"] < CONTEXT_TOKENS
+        assert r["bin_id"] * CONTEXT_TOKENS + r["bin_offset"] >= 0
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, docs in by_bucket.items():
+        docs.sort(key=lambda r: (r["bin_id"], r["bin_offset"]))
+        cum = 0
+        for r in docs:
+            assert r["bin_id"] == cum // CONTEXT_TOKENS, (bucket, r)
+            assert r["bin_offset"] == cum % CONTEXT_TOKENS, (bucket, r)
+            cum += r["n_tok"]
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    """Output language shares approximate the target mixture (within the
+    1/256 rate granularity plus hash-bucket noise), and only weighted
+    languages appear."""
+    from full_data_infrastructure_spark.operators.packing import MIXTURE_WEIGHTS
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["mixture_sample"].build(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    shares: dict[str, float] = {}
+    for r in rows:
+        shares[r["lang"]] = shares.get(r["lang"], 0) + 1
+    assert set(shares) <= set(MIXTURE_WEIGHTS)
+    for lang, cnt in shares.items():
+        want = MIXTURE_WEIGHTS[lang]
+        got = cnt / n
+        # rate granularity 1/256 + small-sample hash noise
+        assert abs(got - want) < 0.12, (lang, got, want)
+    # the binding language (largest n_l/w_l deficit) is kept ~in full
+    assert max(shares.values()) / n <= 0.65
+
+
+def test_c4_quality_filters_flags_are_consistent(spark, sf_dir):
+    """keep must equal the conjunction of the individual rules on the real
+    corpus (the synthetic docs never end with punctuation, so keep is
+    allowed to be 0 there — the rules still have to agree)."""
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["c4_quality_filters"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want_keep = (
+            not r["too_short"]
+            and r["has_terminal_punct"]
+            and not r["has_brace"]
+            and not r["has_lorem"]
+            and not r["degenerate_word_len"]
+            and r["n_tok"] > 0
+        )
+        assert r["keep"] == want_keep, r
+
+
+def test_c4_flags_discriminate_on_crafted_docs(spark):
+    from full_data_infrastructure_spark.operators.packing import c4_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A perfectly normal sentence about ordinary things."),
+            (2, "too short."),                              # < 5 tokens
+            (3, "this one has no terminal punctuation at all"),
+            (4, "function main() { return the brace rule. }."),
+            (5, "Lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+            (6, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbbbbbbb "
+                "cccccccccccccccccccccccccc dddddddddddddddddddddddddd "
+                "eeeeeeeeeeeeeeeeeeeeeeeeee."),             # word len > 12
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_flags(docs).collect()}
+    assert got[1]["keep"]
+    assert got[2]["too_short"] and not got[2]["keep"]
+    assert not got[3]["has_terminal_punct"] and not got[3]["keep"]
+    assert got[4]["has_brace"] and not got[4]["keep"]
+    assert got[5]["has_lorem"] and not got[5]["keep"]
+    assert got[6]["degenerate_word_len"] and not got[6]["keep"]
