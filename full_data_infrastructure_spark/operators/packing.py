@@ -162,10 +162,22 @@ def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("wt").alias("wt"),
         )
     )
-    t = n.agg(F.min(F.col("n_l") / F.col("wt")).alias("t_max"))
-    rates = n.crossJoin(F.broadcast(t)).select(
+    # t_max as a window-min over the tiny per-lang aggregate keeps the
+    # whole rate derivation on ONE scan of the lang column (a separate
+    # .agg() consumer makes Catalyst re-scan the corpus for the same
+    # aggregate — measured as a duplicate scan subtree in the plan).
+    t_w = Window.partitionBy(F.lit(1))
+    rates = n.select(
         "lang",
-        F.floor(F.least(F.col("wt") * F.col("t_max") / F.col("n_l"), F.lit(1.0)) * 256)
+        F.floor(
+            F.least(
+                F.col("wt")
+                * F.min(F.col("n_l") / F.col("wt")).over(t_w)
+                / F.col("n_l"),
+                F.lit(1.0),
+            )
+            * 256
+        )
         .cast("bigint")
         .alias("k"),
     )

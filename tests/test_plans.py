@@ -248,3 +248,36 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         if bad_stages:
             eager[name] = bad_stages
     assert not eager, f"builders ran data jobs before execution: {eager}"
+
+
+def test_pack_sequences_shuffles_counts_not_text(spark, sf_dir, queries):
+    """Sequence packing must compute token counts BEFORE the bucket
+    shuffle: only (doc_id, bucket, n_tok, ord_key) cross the exchange —
+    shuffling document text at 100 TB would move the whole corpus."""
+    plan = plan_of(queries["pack_sequences"](spark, sf_dir))
+    # In the formatted detail section, each "(N) Exchange" block's Input
+    # line lists the columns crossing the shuffle — text must not be there
+    # (the projection computing n_tok FROM text sits below the exchange).
+    lines = plan.splitlines()
+    exchange_inputs = []
+    for i, line in enumerate(lines):
+        if line.startswith("(") and "Exchange" in line:
+            for detail in lines[i + 1 : i + 4]:
+                if detail.strip().startswith("Input"):
+                    exchange_inputs.append(detail)
+    assert exchange_inputs, plan  # the bucket shuffle exists
+    assert all("text#" not in l for l in exchange_inputs), plan
+
+
+def test_mixture_sample_broadcasts_rates_single_fact_scan(spark, sf_dir, queries):
+    """The per-language rate table must broadcast onto ONE scan of the
+    fact, and the rate derivation must reuse one lang-column scan (a
+    second .agg consumer would re-scan the corpus)."""
+    plan = plan_of(queries["mixture_sample"](spark, sf_dir))
+    # Count only the numbered operator headers, not detail-section echoes.
+    scans = [
+        l for l in plan.splitlines() if l.strip().startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) == 2, plan  # fact + one lang-aggregate scan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
