@@ -262,3 +262,78 @@ def c4_flags(docs: DataFrame) -> DataFrame:
         ),
         (~too_short & terminal & ~brace & ~lorem & sane_len).alias("keep"),
     )
+
+
+CHUNK_TOKENS = 32  # chunk size (tokens); sized so the synthetic docs
+CHUNK_STRIDE = 24  # (~45 tokens avg) genuinely produce multi-chunk output
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                    ELSE CAST(CEIL((len(toks) - {CHUNK_TOKENS})
+                              / {CHUNK_STRIDE}.0) AS BIGINT) + 1
+                    END AS BIGINT) AS n_chunks
+        FROM toked
+    )
+    SELECT doc_id, n_tok,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                               i * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+                AS BIGINT) AS n_tok_chunk,
+           md5(array_to_string(
+               list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                          i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')) AS chunk_md5
+    FROM sized, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    """,
+    doc="Sliding-window document chunking (RAG / training-context prep): "
+    "each doc splits into 32-token chunks at stride 24 (8-token overlap); "
+    "every chunk carries its token count and an md5 fingerprint of its "
+    "joined tokens, so chunk CONTENT is oracle-verified, not just counts. "
+    "Tokenization and chunk-count arithmetic happen once per doc in a "
+    "projection BEFORE the explode (no per-chunk re-tokenization — the "
+    "HOF-CSE trap), and rows never shuffle: scan -> project -> explode "
+    "-> project is one narrow pipeline at any scale.",
+    tags=("llm", "text", "packing"),
+)
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sized = toked.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.when(F.size("toks") <= CHUNK_TOKENS, F.lit(1).cast("bigint"))
+        .otherwise(
+            F.ceil((F.size("toks") - CHUNK_TOKENS) / CHUNK_STRIDE).cast("bigint")
+            + 1
+        )
+        .alias("n_chunks"),
+    )
+    exploded = sized.select(
+        "doc_id",
+        "n_tok",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx").cast("int") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return exploded.select(
+        "doc_id",
+        "n_tok",
+        "chunk_idx",
+        F.size(chunk).cast("bigint").alias("n_tok_chunk"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+    )

@@ -210,3 +210,36 @@ def test_c4_flags_discriminate_on_crafted_docs(spark):
     assert got[4]["has_brace"] and not got[4]["keep"]
     assert got[5]["has_lorem"] and not got[5]["keep"]
     assert got[6]["degenerate_word_len"] and not got[6]["keep"]
+
+
+def test_chunk_documents_covers_docs_with_overlap(spark, sf_dir):
+    """Chunks tile each doc at the configured stride: chunk 0 starts at
+    token 1, consecutive chunks overlap by (size - stride) tokens, every
+    token lands in some chunk, and only the final chunk may run short."""
+    from full_data_infrastructure_spark.operators.packing import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["chunk_documents"].build(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    multi = 0
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n_tok = chunks[0]["n_tok"]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c["n_tok_chunk"] == CHUNK_TOKENS, (doc_id, c)
+        last = chunks[-1]
+        start_last = last["chunk_idx"] * CHUNK_STRIDE
+        assert last["n_tok_chunk"] == min(CHUNK_TOKENS, n_tok - start_last)
+        # full coverage: the last chunk reaches the end of the doc
+        assert start_last + last["n_tok_chunk"] == n_tok
+        if len(chunks) > 1:
+            multi += 1
+    assert multi > 0  # the corpus genuinely exercises the sliding window
