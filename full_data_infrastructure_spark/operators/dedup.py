@@ -567,3 +567,62 @@ def _embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = F.round(dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4)
     return pairs.select("vec_a", "vec_b", cos.alias("cos")).filter(F.col("cos") >= 0.99)
+
+
+@register(
+    "dup_span_signal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= {NGRAM}
+    ),
+    freq AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles,
+           ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_span_frac
+    FROM sh s JOIN freq f ON s.sh = f.sh
+    GROUP BY s.doc_id
+    """,
+    doc="Substring-level dedup signal (Lee et al., 'Deduplicating Training "
+    "Data Makes Language Models Better'): per document, the fraction of "
+    "its word 3-gram spans that also appear in at least one OTHER "
+    "document. Shingles are hashed once to 8-byte keys before the "
+    "frequency join (hashed_shingles), so the corpus-frequency shuffle "
+    "carries integers, never shingle strings; per-doc shingle sets are "
+    "distinct, so a span shared with one other doc counts once. High "
+    "dup_span_frac flags boilerplate/templated docs that whole-doc "
+    "near-dedup misses.",
+    tags=("llm", "dedup", "text"),
+)
+def _dup_span_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hs = hashed_shingles(docs)
+    freq = hs.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        hs.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).cast("bigint").alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(
+                F.col("n_dup_shingles") / F.col("n_shingles").cast("double"), 4
+            ).alias("dup_span_frac"),
+        )
+    )
