@@ -5,11 +5,17 @@ maps French headers to the DB schema row-by-row
 (``commute_validation/commute_validation.py:187-209``). Engine version:
 pandas (driver-side — a master-data file is tiny by definition) -> rename/
 cast normalization -> ``spark.createDataFrame`` with the canonical
-employees schema. ``openpyxl`` is not in the container, so the xlsx read is
-import-gated; the normalization path is fully testable from a pandas frame.
+employees schema. ``pd.read_excel`` is used when ``openpyxl`` is
+installed; otherwise a minimal stdlib decoder handles the standard xlsx
+layout (a zip of sheet XML + shared strings), so the ingest works with no
+optional dependency at all.
 """
 
 from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
 
 import pandas as pd
 
@@ -17,6 +23,65 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from full_data_infrastructure_spark.schemas import EMPLOYEES
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'B7' -> 1 (0-based column from the letter prefix)."""
+    letters = re.match(r"[A-Z]+", cell_ref).group(0)
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+def read_xlsx_minimal(path: str) -> pd.DataFrame:
+    """Stdlib xlsx decode (zipfile + ElementTree): first sheet, first row
+    as header, shared/inline strings and numeric cells; every value comes
+    back as a string and the schema cast downstream coerces types. Covers
+    the standard layout every xlsx writer (incl. Excel) produces."""
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append(
+                    "".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+                )
+        sheets = sorted(
+            n for n in z.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheets:
+            raise ValueError(f"no worksheets found in {path}")
+        root = ET.fromstring(z.read(sheets[0]))
+    rows: list[dict[int, str | None]] = []
+    for row in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, str | None] = {}
+        for c in row.findall(f"{_XLSX_NS}c"):
+            idx = _col_index(c.get("r", "A1"))
+            v = c.find(f"{_XLSX_NS}v")
+            if c.get("t") == "s" and v is not None:
+                cells[idx] = shared[int(v.text)]
+            elif c.get("t") == "inlineStr":
+                is_el = c.find(f"{_XLSX_NS}is")
+                cells[idx] = (
+                    "".join(t.text or "" for t in is_el.iter(f"{_XLSX_NS}t"))
+                    if is_el is not None
+                    else None
+                )
+            else:
+                cells[idx] = v.text if v is not None else None
+        rows.append(cells)
+    if not rows:
+        return pd.DataFrame()
+    header, body = rows[0], rows[1:]
+    ncol = max(header) + 1
+    cols = [header.get(i, f"col{i}") for i in range(ncol)]
+    return pd.DataFrame(
+        [[r.get(i) for i in range(ncol)] for r in body], columns=cols
+    )
 
 # French xlsx headers -> employees columns (commute_validation.py:193-203)
 FRENCH_COLUMN_MAP = {
@@ -35,14 +100,12 @@ FRENCH_COLUMN_MAP = {
 
 
 def read_hr_excel(spark: SparkSession, path: str) -> DataFrame:
-    """S5: xlsx -> normalized employees DataFrame (requires openpyxl)."""
+    """S5: xlsx -> normalized employees DataFrame. Prefers pandas'
+    reader (openpyxl) when available; falls back to the stdlib decoder."""
     try:
         pdf = pd.read_excel(path)
-    except ImportError as exc:  # openpyxl missing in this container
-        raise NotImplementedError(
-            "reading .xlsx requires openpyxl; install it or use "
-            "normalize_hr_frame on a pandas DataFrame"
-        ) from exc
+    except ImportError:  # openpyxl missing: stdlib decode
+        pdf = read_xlsx_minimal(path)
     return normalize_hr_frame(spark, pdf)
 
 

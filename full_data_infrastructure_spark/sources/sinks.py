@@ -95,14 +95,22 @@ def register_table(
 
 
 def ensure_bucket(bucket: str) -> bool:
-    """S13 seam — the reference's boto3 head_bucket/create_bucket
-    (read_delta.py:164-199). Object-store credentials/clients are cluster
-    concerns; local filesystems need no preparation."""
+    """S13 — the reference's boto3 head_bucket/create_bucket flow
+    (read_delta.py:164-199): probe the bucket, create it when the probe
+    fails. Returns True when an object-store client handled the request,
+    False when no client is importable (local filesystems need no
+    preparation; sinks use local paths). Credentials/endpoints come from
+    the standard boto3 environment on a real cluster."""
     try:
-        import boto3  # noqa: F401
+        import boto3
     except ImportError:
-        return False  # no object store in this environment; sinks use local paths
-    raise NotImplementedError("wire boto3 bucket management on a real cluster")
+        return False  # no object store in this environment
+    client = boto3.client("s3")
+    try:
+        client.head_bucket(Bucket=bucket)
+    except Exception:  # missing or inaccessible: attempt creation
+        client.create_bucket(Bucket=bucket)
+    return True
 
 
 def compact(

@@ -202,3 +202,132 @@ def test_jdbc_roundtrip_against_embedded_derby(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 4  # the scan actually fans out
     got = df.selectExpr("COUNT(*) AS n", "SUM(id) AS s").collect()[0]
     assert (got["n"], got["s"]) == (1000, 499500)
+
+
+def _write_minimal_xlsx(path, header, rows):
+    """Write a standard-layout xlsx by hand (zip of sheet XML + shared
+    strings) — the same member files every real xlsx writer produces, so
+    the stdlib decoder is exercised on the genuine format."""
+    import zipfile
+
+    strings: list[str] = []
+
+    def cell(ref, value):
+        if isinstance(value, (int, float)):
+            return f'<c r="{ref}"><v>{value}</v></c>'
+        strings.append(str(value))
+        return f'<c r="{ref}" t="s"><v>{len(strings) - 1}</v></c>'
+
+    def col_letter(i):
+        out = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            out = chr(65 + rem) + out
+        return out
+
+    body = []
+    for rn, row in enumerate([header] + rows, start=1):
+        cells = "".join(
+            cell(f"{col_letter(ci)}{rn}", v) for ci, v in enumerate(row)
+        )
+        body.append(f'<row r="{rn}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?><sst xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    workbook = (
+        '<?xml version="1.0"?><workbook xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", shared)
+
+
+def test_read_hr_excel_stdlib_fallback(spark, tmp_path):
+    """S5 end-to-end without openpyxl: decode a real-layout xlsx with the
+    stdlib reader, normalize French headers, land on the employees
+    schema with correct types."""
+    from full_data_infrastructure_spark.sources.excel import read_hr_excel
+
+    path = str(tmp_path / "hr.xlsx")
+    header = [
+        "Matricule", "Prénom", "Nom", "Date de naissance", "Date d'embauche",
+        "BU", "Salaire brut", "Type de contrat", "Adresse du domicile",
+        "Moyen de déplacement domicile-travail",
+        "Nombre de jours de congés payés",
+    ]
+    _write_minimal_xlsx(
+        path,
+        header,
+        [
+            [1, "Ada", "Lovelace", "1990-12-10", "2015-03-01", "R&amp;D",
+             52000, "CDI", "12 rue X", "vélo", 25],
+            [2, "Alan", "Turing", "1987-06-23", "2012-09-15", "IT",
+             61000, "CDD", "3 avenue Y", "métro", 27],
+        ],
+    )
+    df = read_hr_excel(spark, path)
+    assert [f.name for f in df.schema.fields] == [
+        "id_employee", "first_name", "last_name", "birthday", "hire_date",
+        "business_unity", "gross_salary", "constract_type", "address",
+        "transport_mode", "paid_leaved_days",
+    ]
+    rows = {r["id_employee"]: r for r in df.collect()}
+    assert rows[1]["first_name"] == "Ada"
+    assert str(rows[1]["birthday"]) == "1990-12-10"
+    assert rows[1]["gross_salary"] == 52000
+    assert rows[2]["transport_mode"] == "métro"
+    assert rows[2]["paid_leaved_days"] == 27
+
+
+def test_ensure_bucket_drives_boto3_seam(monkeypatch):
+    """S13: with an object-store client importable, ensure_bucket must
+    head-then-create through it (the reference's read_delta.py flow);
+    without one it stays a documented local no-op."""
+    import sys
+    import types
+
+    from full_data_infrastructure_spark.sources import sinks as sinks_mod
+
+    calls = []
+
+    class FakeClient:
+        def head_bucket(self, Bucket):
+            calls.append(("head", Bucket))
+            raise Exception("404 not found")
+
+        def create_bucket(self, Bucket):
+            calls.append(("create", Bucket))
+
+    fake = types.ModuleType("boto3")
+    fake.client = lambda service: FakeClient()
+    monkeypatch.setitem(sys.modules, "boto3", fake)
+    assert sinks_mod.ensure_bucket("training-data") is True
+    assert calls == [("head", "training-data"), ("create", "training-data")]
+
+    monkeypatch.delitem(sys.modules, "boto3")
+    monkeypatch.setattr(
+        "builtins.__import__",
+        _blocked_import("boto3", __import__),
+    )
+    assert sinks_mod.ensure_bucket("training-data") is False
+
+
+def _blocked_import(name, real_import):
+    def imp(mod, *args, **kwargs):
+        if mod == name:
+            raise ImportError(f"{name} blocked for test")
+        return real_import(mod, *args, **kwargs)
+
+    return imp
