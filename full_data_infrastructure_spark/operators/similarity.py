@@ -285,6 +285,7 @@ def _vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 16  # IVF coarse-quantizer cells
 N_PROBE = 6  # cells probed per query
+CORPUS_ASSIGN = 2  # cells each corpus vector is indexed under (multi-assign)
 
 
 def ivf_assignments(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
@@ -309,12 +310,14 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFr
     "knn_ivf",
     None,  # approximate — recall vs knn_bruteforce asserted in tests
     doc="IVF ANN: deterministic coarse quantizer (every len(corpus)/16-th "
-    "vector is a centroid), corpus vectors assigned to their nearest cell, "
-    "queries probe the 6 nearest cells, exact cosine within probed cells "
-    "(recall@5=0.73 vs brute force at sf0.1). "
-    "The inverted-file twin of knn_lsh: candidate volume scales with "
-    "corpus/cells x probes, independent of signature collision rates. "
-    "Rows-only check; recall asserted in tests/test_operators.py.",
+    "vector is a centroid), corpus vectors indexed under their 2 nearest "
+    "cells (multi-assignment catches cell-boundary vectors), queries "
+    "probe the 6 nearest cells, exact cosine within probed cells "
+    "(recall@5 vs brute force 0.88 at sf0.1, 0.62 candidate fraction — "
+    "was 0.73 with single assignment). The inverted-file twin of "
+    "knn_lsh: candidate volume scales with corpus/cells x assign x "
+    "probes, independent of signature collision rates. Rows-only check; "
+    "recall asserted in tests/test_operators.py.",
     tags=("llm", "similarity", "vector", "approx"),
 )
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +348,7 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    corpus_cells = ivf_assignments(emb, centroids, n_best=1)
+    corpus_cells = ivf_assignments(emb, centroids, n_best=CORPUS_ASSIGN)
     query_vecs = emb.filter(F.col("vec_id") < N_QUERIES)
     query_cells = ivf_assignments(query_vecs, centroids, n_best=N_PROBE).select(
         F.col("vec_id").alias("query_id"), "cell_id"

@@ -162,7 +162,10 @@ def test_knn_bruteforce_is_symmetric_sane(spark, sf_dir):
 
 
 def test_knn_ivf_recall(spark, sf_dir):
-    """IVF probes 6/16 cells; top-1 neighbors should largely survive."""
+    """IVF with 2-cell corpus multi-assignment probes 6/16 cells.
+    Deterministic (stride centroids): full-top-5 recall measured
+    0.88 / 0.85 / 0.88 at sf0.001 / 0.01 / 0.1 — 0.75 is the floor with
+    margin; top-1 survivors are strictly easier, so hold them to it too."""
     from full_data_infrastructure_spark.queries import REGISTRY
 
     exact = REGISTRY["knn_bruteforce"].build(spark, sf_dir).collect()
@@ -170,7 +173,7 @@ def test_knn_ivf_recall(spark, sf_dir):
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact if r["rnk"] == 1}
     approx = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.35, f"knn_ivf recall {recall:.2f}"
+    assert recall >= 0.75, f"knn_ivf recall {recall:.2f}"
     # every returned neighbor must be scored correctly: spot check one query
     exact_scores = {
         (r["query_id"], r["neighbor_id"]): r["cos"] for r in exact
