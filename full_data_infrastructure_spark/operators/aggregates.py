@@ -298,3 +298,55 @@ def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(GROUPING_SETS_SQL)
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, median(value) AS med_v
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value, m.med_v,
+               abs(e.value - m.med_v) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad_v
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           ROUND(d.value, 2) AS value,
+           ROUND(d.med_v, 2) AS median_value,
+           ROUND(m.mad_v, 2) AS mad_value,
+           d.adev > 3 * m.mad_v AS is_outlier
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    """,
+    doc="Robust outlier flags via median absolute deviation: per event "
+    "type, flag rows whose |value - median| exceeds 3 x MAD. Unlike "
+    "mean/stddev z-scores, the medians are immune to the outliers being "
+    "hunted. Two grouped EXACT medians (Spark's median aggregate) + one "
+    "broadcast of the tiny per-type statistics; the events table streams "
+    "through once per median pass and never shuffles on a wide key.",
+    tags=("extension", "aggregate", "quality"),
+)
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(F.median("value").alias("med_v"))
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med_v",
+        F.abs(F.col("value") - F.col("med_v")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_v"))
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.round("med_v", 2).alias("median_value"),
+        F.round("mad_v", 2).alias("mad_value"),
+        (F.col("adev") > 3 * F.col("mad_v")).alias("is_outlier"),
+    )

@@ -634,3 +634,82 @@ def _dup_span_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_frac"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.85
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= {NGRAM}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    both_dirs AS (
+        SELECT doc_a AS contained_id, doc_b AS container_id,
+               CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        UNION ALL
+        SELECT doc_b, doc_a,
+               CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE)
+        FROM inter JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT contained_id, container_id, containment
+    FROM both_dirs WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc="Asymmetric containment dedup: shingle-containment |A∩B| / |A| per "
+    "direction — catches a short document embedded inside a longer one "
+    "(quote expansion, boilerplate wrapping), which symmetric Jaccard "
+    "under-scores because the union is dominated by the longer doc. Same "
+    "persisted 8-byte hashed-shingle self-join as the Jaccard baseline; "
+    "both directions derive from ONE intersection count.",
+    tags=("llm", "dedup"),
+)
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hashed_shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    paired = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = paired.select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        (F.col("inter").cast("double") / F.col("sz_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = paired.select(
+        F.col("doc_b").alias("contained_id"),
+        F.col("doc_a").alias("container_id"),
+        (F.col("inter").cast("double") / F.col("sz_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
