@@ -85,9 +85,15 @@ _TOK_SQL = "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length
     tags=("llm", "packing", "text"),
 )
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return pack_assign(load_table(spark, sf_dir, "documents"))
+
+
+def pack_assign(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Assign (bucket, bin_id, bin_offset) to any (doc_id, text) DataFrame;
+    ``carry`` lists extra input columns to keep on the output."""
     sized = docs.select(
         "doc_id",
+        *carry,
         hash_bucket(F.col("doc_id")).alias("bucket"),
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("ord_key"),
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
@@ -99,12 +105,14 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = sized.select(
         "doc_id",
+        *carry,
         "bucket",
         "n_tok",
         F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
     )
     return packed.select(
         "doc_id",
+        *carry,
         "bucket",
         "n_tok",
         F.floor(F.col("cum_before") / CONTEXT_TOKENS).alias("bin_id"),
@@ -151,6 +159,13 @@ def _mixture_weights_sql() -> str:
 )
 def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return mixture_keep(spark, docs).select("doc_id", "lang", "source")
+
+
+def mixture_keep(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Filter any (doc_id, lang, ...) DataFrame down to the target language
+    mixture; rates derive from the INPUT's own per-lang counts, so the
+    same helper composes after dedup/filter stages."""
     weights = spark.createDataFrame(
         [(lang, float(w)) for lang, w in MIXTURE_WEIGHTS.items()], ["lang", "wt"]
     )
@@ -187,7 +202,7 @@ def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") >= 256)
             | (hash_bucket(F.col("doc_id")) < F.format_string("%02x", F.col("k")))
         )
-        .select("doc_id", "lang", "source")
+        .drop("k")
     )
 
 
@@ -337,3 +352,107 @@ def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tok_chunk"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
     )
+
+
+def _corpus_pipeline_oracle() -> str:
+    """Chains the recursive-CC survivor oracle + mixture + packing SQL —
+    the same fragments the individual queries' oracles use."""
+    from full_data_infrastructure_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _ngram_jaccard_sql,
+    )
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_ngram_jaccard_sql(JACCARD_THRESHOLD)}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    losers AS (
+        SELECT s AS doc_id FROM reach GROUP BY s HAVING LEAST(s, MIN(d)) <> s
+    ),
+    survivors AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+        WHERE l.doc_id IS NULL
+    ),
+    w AS (SELECT * FROM {_mixture_weights_sql()}),
+    n AS (
+        SELECT s.lang, CAST(COUNT(*) AS DOUBLE) AS n_l, ANY_VALUE(w.wt) AS wt
+        FROM survivors s JOIN w ON s.lang = w.lang
+        GROUP BY s.lang
+    ),
+    t AS (SELECT MIN(n_l / wt) AS t_max FROM n),
+    rates AS (
+        SELECT n.lang,
+               CAST(FLOOR(LEAST(n.wt * t.t_max / n.n_l, 1.0) * 256)
+                    AS BIGINT) AS k
+        FROM n CROSS JOIN t
+    ),
+    sampled AS (
+        SELECT s.doc_id, s.lang, s.text
+        FROM survivors s JOIN rates r ON s.lang = r.lang
+        WHERE r.k >= 256
+           OR substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.k)
+    ),
+    sized AS (
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+               CAST({_TOK_SQL} AS BIGINT) AS n_tok
+        FROM sampled
+    ),
+    packed AS (
+        SELECT doc_id, lang, bucket, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY bucket ORDER BY ord_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM sized
+    )
+    SELECT doc_id, lang, bucket, n_tok,
+           CAST(FLOOR(cum_before / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
+           cum_before % {CONTEXT_TOKENS} AS bin_offset
+    FROM packed
+    """
+
+
+@register(
+    "corpus_pipeline",
+    _corpus_pipeline_oracle(),
+    doc="The end-to-end corpus snapshot a training run consumes, as ONE "
+    "lazy chain: near-dup removal (exact-Jaccard pairs -> connected "
+    "components -> keep the min-id survivor per cluster), then "
+    "language-mixture sampling with rates derived from the SURVIVOR "
+    "counts, then 2048-token sequence packing of the sampled set. "
+    "Oracle chains the identical recursive-CTE + mixture + packing SQL. "
+    "Every stage is the already-verified operator; the composition "
+    "proves they pipeline without materialization barriers (the CC "
+    "iterations are the one inherent exception).",
+    tags=("llm", "dedup", "curation", "packing"),
+)
+def _corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        connected_components,
+        exact_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "text"
+    )
+    sampled = mixture_keep(spark, survivors)
+    return pack_assign(sampled, carry=("lang",))
+

@@ -225,7 +225,7 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
     * genuinely iterative builders (connected components) must materialize
       each iteration via ``localCheckpoint`` — exempted by name.
     """
-    iterative_by_design = {"dedup_cluster_cc", "dedup_survivors"}
+    iterative_by_design = {"dedup_cluster_cc", "dedup_survivors", "corpus_pipeline"}
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     eager = {}
