@@ -81,6 +81,38 @@ def test_cdc_restart_is_exactly_once(spark, sf_dir, topic_dir, tmp_path):
     assert n1 == n2
 
 
+def test_cdc_delete_stream_through_upsert_sink(spark, sf_dir, topic_dir, tmp_path):
+    """Full c/r/u/d composition: the envelope stream (where 'error' events
+    are Debezium deletes carrying their image in `before`) decoded with
+    keep_ops=('c','r','u','d') and applied by the upsert sink must leave a
+    snapshot with upserts present and NO deleted keys."""
+    from full_data_infrastructure_spark.streaming.sinks import start_upsert_sink
+
+    snapshot = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt_crud")
+
+    raw = file_cdc_source(spark, topic_dir)
+    decoded = decode_cdc_stream(
+        raw, _EVENT_AFTER_SCHEMA, keep_ops=("c", "r", "u", "d")
+    )
+    q = start_upsert_sink(decoded, snapshot, ckpt, key="id", available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(snapshot)
+    events = load_table(spark, sf_dir, "events")
+    want_ids = {
+        r["event_id"]
+        for r in events.filter(F.col("event_type") != "error").collect()
+    }
+    deleted_ids = {
+        r["event_id"]
+        for r in events.filter(F.col("event_type") == "error").collect()
+    }
+    got_ids = {r["id"] for r in got.select("id").collect()}
+    assert got_ids == want_ids - deleted_ids
+    assert not (got_ids & deleted_ids)
+
+
 def test_notification_sink_filters_and_delivers(spark, sf_dir, topic_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     raw = file_cdc_source(spark, topic_dir)
