@@ -456,3 +456,52 @@ def _corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = mixture_keep(spark, survivors)
     return pack_assign(sampled, carry=("lang",))
 
+
+
+@register(
+    "pack_bin_stats",
+    f"""
+    WITH sized AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+               CAST({_TOK_SQL} AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, bucket, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY bucket ORDER BY ord_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM sized
+    ),
+    binned AS (
+        SELECT bucket,
+               CAST(FLOOR(cum_before / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
+               n_tok
+        FROM packed
+    )
+    SELECT bucket, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_tok) / {CONTEXT_TOKENS}.0, 4) AS fill_fraction
+    FROM binned
+    GROUP BY bucket, bin_id
+    """,
+    doc="Packing observability: per (bucket, bin) document count, token "
+    "count, and fill fraction vs the 2048-token budget — the fill-loss "
+    "metric that tells an operator whether the hash-bucket count is "
+    "matched to the corpus (tail bins with low fill mean too many "
+    "buckets). One extra aggregate over the packing window output; "
+    "fill_fraction can exceed 1 on the bin a long document spills past, "
+    "which is exactly the signal a doc-splitting pre-pass would consume.",
+    tags=("llm", "packing"),
+)
+def _pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pack_assign(load_table(spark, sf_dir, "documents"))
+    return packed.groupBy("bucket", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sum("n_tok") / float(CONTEXT_TOKENS), 4).alias("fill_fraction"),
+    )
