@@ -446,3 +446,72 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_int8"
         ),
     )
+
+
+@register(
+    "embedding_lang_drift",
+    """
+    WITH v AS (
+        SELECT d.lang, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS e
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    pos AS (
+        SELECT lang, vec_id, i AS p, e[i] AS x
+        FROM v, UNNEST(range(1, len(e) + 1)) AS r(i)
+    ),
+    centroid AS (
+        -- DECIMAL partial sums: exact regardless of addition order, so the
+        -- per-position mean is bit-identical across engines; the final
+        -- division happens once in DOUBLE with identical operands.
+        SELECT lang, p,
+               CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*) AS c
+        FROM pos GROUP BY lang, p
+    )
+    SELECT pos.vec_id AS doc_id, pos.lang,
+           ROUND(SUM(pos.x * centroid.c)
+                 / sqrt(SUM(pos.x * pos.x) * SUM(centroid.c * centroid.c)),
+                 4) AS cos_to_centroid
+    FROM pos JOIN centroid ON pos.lang = centroid.lang AND pos.p = centroid.p
+    GROUP BY pos.vec_id, pos.lang
+    """,
+    doc="Embedding drift/outlier signal: cosine of each document's "
+    "embedding to its LANGUAGE centroid. Positional sums use DECIMAL "
+    "partials (order-independent, hence engine-exact per the rollup "
+    "rule); the per-doc cosine folds 64 positions in double and rounds "
+    "to 4dp like every other cosine here. Low cos_to_centroid flags "
+    "mislabeled-language or off-distribution docs — the embedding-space "
+    "twin of the token-level quality filters. One positional explode "
+    "(docs x 64 rows) + a broadcast-sized centroid join keyed on "
+    "(lang, position).",
+    tags=("llm", "vector", "quality"),
+)
+def _embedding_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    v = emb.join(docs, docs.doc_id == emb.vec_id).select("lang", "vec_id", "e")
+    pos = v.select(
+        "lang", "vec_id", F.posexplode("e").alias("p0", "x")
+    ).select("lang", "vec_id", (F.col("p0") + 1).alias("p"), "x")
+    centroid = pos.groupBy("lang", "p").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    joined = pos.join(F.broadcast(centroid), ["lang", "p"])
+    return (
+        joined.groupBy(F.col("vec_id").alias("doc_id"), "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("x") * F.col("c"))
+                / F.sqrt(
+                    F.sum(F.col("x") * F.col("x"))
+                    * F.sum(F.col("c") * F.col("c"))
+                ),
+                4,
+            ).alias("cos_to_centroid")
+        )
+    )
