@@ -713,3 +713,98 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return fwd.unionAll(rev).filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+
+
+def connected_components_twostar(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the 100 TB variant :func:`connected_components`'s docstring points to.
+
+    Min-label propagation needs O(component diameter) rounds; the star
+    operations contract whole subtrees onto component minima, converging
+    in O(log^2 n) rounds on ANY graph shape — the difference between 3
+    and 300 shuffles on a 10^9-vertex chain-heavy dup graph. Per round:
+    one groupBy per star to find each vertex's neighborhood minimum, one
+    join to re-point edges, ``localCheckpoint`` to truncate lineage.
+    Returns (id, cluster_id) with cluster_id = the component's minimum
+    vertex id — identical labels to :func:`connected_components` (tested
+    equal on known and random graphs).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    vertices = (
+        e.select(F.col("s").alias("id"))
+        .union(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def neighborhood_min(pairs: DataFrame) -> DataFrame:
+        """m(u) = min(N(u) ∪ {u}) over the symmetrized pair set."""
+        sym = pairs.union(pairs.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        return sym.groupBy("s").agg(
+            F.least(F.min("d"), F.first("s")).alias("m")
+        )
+
+    for _ in range(max_iterations):
+        # Large-star: every neighbor v > u re-points to u's neighborhood min.
+        m = neighborhood_min(e)
+        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        large = (
+            sym.filter(F.col("d") > F.col("s"))
+            .join(m, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+        )
+        e2 = large.distinct().localCheckpoint()
+
+        # Small-star: neighbors v <= u (and u itself) re-point to the min.
+        m2 = neighborhood_min(e2)
+        sym2 = e2.union(e2.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        small = (
+            # Re-point every SMALL neighbor (d < s) of s to s's min...
+            sym2.filter(F.col("d") < F.col("s"))
+            .join(m2, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            # ...and s itself to its min.
+            .union(
+                m2.filter(F.col("s") != F.col("m")).select(
+                    "s", F.col("m").alias("d")
+                )
+            )
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        new_e = small.localCheckpoint()
+        changed = (
+            new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_twostar did not converge within "
+            f"{max_iterations} rounds"
+        )
+
+    # Fixpoint is a star forest: every non-root points at its component min.
+    labels = e.groupBy("s").agg(F.min("d").alias("cluster_id")).select(
+        F.col("s").alias("id"), "cluster_id"
+    )
+    return (
+        vertices.join(labels, vertices.id == labels.id, "left")
+        .select(
+            vertices.id.alias("id"),
+            F.coalesce("cluster_id", vertices.id).alias("cluster_id"),
+        )
+    )

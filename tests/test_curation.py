@@ -243,3 +243,34 @@ def test_chunk_documents_covers_docs_with_overlap(spark, sf_dir):
         if len(chunks) > 1:
             multi += 1
     assert multi > 0  # the corpus genuinely exercises the sliding window
+
+
+def test_twostar_matches_minlabel_on_known_and_random_graphs(spark):
+    """The large-star/small-star variant must produce the same component
+    labels as min-label propagation: known shapes (chain, triangle, pair),
+    a 12-vertex path (the diameter worst case), and a seeded random
+    graph."""
+    import random
+
+    from full_data_infrastructure_spark.operators.dedup import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    def labels_of(fn, edges):
+        df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        return {r["id"]: r["cluster_id"] for r in fn(df).collect()}
+
+    cases = [
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(i, i + 1) for i in range(12)],
+    ]
+    rng = random.Random(7)
+    cases.append(
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+    )
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        assert labels_of(connected_components_twostar, edges) == labels_of(
+            connected_components, edges
+        ), edges
