@@ -169,10 +169,10 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm(F.col("e")).alias("nrm"),
         lsh_signature(F.col("e")).alias("sig"),
     )
-    # 8 bands x 4 bits: a candidate shares at least one band value. Band
-    # count/width is THE recall/cost dial — more bands = more candidates =
-    # higher recall (measured at sf0.1: 4 bands -> 0.39 recall@5, 8 bands
-    # -> 0.60); production tuning at 100 TB raises bits per band as corpus
+    # 8 bands x 4 bits. Band count/width is one recall/cost dial (measured
+    # at sf0.1 pre-multi-probe: 4 bands -> 0.39 recall@5, 8 bands -> 0.60);
+    # the probe count and the min-shared-bands filter below are the finer
+    # dials. Production tuning at 100 TB raises bits per band as corpus
     # density grows.
     bands = F.array(
         *[
