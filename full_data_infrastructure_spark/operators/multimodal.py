@@ -352,3 +352,45 @@ def _multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("dim_idx", "value")
     )
+
+
+@register(
+    "multimodal_payload_dedup",
+    """
+    WITH hashed AS (
+        SELECT doc_id, md5(text) AS payload_md5 FROM documents
+    ),
+    grouped AS (
+        SELECT payload_md5,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS canonical_id
+        FROM hashed GROUP BY payload_md5
+    )
+    SELECT h.doc_id, h.payload_md5,
+           CAST(g.n_copies AS BIGINT) AS n_copies,
+           h.doc_id = g.canonical_id AS is_canonical
+    FROM hashed h JOIN grouped g ON h.payload_md5 = g.payload_md5
+    """,
+    doc="Content-hash dedup over the opaque BINARY payload: md5 of the "
+    "bytes, group, keep the min-id copy as canonical — byte-exact "
+    "image/audio dedup, the first pass of any multimodal ingest. The "
+    "16-byte digest is the only thing that shuffles; payloads stay in "
+    "place. Oracle hashes the source text the payload encodes, so the "
+    "binary plumbing (encode -> md5 over bytes) is verified to agree "
+    "with the string path digest-for-digest.",
+    tags=("llm", "multimodal", "dedup"),
+)
+def _multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    hashed = media.select("doc_id", F.md5("payload").alias("payload_md5"))
+    grouped = hashed.groupBy("payload_md5").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return hashed.join(grouped, "payload_md5").select(
+        "doc_id",
+        "payload_md5",
+        "n_copies",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
