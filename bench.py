@@ -46,7 +46,7 @@ def main() -> None:
     for t in ("lineitem", "documents", "events", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     for name, build in bench.items():
         best, n = None, 0
         for _ in range(repeats):

@@ -126,7 +126,13 @@ def hashed_shingles(docs: DataFrame) -> DataFrame:
     integer instead of re-hashing the string k times (4.5x faster
     signature stage measured at sf0.1). Collisions (~2^-64 per pair)
     can only merge two shingles corpus-wide — far below the sketch's own
-    error."""
+    error.
+
+    Callers persist the result for the lifetime of their returned plan and
+    cannot unpersist it inside the lazy-builder contract; in a long-lived
+    session the caches are evicted LRU (MEMORY_AND_DISK), and a production
+    pipeline would checkpoint this table once per corpus snapshot instead.
+    """
     return exploded_shingles(docs).select("doc_id", F.xxhash64("sh").alias("h"))
 
 
@@ -735,18 +741,17 @@ def connected_components_twostar(
     vertex id — identical labels to :func:`connected_components` (tested
     equal on known and random graphs).
     """
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
-        .localCheckpoint()
-    )
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Vertices come from the RAW pair set: a vertex whose only edge is a
+    # self-loop must still appear in the output (as its own singleton
+    # cluster), exactly as min-label propagation reports it.
     vertices = (
-        e.select(F.col("s").alias("id"))
-        .union(e.select(F.col("d").alias("id")))
+        raw.select(F.col("s").alias("id"))
+        .union(raw.select(F.col("d").alias("id")))
         .distinct()
         .localCheckpoint()
     )
+    e = raw.filter(F.col("s") != F.col("d")).distinct().localCheckpoint()
 
     def neighborhood_min(pairs: DataFrame) -> DataFrame:
         """m(u) = min(N(u) ∪ {u}) over the symmetrized pair set."""

@@ -74,8 +74,8 @@ def read_xlsx_minimal(path: str) -> pd.DataFrame:
             else:
                 cells[idx] = v.text if v is not None else None
         rows.append(cells)
-    if not rows:
-        return pd.DataFrame()
+    if not rows or not rows[0]:
+        return pd.DataFrame()  # no header row => empty frame, not a crash
     header, body = rows[0], rows[1:]
     ncol = max(header) + 1
     cols = [header.get(i, f"col{i}") for i in range(ncol)]
@@ -110,13 +110,39 @@ def read_hr_excel(spark: SparkSession, path: str) -> DataFrame:
 
 
 def normalize_hr_frame(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
-    """Rename French headers, coerce types to the employees schema."""
+    """Rename French headers, coerce types to the employees schema.
+
+    Date columns accept BOTH ISO strings and Excel numeric serials (days
+    since 1899-12-30) — real Excel stores date cells as serial numbers
+    with no type marker, so the stdlib decoder surfaces them as digit
+    strings; a plain DateType cast would silently NULL every one.
+    """
+    import pyspark.sql.types as T
+
     renamed = pdf.rename(columns=FRENCH_COLUMN_MAP)
     missing = [c for c in FRENCH_COLUMN_MAP.values() if c not in renamed.columns]
     if missing:
         raise ValueError(f"HR frame missing columns: {missing}")
-    df = spark.createDataFrame(renamed[list(FRENCH_COLUMN_MAP.values())])
-    casts = {f.name: f.dataType for f in EMPLOYEES.fields}
-    return df.select(
-        *[F.col(c).cast(casts[c]).alias(c) for c in FRENCH_COLUMN_MAP.values()]
+    df = spark.createDataFrame(
+        renamed[list(FRENCH_COLUMN_MAP.values())].astype(str)
     )
+    casts = {f.name: f.dataType for f in EMPLOYEES.fields}
+
+    def coerce(c: str):
+        if isinstance(casts[c], T.DateType):
+            serial = F.col(c).cast("double").cast("int")
+            return (
+                F.when(
+                    F.col(c).rlike("^[0-9]+(\\.0)?$"),
+                    F.date_add(F.lit("1899-12-30").cast("date"), serial),
+                )
+                .otherwise(F.col(c).cast("date"))
+                .alias(c)
+            )
+        if isinstance(casts[c], (T.IntegerType, T.LongType)):
+            # Route via double: Excel numerics surface as "50000.0", which
+            # a direct string->int cast would NULL.
+            return F.col(c).cast("double").cast(casts[c]).alias(c)
+        return F.col(c).cast(casts[c]).alias(c)
+
+    return df.select(*[coerce(c) for c in FRENCH_COLUMN_MAP.values()])

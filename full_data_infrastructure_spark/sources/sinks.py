@@ -108,8 +108,24 @@ def ensure_bucket(bucket: str) -> bool:
     client = boto3.client("s3")
     try:
         client.head_bucket(Bucket=bucket)
-    except Exception:  # missing or inaccessible: attempt creation
-        client.create_bucket(Bucket=bucket)
+        return True
+    except Exception as exc:
+        # Only a definitive "bucket does not exist" may fall through to
+        # creation; 403/timeout/etc. must surface, not trigger a doomed
+        # create that masks the real error.
+        code = ""
+        response = getattr(exc, "response", None)
+        if isinstance(response, dict):
+            code = str(response.get("Error", {}).get("Code", ""))
+        if code not in ("404", "NoSuchBucket", "NotFound") and "404" not in str(exc):
+            raise
+    region = getattr(getattr(client, "meta", None), "region_name", None)
+    kwargs = {"Bucket": bucket}
+    if region and region != "us-east-1":
+        # S3 rejects a bare create outside us-east-1 without the
+        # LocationConstraint matching the client's region.
+        kwargs["CreateBucketConfiguration"] = {"LocationConstraint": region}
+    client.create_bucket(**kwargs)
     return True
 
 

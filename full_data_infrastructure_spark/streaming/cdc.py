@@ -142,13 +142,28 @@ def reconcile_counts(spark: SparkSession, table_path: str, expected: int, fmt: s
 def latest_changes(
     changes: DataFrame, key: str, order_col: str = "ts_ms"
 ) -> DataFrame:
-    """Latest change per key within a batch (by ``order_col``, op-tiebroken
-    deterministically) — the shared pre-step of both the parquet
-    apply-overwrite path and the Delta MERGE path (MERGE requires a unique
-    source row per target key)."""
+    """Latest change per key within a batch — the shared pre-step of both
+    the parquet apply-overwrite path and the Delta MERGE path (MERGE
+    requires a unique source row per target key).
+
+    Ties on ``order_col`` (Debezium ts_ms is millisecond-grained; fast
+    successive ops share one) resolve by lifecycle stage — delete beats
+    update beats snapshot-read beats create — so a create+delete pair in
+    the same millisecond deletes rather than resurrecting the row
+    (lexicographic op order would keep the create). When the source
+    provides a true offset/LSN, pass it as ``order_col`` instead; the
+    stage tiebreak then only covers exact offset ties, which cannot
+    happen.
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col("op"))
+    op_stage = (
+        F.when(F.col("op") == "d", 0)
+        .when(F.col("op") == "u", 1)
+        .when(F.col("op") == "r", 2)
+        .otherwise(3)
+    )
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), op_stage)
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

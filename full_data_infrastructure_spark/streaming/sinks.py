@@ -217,10 +217,17 @@ def start_rollup_sink(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(partials_path, marker_name)
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replayed batch: already applied
+        # Migration: deployments created before the fence moved inside the
+        # table directory left it at "<path>_applied_batch"; honor it so an
+        # upgrade cannot re-enable the double-apply the fence prevents (new
+        # writes land at the in-table location).
+        legacy_marker = f"{partials_path.rstrip('/')}_applied_batch"
+        for candidate in (marker, legacy_marker):
+            if os.path.exists(candidate):
+                with open(candidate) as fh:
+                    if batch_id <= int(fh.read().strip()):
+                        return  # replayed batch: already applied
+                break
         spark = batch_df.sparkSession
         batch_partials = _stabilize(
             rollup_partials(

@@ -264,13 +264,14 @@ def test_twostar_matches_minlabel_on_known_and_random_graphs(spark):
     cases = [
         [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         [(i, i + 1) for i in range(12)],
+        # self-loop-only vertex 99 must survive as its own singleton
+        [(1, 2), (99, 99), (3, 3), (3, 4)],
     ]
     rng = random.Random(7)
     cases.append(
         [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
     )
     for edges in cases:
-        edges = [(a, b) for a, b in edges if a != b]
         assert labels_of(connected_components_twostar, edges) == labels_of(
             connected_components, edges
         ), edges

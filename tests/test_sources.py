@@ -254,12 +254,23 @@ def _write_minimal_xlsx(path, header, rows):
         z.writestr("xl/sharedStrings.xml", shared)
 
 
-def test_read_hr_excel_stdlib_fallback(spark, tmp_path):
-    """S5 end-to-end without openpyxl: decode a real-layout xlsx with the
-    stdlib reader, normalize French headers, land on the employees
-    schema with correct types."""
-    from full_data_infrastructure_spark.sources.excel import read_hr_excel
+def test_read_hr_excel_stdlib_fallback(spark, tmp_path, monkeypatch):
+    """S5 end-to-end on the stdlib decoder (pd.read_excel is forced to its
+    no-openpyxl ImportError so the fallback runs in ANY environment):
+    decode a real-layout xlsx, normalize French headers, land on the
+    employees schema with correct types — including date cells stored the
+    way real Excel stores them, as numeric serials."""
+    import datetime as _dt
 
+    import full_data_infrastructure_spark.sources.excel as excel_mod
+
+    def no_openpyxl(*args, **kwargs):
+        raise ImportError("Missing optional dependency 'openpyxl'")
+
+    monkeypatch.setattr(excel_mod.pd, "read_excel", no_openpyxl)
+
+    epoch = _dt.date(1899, 12, 30)
+    serial_birthday = (_dt.date(1990, 12, 10) - epoch).days
     path = str(tmp_path / "hr.xlsx")
     header = [
         "Matricule", "Prénom", "Nom", "Date de naissance", "Date d'embauche",
@@ -271,13 +282,14 @@ def test_read_hr_excel_stdlib_fallback(spark, tmp_path):
         path,
         header,
         [
-            [1, "Ada", "Lovelace", "1990-12-10", "2015-03-01", "R&amp;D",
+            # birthday as an Excel NUMERIC date serial; hire_date as ISO text
+            [1, "Ada", "Lovelace", serial_birthday, "2015-03-01", "R&amp;D",
              52000, "CDI", "12 rue X", "vélo", 25],
             [2, "Alan", "Turing", "1987-06-23", "2012-09-15", "IT",
              61000, "CDD", "3 avenue Y", "métro", 27],
         ],
     )
-    df = read_hr_excel(spark, path)
+    df = excel_mod.read_hr_excel(spark, path)
     assert [f.name for f in df.schema.fields] == [
         "id_employee", "first_name", "last_name", "birthday", "hire_date",
         "business_unity", "gross_salary", "constract_type", "address",
@@ -285,9 +297,11 @@ def test_read_hr_excel_stdlib_fallback(spark, tmp_path):
     ]
     rows = {r["id_employee"]: r for r in df.collect()}
     assert rows[1]["first_name"] == "Ada"
-    assert str(rows[1]["birthday"]) == "1990-12-10"
+    assert str(rows[1]["birthday"]) == "1990-12-10"  # decoded from the serial
+    assert str(rows[1]["hire_date"]) == "2015-03-01"
     assert rows[1]["gross_salary"] == 52000
     assert rows[2]["transport_mode"] == "métro"
+    assert str(rows[2]["birthday"]) == "1987-06-23"
     assert rows[2]["paid_leaved_days"] == 27
 
 
@@ -315,6 +329,16 @@ def test_ensure_bucket_drives_boto3_seam(monkeypatch):
     monkeypatch.setitem(sys.modules, "boto3", fake)
     assert sinks_mod.ensure_bucket("training-data") is True
     assert calls == [("head", "training-data"), ("create", "training-data")]
+
+    # A non-404 head failure (403, timeout) must surface, never trigger a
+    # doomed create that masks the real error.
+    class DeniedClient(FakeClient):
+        def head_bucket(self, Bucket):
+            raise Exception("AccessDenied")
+
+    fake.client = lambda service: DeniedClient()
+    with pytest.raises(Exception, match="AccessDenied"):
+        sinks_mod.ensure_bucket("training-data")
 
     monkeypatch.delitem(sys.modules, "boto3")
     monkeypatch.setattr(

@@ -81,6 +81,37 @@ def test_cdc_restart_is_exactly_once(spark, sf_dir, topic_dir, tmp_path):
     assert n1 == n2
 
 
+def test_latest_changes_same_ts_delete_beats_create(spark):
+    """Debezium ts_ms is millisecond-grained, so a create+delete pair for
+    one key can share a timestamp; the lifecycle tiebreak must let the
+    delete win — lexicographic op order ('c' < 'd') would resurrect the
+    deleted row through both the parquet and Delta MERGE paths."""
+    from full_data_infrastructure_spark.streaming.cdc import (
+        apply_cdc_batch,
+        latest_changes,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (7, "x", "c", 100),
+            (7, None, "d", 100),   # same ms as the create: delete wins
+            (8, "a", "c", 100),
+            (8, "b", "u", 100),    # same ms: update beats create
+            (9, "old", "u", 50),
+            (9, "new", "u", 60),   # later ts wins regardless of op
+        ],
+        "id bigint, v string, op string, ts_ms bigint",
+    )
+    latest = {r["id"]: r["op"] for r in latest_changes(changes, "id").collect()}
+    assert latest == {7: "d", 8: "u", 9: "u"}
+
+    snapshot = spark.createDataFrame([(9, "stale")], ["id", "v"])
+    applied = {
+        r["id"]: r["v"] for r in apply_cdc_batch(snapshot, changes, "id").collect()
+    }
+    assert applied == {8: "b", 9: "new"}  # 7 deleted, never resurrected
+
+
 def test_cdc_delete_stream_through_upsert_sink(spark, sf_dir, topic_dir, tmp_path):
     """Full c/r/u/d composition: the envelope stream (where 'error' events
     are Debezium deletes carrying their image in `before`) decoded with
