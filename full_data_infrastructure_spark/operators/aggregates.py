@@ -350,3 +350,49 @@ def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad_v", 2).alias("mad_value"),
         (F.col("adev") > 3 * F.col("mad_v")).alias("is_outlier"),
     )
+
+
+@register(
+    "winsorize_values",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 2) AS value,
+           ROUND(GREATEST(b.lo, LEAST(b.hi, e.value)), 2) AS winsorized,
+           (e.value < b.lo OR e.value > b.hi) AS was_clipped
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    WHERE e.value IS NOT NULL
+    """,
+    doc="Winsorization: clip each value into its group's [P5, P95] band — "
+    "the standard tail-taming transform before mean-based statistics, "
+    "complementing the MAD outlier FLAGS with an outlier REPAIR. Exact "
+    "linear-interpolated percentiles (both engines agree; rounding at "
+    "2 dp matches the stored precision), computed once per group and "
+    "broadcast onto a single fact pass.",
+    tags=("extension", "aggregate", "quality"),
+)
+def _winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return events.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.round(
+            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))), 2
+        ).alias("winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
