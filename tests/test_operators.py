@@ -248,3 +248,39 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     for r in both.collect():
         rel_err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
         assert rel_err < 0.05, (r["l_returnflag"], r["approx_parts"], r["exact_parts"])
+
+
+def test_simhash_banding_is_complete_for_hamming_bound(spark, sf_dir):
+    """The 4 x 16-bit banding must find EVERY pair within the Hamming<=3
+    bound (pigeonhole: 3 differing bits cannot touch all 4 bands), not
+    just a sample — verified against brute-force all-pairs Hamming on the
+    signature table."""
+    from pyspark.sql import functions as F
+
+    from full_data_infrastructure_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash_dedup_pairs,
+        simhash_signatures,
+    )
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_dedup_pairs(docs).collect()
+    }
+    assert banded == brute  # complete AND nothing beyond the bound
