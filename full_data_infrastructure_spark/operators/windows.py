@@ -311,3 +311,47 @@ def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         offset.alias("week_offset"),
     ).agg(F.countDistinct("user_id").alias("n_active"))
+
+
+@register(
+    "activity_heatmap",
+    """
+    SELECT (isodow(ts) - 1) AS weekday,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           event_type,
+           COUNT(*) AS n_events,
+           -- DECIMAL sum then one double division: order-independent and
+           -- bit-identical across engines (a double AVG + ROUND trips on
+           -- .xx5 representation ties)
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+    doc="Calendar heatmap feed (the Superset dashboard staple the "
+    "reference's analytics layer serves): event volume and mean value "
+    "by weekday x hour x type. Weekday uses the ISO convention "
+    "(0=Monday) on both engines — Spark weekday() == DuckDB isodow()-1; "
+    "one hash aggregate over codegen date parts, 7x24xtypes output rows "
+    "at any input scale.",
+    tags=("reference", "aggregate", "events", "dashboard"),
+)
+def _activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return (
+        events.groupBy(
+            F.weekday("ts").alias("weekday"),
+            F.hour("ts").cast("bigint").alias("hour_of_day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+    )
