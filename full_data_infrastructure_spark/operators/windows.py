@@ -355,3 +355,63 @@ def _activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+    per_user AS (
+        SELECT e.user_id,
+               CAST(date_diff('day', MAX(e.ts), ANY_VALUE(a.now_ts))
+                    AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM events e CROSS JOIN anchor a
+        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        GROUP BY e.user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= 7 AND frequency >= 5 THEN 'core'
+                WHEN recency_days <= 30 THEN 'active'
+                WHEN recency_days <= 60 THEN 'cooling'
+                ELSE 'dormant' END AS segment
+    FROM per_user
+    """,
+    doc="RFM segmentation (recency / frequency / monetary), the standard "
+    "user-value analytics the reference's dashboard layer serves: per "
+    "user, days since last purchase (anchored to the corpus max "
+    "timestamp, so the query is deterministic — no wall clock), purchase "
+    "count, DECIMAL-exact spend, and a rule-based segment. One aggregate "
+    "over the purchases plus a broadcast 1-row anchor; user_id is "
+    "high-cardinality so the shuffle partitions evenly.",
+    tags=("reference", "aggregate", "events", "dashboard"),
+)
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    anchor = events.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.any_value("now_ts"), F.max("ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    segment = (
+        F.when((F.col("recency_days") <= 7) & (F.col("frequency") >= 5), "core")
+        .when(F.col("recency_days") <= 30, "active")
+        .when(F.col("recency_days") <= 60, "cooling")
+        .otherwise("dormant")
+    )
+    return per_user.select(
+        "user_id", "recency_days", "frequency", "monetary", segment.alias("segment")
+    )
