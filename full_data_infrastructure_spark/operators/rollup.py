@@ -81,7 +81,7 @@ def with_avg(df: DataFrame) -> DataFrame:
     SELECT date_trunc('hour', ts) AS bucket,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events
@@ -89,12 +89,16 @@ def with_avg(df: DataFrame) -> DataFrame:
     """,
     doc="Hourly continuous-aggregate partials over events: count / decimal "
     "sum / min / max per (hour, event_type) — the stored layer of the "
-    "hypertable rollup.",
+    "hypertable rollup. The stored partial stays DECIMAL (order-independent "
+    "merge); only the FINAL projection casts to DOUBLE so both engines "
+    "materialize the same dtype (Spark Decimal vs DuckDB DECIMAL(38,2)->"
+    "float64 hash-differ even when cell values are identical).",
     tags=("rollup", "events"),
 )
 def _rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return rollup_partials(events, unit="hour")
+    partials = rollup_partials(events, unit="hour")
+    return partials.withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
 @register(
@@ -103,7 +107,7 @@ def _rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
@@ -125,7 +129,7 @@ def _rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket", "yyyy-MM-dd").alias("day"),
         "event_type",
         "n_events",
-        "sum_value",
+        F.col("sum_value").cast("double").alias("sum_value"),
         "min_value",
         "max_value",
         "avg_value",

@@ -10,6 +10,7 @@ first differing cell for debugging.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 import os
 from typing import Any
@@ -75,6 +76,46 @@ def _cells_equal(a: Any, b: Any) -> bool:
     return a == b
 
 
+def _repr_class(series: pd.Series) -> str:
+    """Coarse materialized-representation class of a result column.
+
+    The driver's value hash sees raw cell objects, so a column that
+    materializes as Python Decimal on one engine and float64 on the other
+    hash-differs even when every cell is numerically identical (the round-2
+    hypertable_rollup failure mode). Detect that divergence here, where the
+    cell-by-cell compare would otherwise paper over it.
+    """
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    if series.dtype == object:
+        for v in series:
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, float):
+                return "float"
+            if v is not None:
+                break
+    return "other"
+
+
+def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
+    """Return an error string if any shared column materializes as Decimal
+    on one side and float on the other (driver hash-red even when values
+    match). Fix pattern: CAST the final projection to DOUBLE on BOTH sides,
+    keeping DECIMAL internal where order-independence matters."""
+    for col in spark_pdf.columns:
+        if col not in duck_pdf.columns:
+            continue
+        s_cls, d_cls = _repr_class(spark_pdf[col]), _repr_class(duck_pdf[col])
+        if {s_cls, d_cls} == {"decimal", "float"}:
+            return (
+                f"representation mismatch in col '{col}': spark={s_cls} "
+                f"duckdb={d_cls} — driver value-hash will fail even if cells "
+                f"are equal; CAST the final projection to DOUBLE on both sides"
+            )
+    return None
+
+
 def compare(spark_df, duck_rel) -> tuple[bool, str]:
     spark_pdf = spark_df.toPandas()
     duck_pdf = duck_rel.fetchdf()
@@ -83,6 +124,9 @@ def compare(spark_df, duck_rel) -> tuple[bool, str]:
         return False, f"schema mismatch: spark={s_cols} duckdb={d_cols}"
     spark_pdf.columns = [c.lower() for c in spark_pdf.columns]
     duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
+    repr_err = check_repr_parity(spark_pdf, duck_pdf)
+    if repr_err is not None:
+        return False, repr_err
     if len(spark_pdf) != len(duck_pdf):
         return False, f"row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
     s_rows = normalize_frame(spark_pdf)

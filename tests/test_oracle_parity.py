@@ -51,6 +51,27 @@ def test_oracle_emits_no_hugeint(duck, name):
     assert not bad, f"{name}: oracle emits {bad} — CAST(... AS BIGINT) in the SQL"
 
 
+def test_repr_probe_catches_decimal_vs_float():
+    """The round-2 hypertable_rollup hash-red: Spark materializes DECIMAL
+    results as Python Decimal objects while DuckDB's widened DECIMAL(38,2)
+    fetches as float64 — cell-equal, hash-different. The parity compare must
+    reject that representation divergence, not paper over it."""
+    import decimal
+
+    import pandas as pd
+
+    from tests.oracle_check import check_repr_parity
+
+    spark_side = pd.DataFrame({"sum_value": [decimal.Decimal("119.69"), None]})
+    duck_side = pd.DataFrame({"sum_value": [119.69, float("nan")]})
+    err = check_repr_parity(spark_side, duck_side)
+    assert err is not None and "sum_value" in err
+    # Both-double is fine.
+    assert check_repr_parity(duck_side, duck_side.copy()) is None
+    # Both-decimal is fine too (driver hashes equal objects equally).
+    assert check_repr_parity(spark_side, spark_side.copy()) is None
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_executes(spark, sf_dir, name):
     q = registry.REGISTRY[name]
