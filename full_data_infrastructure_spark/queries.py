@@ -70,67 +70,68 @@ def bench_queries() -> dict[str, QueryBuilder]:
 _LOADED = False
 
 # The external verify driver attests exactly the FIRST 50 registered queries
-# (dict insertion order).  Import order alone left 36/86 queries — including
-# ``flagship_benefits`` — without a correctness row in round 1, so the
-# registry is explicitly re-ordered after loading: this window lists, in
-# priority order, the flagship queries, every query that lacked a round-1
-# attestation, and one representative per SURVEY §2 / LLM family whose
-# remaining variants were already attested (those variants follow after the
-# window, keeping their earlier green rows as their evidence).
+# (dict insertion order), so the registry is explicitly re-ordered after
+# loading and the window ROTATES each round: queries that already hold a
+# green correctness row from an earlier round move past the cap (their rows
+# persist as evidence) to make room for queries that have none yet.  The
+# window always keeps: the flagship queries first, every query whose
+# builder or oracle changed since its last attestation, every benched
+# query (the graded perf set should stay value-attested), and at least one
+# representative per operator-family tag (enforced by
+# tests/test_registry_order.py).
+#
+# Round-3 rotation: in come the 13 round-2 additions that registered past
+# the cap (packing/chunking/containment/drift/MAD/heatmap/RFM — all locally
+# oracle-green at sf0.001+sf0.01, judge-verified but never driver-attested),
+# the two repaired rollup queries, and the round-3 additions; out go the
+# round-2-green single-family variants (subqueries, text variants, window
+# variants, vector norms...), which keep their CORRECTNESS_r02 rows.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
     "flagship_benefits",
     "bu_salary_dashboard",
-    # Previously-unattested: sorts/limits, set ops, reshape, rollup, subqueries.
-    "ordered_limit",
-    "set_union_except_intersect",
-    "distinct_projection",
-    "pivot_event_counts",
-    "unpivot_lineitem",
-    "ntile_price_quartiles",
+    # Repaired this round (Decimal-vs-float64 representation fix): need
+    # fresh rows to turn their r2 reds green.
     "hypertable_rollup_hourly",
     "hypertable_rollup_merge",
-    "scalar_subquery_filter",
-    "exists_subquery",
-    "not_exists_subquery",
-    "in_subquery",
-    # Previously-unattested: similarity / vector.
+    # Round-2 additions never driver-attested (the rotation's payload).
+    "mad_outliers",
+    "winsorize_values",
+    "dup_span_signal",
+    "dedup_containment",
+    "multimodal_payload_dedup",
+    "pack_sequences",
+    "c4_quality_filters",
+    "chunk_documents",
+    "corpus_pipeline",
+    "pack_bin_stats",
+    "embedding_lang_drift",
+    "activity_heatmap",
+    "rfm_segments",
+    # Builder changed this round: two-star CC path wired in.
+    "dedup_cluster_cc",
+    # Benched queries: the graded perf set stays value-attested.
     "knn_bruteforce",
-    "knn_lsh",
-    "knn_ivf",
-    "vector_norms",
-    "embedding_quantize_int8",
-    # Previously-unattested: text analysis.
     "text_stats",
-    "lang_id",
-    "lang_id_trigram",
-    "quality_score",
-    "fingerprint_md5",
-    "rolling_hash_fingerprint",
-    "vocab_topk",
-    "tfidf_top_token",
-    # Previously-unattested: windows / sessions / funnels.
-    "window_rank_topn",
-    "window_dedup_latest",
     "window_moving_avg",
-    "window_running_total",
-    "window_lag_delta",
-    "sessionize_batch",
-    "funnel_conversion",
-    "cohort_retention",
-    # Previously-unattested: CDC decode surface.
-    "debezium_roundtrip",
-    # Family representatives already attested in round 1 (kept inside the
-    # window so every family — by tag — stays continuously attested; their
-    # sibling variants past the cap keep their round-1 green rows).
     "topk_group_count",
     "asof_join",
-    "range_join",
     "dedup_minhash_lsh",
-    "dedup_cluster_cc",
-    "decontaminate_overlap",  # oracle dtype fixed; needs a fresh green row
-    "mixture_sample",  # covers curation/sampling + the new packing family
+    "decontaminate_overlap",
+    "multi_aggregate",
+    "dedup_survivors",
+    "join_dim_snowflake",
+    # Family-tag representatives (siblings past the cap keep their r1/r2
+    # green rows).
+    "set_union_except_intersect",
+    "distinct_projection",
+    "ntile_price_quartiles",
+    "exists_subquery",
+    "sessionize_batch",
+    "debezium_roundtrip",
+    "range_join",
+    "mixture_sample",
     "multimodal_decode",
     "validation_suite",
     "masked_projection",
@@ -138,6 +139,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "case_flag_arithmetic",
     "enrichment_distance",
     "generator_activities",
+    # Approximate-ANN representatives (rows-only by design; recall floors
+    # pytest-asserted).
+    "knn_lsh",
+    "knn_ivf",
+    # Rotation slack: already-green representatives that swap out for new
+    # round-3 queries as those land.
+    "pivot_event_counts",
+    "funnel_conversion",
+    "cohort_retention",
+    "ordered_limit",
+    "window_rank_topn",
 )
 
 
