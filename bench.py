@@ -46,10 +46,16 @@ def main() -> None:
     for t in ("lineitem", "documents", "events", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
+    from full_data_infrastructure_spark.cache import release_persisted
+
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     for name, build in bench.items():
         best, n = None, 0
         for _ in range(repeats):
+            # Each repeat rebuilds the query from scratch, so caches an
+            # earlier repeat persisted are dead weight — release them
+            # before timing, not during.
+            release_persisted()
             start = time.perf_counter()
             df = build(spark, sf_dir)
             n = df.count()

@@ -143,13 +143,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pytest-asserted).
     "knn_lsh",
     "knn_ivf",
+    # New in round 3.
+    "dedup_survivors_lsh",
     # Rotation slack: already-green representatives that swap out for new
     # round-3 queries as those land.
     "pivot_event_counts",
     "funnel_conversion",
     "cohort_retention",
     "ordered_limit",
-    "window_rank_topn",
 )
 
 

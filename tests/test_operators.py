@@ -284,3 +284,30 @@ def test_simhash_banding_is_complete_for_hamming_bound(spark, sf_dir):
         (r["doc_a"], r["doc_b"]) for r in simhash_dedup_pairs(docs).collect()
     }
     assert banded == brute  # complete AND nothing beyond the bound
+
+
+def test_lsh_survivors_superset_of_exact_and_agree(spark):
+    """dedup_survivors_lsh vs dedup_survivors at the driver's sf0.01.
+
+    The verified LSH pair set is a subset of the exact pair set (the
+    Jaccard verification guarantees precision; banding only loses edges),
+    so LSH components REFINE exact components and each exact survivor —
+    the minimum of its exact component — is still the minimum of its LSH
+    sub-component. Superset is therefore a hard guarantee, not a
+    statistic; agreement >= 0.95 bounds how many extra (missed-merge)
+    survivors the sketch admits.
+    """
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {
+        r["doc_id"] for r in REGISTRY["dedup_survivors"].build(spark, sf_dir).collect()
+    }
+    lsh = {
+        r["doc_id"]
+        for r in REGISTRY["dedup_survivors_lsh"].build(spark, sf_dir).collect()
+    }
+    assert lsh >= exact, f"{len(exact - lsh)} exact survivors dropped by LSH"
+    agreement = len(exact) / len(lsh)
+    assert agreement >= 0.95, f"survivor agreement {agreement:.3f} < 0.95"

@@ -51,6 +51,7 @@ def test_window_queries_are_oracle_checked_where_possible():
     oracle (approximate sketches whose output is engine-specific)."""
     rows_only_by_design = {
         "dedup_minhash_lsh",
+        "dedup_survivors_lsh",
         "knn_lsh",
         "knn_ivf",
         "rolling_hash_fingerprint",
