@@ -198,9 +198,12 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(order_w)
+    # Interval comparison (not epoch-long casts): works for both TIMESTAMP
+    # and TIMESTAMP_NTZ inputs — NTZ -> BIGINT is an illegal cast in Spark 4 —
+    # and mirrors the oracle SQL verbatim.
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

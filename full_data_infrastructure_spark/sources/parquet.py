@@ -44,8 +44,16 @@ def load_table(
         # vanilla session — the legacy conf is runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.format(fmt).load(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet read as int64 under nanosAsLong.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # tz-less parquet timestamp[us] loads as TIMESTAMP_NTZ in Spark 4;
+            # normalize so every events consumer (batch windows + streaming
+            # twins) sees one type however the testdata was generated.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

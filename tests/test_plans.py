@@ -225,7 +225,13 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
     * genuinely iterative builders (connected components) must materialize
       each iteration via ``localCheckpoint`` — exempted by name.
     """
-    iterative_by_design = {"dedup_cluster_cc", "dedup_survivors", "corpus_pipeline"}
+    iterative_by_design = {
+        "dedup_cluster_cc",
+        "dedup_survivors",
+        "dedup_survivors_lsh",
+        "corpus_pipeline",
+        "corpus_pipeline_lsh",
+    }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     eager = {}
