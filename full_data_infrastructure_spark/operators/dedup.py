@@ -492,15 +492,17 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_cc",
     _cc_oracle_sql(),
     doc="Near-dup cluster resolution: connected components over the exact "
-    "n-gram-Jaccard pair graph (min-label propagation; recursive-CTE "
-    "oracle). Emits (doc_id, cluster_id, is_keeper) — the step that turns "
-    "pairwise dedup output into a keep/drop decision per document.",
+    "n-gram-Jaccard pair graph via alternating large-star/small-star "
+    "rounds (the O(log^2 n) 100 TB path; recursive-CTE oracle — labels "
+    "proven identical to min-label propagation by tests). Emits "
+    "(doc_id, cluster_id, is_keeper) — the step that turns pairwise "
+    "dedup output into a keep/drop decision per document.",
     tags=("llm", "dedup"),
 )
 def _dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    labels = connected_components(pairs)
+    labels = connected_components_twostar(pairs)
     return labels.select(
         F.col("id").alias("doc_id"),
         "cluster_id",
@@ -748,7 +750,15 @@ def connected_components_twostar(
     # working edge set derive from this checkpoint, so an expensive
     # upstream (the whole MinHash pipeline in dedup_survivors_lsh) is not
     # computed twice.
-    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    # All checkpoints here are LAZY (eager=False): the one fingerprint
+    # collect per round is then the round's single driver-blocking action,
+    # driving materialization of the whole round chain — versus three
+    # blocking pauses (two eager checkpoints + the collect) per round.
+    # Lineage is still truncated: the collect computes-and-caches each
+    # checkpointed RDD before the next round builds on it.
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=False
+    )
     # Vertices come from the RAW pair set: a vertex whose only edge is a
     # self-loop must still appear in the output (as its own singleton
     # cluster), exactly as min-label propagation reports it. Lazy — only
@@ -768,7 +778,7 @@ def connected_components_twostar(
             F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def neighborhood_min(pairs: DataFrame) -> DataFrame:
@@ -778,24 +788,58 @@ def connected_components_twostar(
             F.least(F.min("d"), F.first("s")).alias("m")
         )
 
-    def fingerprint(pairs: DataFrame) -> tuple:
-        """One-job change detector for the round loop: edge count plus two
-        independent 64-bit hash sums (order-insensitive). Cheaper than the
-        two full exceptAll shuffles it replaces — a missed change needs a
-        simultaneous collision in count and both sums across adjacent
-        rounds (~2^-128), far below the hardware error rate.
+    def is_star_forest(pairs: DataFrame) -> bool:
+        """Direct fixpoint test, one probe job per round (no confirmation
+        round): both star operations preserve the (greater -> smaller)
+        edge orientation, under which a fixpoint is exactly a star forest
+        — no vertex is both a source and a destination, and every source
+        has a single destination (= its star's root, which the orientation
+        forces to be the component minimum). Probing the structure instead
+        of comparing fingerprints across rounds means an already-star-
+        shaped input (the common mostly-2-vertex near-dup graph) exits
+        with ZERO rounds, and convergence never needs a confirm round.
         """
-        row = pairs.agg(
-            F.count(F.lit(1)),
-            # DECIMAL(38,0) partials: a BIGINT sum of 64-bit hashes
-            # overflows (and ANSI mode rightly refuses it).
-            F.sum(F.xxhash64("s", "d").cast("decimal(38,0)")),
-            F.sum(F.xxhash64("d", "s", F.lit(1)).cast("decimal(38,0)")),
-        ).collect()[0]
-        return tuple(row)
+        row = (
+            pairs.select(
+                F.col("s").alias("v"),
+                F.lit(1).alias("as_src"),
+                F.lit(0).alias("as_dst"),
+            )
+            .union(
+                pairs.select(
+                    F.col("d").alias("v"),
+                    F.lit(0).alias("as_src"),
+                    F.lit(1).alias("as_dst"),
+                )
+            )
+            .groupBy("v")
+            .agg(
+                F.max("as_src").alias("src"),
+                F.max("as_dst").alias("dst"),
+                F.sum("as_src").alias("out_deg"),
+            )
+            .agg(
+                F.count(
+                    F.when((F.col("src") == 1) & (F.col("dst") == 1), 1)
+                ).alias("both_roles"),
+                F.max(F.when(F.col("src") == 1, F.col("out_deg"))).alias(
+                    "max_out"
+                ),
+            )
+            .collect()[0]
+        )
+        return row["both_roles"] == 0 and (
+            row["max_out"] is None or row["max_out"] <= 1
+        )
 
-    fp = fingerprint(e)
-    for _ in range(max_iterations):
+    converged = is_star_forest(e)
+    rounds = 0
+    while not converged:
+        if rounds >= max_iterations:
+            raise RuntimeError(
+                f"connected_components_twostar did not converge within "
+                f"{max_iterations} rounds"
+            )
         # Large-star: every neighbor v > u re-points to u's neighborhood min.
         m = neighborhood_min(e)
         sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -805,7 +849,7 @@ def connected_components_twostar(
             .select(F.col("d").alias("s"), F.col("m").alias("d"))
             .filter(F.col("s") != F.col("d"))
         )
-        e2 = large.distinct().localCheckpoint()
+        e2 = large.distinct().localCheckpoint(eager=False)
 
         # Small-star: neighbors v <= u (and u itself) re-point to the min.
         m2 = neighborhood_min(e2)
@@ -824,16 +868,9 @@ def connected_components_twostar(
             .filter(F.col("s") != F.col("d"))
             .distinct()
         )
-        e = small.localCheckpoint()
-        new_fp = fingerprint(e)
-        if new_fp == fp:
-            break
-        fp = new_fp
-    else:
-        raise RuntimeError(
-            f"connected_components_twostar did not converge within "
-            f"{max_iterations} rounds"
-        )
+        e = small.localCheckpoint(eager=False)
+        converged = is_star_forest(e)
+        rounds += 1
 
     # Fixpoint is a star forest: every non-root points at its component min.
     labels = e.groupBy("s").agg(F.min("d").alias("cluster_id")).select(
