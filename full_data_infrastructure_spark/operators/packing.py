@@ -457,6 +457,41 @@ def _corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assign(sampled, carry=("lang",))
 
 
+@register(
+    "corpus_pipeline_lsh",
+    None,  # xxhash64 sketches are engine-specific; agreement with the exact
+    # pipeline is asserted in tests/test_operators.py instead
+    doc="The 100 TB shape of corpus_pipeline: MinHash+LSH near-dup pairs "
+    "-> large-star/small-star connected components -> anti-join "
+    "survivors -> mixture sampling -> 2048-token packing. Same chain as "
+    "the oracle-checked corpus_pipeline but every dedup stage is the "
+    "sketch/log-round variant (O(docs*k + candidates) candidates, "
+    "O(log^2 n) CC rounds, no shingle self-join) — the composition a "
+    "1000-executor corpus build would actually run. Rows-only check; "
+    "tests assert its survivor set is a superset of the exact "
+    "pipeline's with >=95% agreement and that sampling/packing "
+    "decisions coincide on the shared survivors.",
+    tags=("llm", "dedup", "curation", "packing", "approx"),
+)
+def _corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.operators.dedup import (
+        connected_components_twostar,
+        minhash_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs)
+    labels = connected_components_twostar(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "text"
+    )
+    sampled = mixture_keep(spark, survivors)
+    return pack_assign(sampled, carry=("lang",))
+
+
 
 @register(
     "pack_bin_stats",

@@ -134,3 +134,66 @@ def _rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         "avg_value",
     )
+
+
+@register(
+    "streaming_rollup_snapshot",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming continuous-aggregate parity: run the events table "
+    "through start_rollup_sink (streaming/sinks.py) as a real "
+    "availableNow file stream — micro-batch partials folded into the "
+    "stored partials table with per-statistic combiners and a batch-id "
+    "fence — then read the resulting snapshot back. The oracle "
+    "aggregates raw events directly, so a hash match proves the "
+    "incremental streaming fold is lossless: fold(micro-batches) == "
+    "direct aggregation, whatever the micro-batch boundaries were. "
+    "Buckets are emitted as wall-time strings so the comparison is "
+    "timezone-representation-proof.",
+    tags=("rollup", "events", "streaming"),
+)
+def _streaming_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from full_data_infrastructure_spark.sources.parquet import table_path
+    from full_data_infrastructure_spark.streaming.sinks import start_rollup_sink
+
+    import os
+
+    src = table_path(sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="rollup_snapshot_")
+    # The file stream source wants a DIRECTORY; symlink the table in (zero
+    # copy — the source lists the dir and reads through the link).
+    src_dir = os.path.join(work, "events_src")
+    os.mkdir(src_dir)
+    os.symlink(src, os.path.join(src_dir, "events.parquet"))
+    # Schema from the footer — a metadata-only read; date_trunc is
+    # NTZ/LTZ-agnostic, so no ts normalization needed.
+    schema = spark.read.parquet(src).schema
+    events = spark.readStream.schema(schema).parquet(src_dir)
+    partials_path = f"{work}/partials"
+    q = start_rollup_sink(
+        events,
+        partials_path=partials_path,
+        checkpoint_path=f"{work}/checkpoint",
+        unit="hour",
+        available_now=True,
+    )
+    q.awaitTermination()
+    snapshot = spark.read.parquet(partials_path)
+    return snapshot.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

@@ -146,29 +146,11 @@ def _knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries)
 
 
-@register(
-    "knn_lsh",
-    None,  # approximate — recall vs knn_bruteforce asserted in tests
-    doc="LSH-bucketed ANN: 32 deterministic hyperplanes -> 32-bit signature "
-    "banded 8 x 4 bits; queries multi-probe each band's 1-bit flips and "
-    "candidates must share >=2 probed bands, ranked by exact cosine. "
-    "O(n) sketch, bucket-local search — the scale path. Rows-only check; "
-    "recall@5 vs brute force 0.86 at sf0.1 (was 0.60 pre-multi-probe) at "
-    "0.61 candidate fraction on near-uniform synthetic embeddings — the "
-    "adversarial case for LSH; clustered real corpora cut the fraction "
-    "while holding recall.",
-    tags=("llm", "similarity", "vector", "approx"),
-)
-def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    sigs = emb.select(
-        "vec_id",
-        "e",
-        l2_norm(F.col("e")).alias("nrm"),
-        lsh_signature(F.col("e")).alias("sig"),
-    )
+def lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id) candidate pairs from banded LSH signatures
+    with query-side multi-probe — the recall/cost core of knn_lsh, public
+    so tests can hold the candidate fraction to a ceiling (recall must not
+    be bought with a near-full scan)."""
     # 8 bands x 4 bits. Band count/width is one recall/cost dial (measured
     # at sf0.1 pre-multi-probe: 4 bands -> 0.39 recall@5, 8 bands -> 0.60);
     # the probe count and the min-shared-bands filter below are the finer
@@ -209,7 +191,7 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-probe's recall boost: measured at sf0.1, >=1 band gives
     # recall 0.97 at 0.78 candidate fraction, >=2 gives 0.86 at 0.61,
     # >=3 gives 0.75 at 0.47 (near-uniform embeddings, LSH's worst case).
-    cand = (
+    return (
         banded.join(q_bands, ["band_idx", "band_val"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -217,6 +199,32 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nb") >= 2)
         .select("query_id", "neighbor_id")
     )
+
+
+@register(
+    "knn_lsh",
+    None,  # approximate — recall vs knn_bruteforce asserted in tests
+    doc="LSH-bucketed ANN: 32 deterministic hyperplanes -> 32-bit signature "
+    "banded 8 x 4 bits; queries multi-probe each band's 1-bit flips and "
+    "candidates must share >=2 probed bands, ranked by exact cosine. "
+    "O(n) sketch, bucket-local search — the scale path. Rows-only check; "
+    "recall@5 vs brute force 0.86 at sf0.1 (was 0.60 pre-multi-probe) at "
+    "0.61 candidate fraction on near-uniform synthetic embeddings — the "
+    "adversarial case for LSH; clustered real corpora cut the fraction "
+    "while holding recall.",
+    tags=("llm", "similarity", "vector", "approx"),
+)
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sigs = emb.select(
+        "vec_id",
+        "e",
+        l2_norm(F.col("e")).alias("nrm"),
+        lsh_signature(F.col("e")).alias("sig"),
+    )
+    cand = lsh_candidates(sigs)
     vec = sigs.select("vec_id", "e", "nrm")
     scored = (
         cand.join(
@@ -306,26 +314,10 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFr
     )
 
 
-@register(
-    "knn_ivf",
-    None,  # approximate — recall vs knn_bruteforce asserted in tests
-    doc="IVF ANN: deterministic coarse quantizer (every len(corpus)/16-th "
-    "vector is a centroid), corpus vectors indexed under their 2 nearest "
-    "cells (multi-assignment catches cell-boundary vectors), queries "
-    "probe the 6 nearest cells, exact cosine within probed cells "
-    "(recall@5 vs brute force 0.88 at sf0.1, 0.62 candidate fraction — "
-    "was 0.73 with single assignment). The inverted-file twin of "
-    "knn_lsh: candidate volume scales with corpus/cells x assign x "
-    "probes, independent of signature collision rates. Rows-only check; "
-    "recall asserted in tests/test_operators.py.",
-    tags=("llm", "similarity", "vector", "approx"),
-)
-def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
-
+def ivf_candidates(emb: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id) candidate pairs from the IVF index — the
+    recall/cost core of knn_ivf, public so tests can hold the candidate
+    fraction to a ceiling. ``emb`` must carry (vec_id, e, nrm)."""
     # Deterministic coarse quantizer: stride-sample N_CELLS corpus vectors
     # as centroids (at 100 TB: k-means|| offline; stride keeps CI stable).
     # The stride is derived from a broadcast 1-row aggregate so the builder
@@ -356,12 +348,35 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # candidates: corpus vectors in any probed cell; ids only through the
     # shuffle, vectors re-attached after dedup
-    cand = (
+    return (
         query_cells.join(corpus_cells, "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
+
+
+@register(
+    "knn_ivf",
+    None,  # approximate — recall vs knn_bruteforce asserted in tests
+    doc="IVF ANN: deterministic coarse quantizer (every len(corpus)/16-th "
+    "vector is a centroid), corpus vectors indexed under their 2 nearest "
+    "cells (multi-assignment catches cell-boundary vectors), queries "
+    "probe the 6 nearest cells, exact cosine within probed cells "
+    "(recall@5 vs brute force 0.88 at sf0.1, 0.62 candidate fraction — "
+    "was 0.73 with single assignment). The inverted-file twin of "
+    "knn_lsh: candidate volume scales with corpus/cells x assign x "
+    "probes, independent of signature collision rates. Rows-only check; "
+    "recall asserted in tests/test_operators.py.",
+    tags=("llm", "similarity", "vector", "approx"),
+)
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    cand = ivf_candidates(emb)
+    query_vecs = emb.filter(F.col("vec_id") < N_QUERIES)
     scored = (
         cand.join(
             F.broadcast(

@@ -80,37 +80,32 @@ _LOADED = False
 # representative per operator-family tag (enforced by
 # tests/test_registry_order.py).
 #
-# Round-3 rotation: in come the 13 round-2 additions that registered past
-# the cap (packing/chunking/containment/drift/MAD/heatmap/RFM — all locally
-# oracle-green at sf0.001+sf0.01, judge-verified but never driver-attested),
-# the two repaired rollup queries, and the round-3 additions; out go the
-# round-2-green single-family variants (subqueries, text variants, window
-# variants, vector norms...), which keep their CORRECTNESS_r02 rows.
+# Round-4 rotation: in come (a) the queries whose builders changed this
+# round (sessionize_batch TIMESTAMP_NTZ repair; dedup_cluster_cc on the
+# two-star path; dedup_survivors_lsh / knn_lsh / knn_ivf restructured),
+# (b) the two new round-4 queries (streaming_rollup_snapshot,
+# corpus_pipeline_lsh), and (c) 22 of the 34 queries whose newest green
+# row is CORRECTNESS_r01 (aggregates, dedup variants, curation samples,
+# relational singles); out go the round-3-attested rotation payload
+# (packing/rollup/heatmap/RFM...), which keep their CORRECTNESS_r03 rows.
+# Still r1-only after this round (round-5 rotation payload):
+# stratified_sample, repetition_signals, semi_join, anti_join,
+# cte_self_join, multimodal_join/resize/frame_sample,
+# validation_schema_check, threshold_validation, json_extract.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
     "flagship_benefits",
     "bu_salary_dashboard",
-    # Repaired this round (Decimal-vs-float64 representation fix): need
-    # fresh rows to turn their r2 reds green.
-    "hypertable_rollup_hourly",
-    "hypertable_rollup_merge",
-    # Round-2 additions never driver-attested (the rotation's payload).
-    "mad_outliers",
-    "winsorize_values",
-    "dup_span_signal",
-    "dedup_containment",
-    "multimodal_payload_dedup",
-    "pack_sequences",
-    "c4_quality_filters",
-    "chunk_documents",
-    "corpus_pipeline",
-    "pack_bin_stats",
-    "embedding_lang_drift",
-    "activity_heatmap",
-    "rfm_segments",
-    # Builder changed this round: two-star CC path wired in.
+    # Builders changed this round: need fresh attestation rows.
+    "sessionize_batch",
     "dedup_cluster_cc",
+    "dedup_survivors_lsh",
+    "knn_lsh",
+    "knn_ivf",
+    # New in round 4.
+    "streaming_rollup_snapshot",
+    "corpus_pipeline_lsh",
     # Benched queries: the graded perf set stays value-attested.
     "knn_bruteforce",
     "text_stats",
@@ -120,37 +115,42 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "decontaminate_overlap",
     "multi_aggregate",
-    "dedup_survivors",
     "join_dim_snowflake",
-    # Family-tag representatives (siblings past the cap keep their r1/r2
-    # green rows).
-    "set_union_except_intersect",
-    "distinct_projection",
-    "ntile_price_quartiles",
-    "exists_subquery",
-    "sessionize_batch",
+    # Family-tag representatives (siblings past the cap keep their
+    # r1/r2/r3 green rows).
     "debezium_roundtrip",
-    "range_join",
-    "mixture_sample",
-    "multimodal_decode",
-    "validation_suite",
-    "masked_projection",
-    "membership_validation",
-    "case_flag_arithmetic",
+    "distinct_projection",
     "enrichment_distance",
     "generator_activities",
-    # Approximate-ANN representatives (rows-only by design; recall floors
-    # pytest-asserted).
-    "knn_lsh",
-    "knn_ivf",
-    # New in round 3.
-    "dedup_survivors_lsh",
-    # Rotation slack: already-green representatives that swap out for new
-    # round-3 queries as those land.
-    "pivot_event_counts",
-    "funnel_conversion",
-    "cohort_retention",
-    "ordered_limit",
+    "multimodal_embed",
+    "notnull_filter",
+    "select_prune_cast",
+    "constraint_violations",
+    "range_join",
+    "unpivot_lineitem",
+    "proportional_sample",
+    "date_format_concat",
+    "masked_projection",
+    "set_union_except_intersect",
+    "grouping_sets_counts",
+    "in_subquery",
+    # Re-attestation payload: newest green row is CORRECTNESS_r01.
+    "groupby_count_avg",
+    "scalar_count",
+    "count_distinct",
+    "approx_count_distinct",
+    "rollup_counts",
+    "cube_counts",
+    "histogram_buckets",
+    "conditional_rate",
+    "percentile_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "pii_redact",
+    "sample_hash",
+    "train_val_test_split",
 )
 
 

@@ -70,6 +70,12 @@ def test_simhash_finds_exact_dups(near_dup_docs):
 
 
 def test_knn_lsh_recall(spark, sf_dir):
+    from full_data_infrastructure_spark.operators.similarity import (
+        N_QUERIES,
+        l2_norm,
+        lsh_candidates,
+        lsh_signature,
+    )
     from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
@@ -80,10 +86,25 @@ def test_knn_lsh_recall(spark, sf_dir):
     recall = len(truth & approx) / len(truth)
     # Deterministic (LCG hyperplanes): measured 0.78 / 0.84 / 0.86 at
     # sf0.001 / 0.01 / 0.1 with query-side multi-probe + >=2-band filter.
-    # Random 64-d vectors are LSH's worst case; 0.70 is the floor with
+    # Random 64-d vectors are LSH's worst case; 0.75 is the floor with
     # margin across every SF this suite runs at.
-    assert recall >= 0.70, f"knn_lsh recall {recall:.2f}"
+    assert recall >= 0.75, f"knn_lsh recall {recall:.2f}"
     assert all(q < 20 for q, _ in approx)
+    # Recall must not be bought with a near-full scan: the candidate set
+    # (measured 0.58-0.61 of all query-corpus pairs on near-uniform
+    # embeddings, LSH's worst case) stays under a 0.70 ceiling.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n_corpus = emb.count()
+    sigs = emb.select(
+        "vec_id",
+        "e",
+        l2_norm(F.col("e")).alias("nrm"),
+        lsh_signature(F.col("e")).alias("sig"),
+    )
+    frac = lsh_candidates(sigs).count() / (N_QUERIES * (n_corpus - 1))
+    assert frac <= 0.70, f"knn_lsh candidate fraction {frac:.2f}"
 
 
 def test_quality_suite_failure_raises(spark, sf_dir):
@@ -163,9 +184,15 @@ def test_knn_bruteforce_is_symmetric_sane(spark, sf_dir):
 
 def test_knn_ivf_recall(spark, sf_dir):
     """IVF with 2-cell corpus multi-assignment probes 6/16 cells.
-    Deterministic (stride centroids): full-top-5 recall measured
-    0.88 / 0.85 / 0.88 at sf0.001 / 0.01 / 0.1 — 0.75 is the floor with
-    margin; top-1 survivors are strictly easier, so hold them to it too."""
+    Deterministic (stride centroids): top-1 recall measured 0.90 / 0.90 /
+    0.90 at sf0.001 / 0.01 / 0.1 — 0.84 is the floor with margin — at a
+    measured 0.62 candidate fraction, held under a 0.70 ceiling so recall
+    can't silently be bought with a near-full scan."""
+    from full_data_infrastructure_spark.operators.similarity import (
+        N_QUERIES,
+        ivf_candidates,
+        l2_norm,
+    )
     from full_data_infrastructure_spark.queries import REGISTRY
 
     exact = REGISTRY["knn_bruteforce"].build(spark, sf_dir).collect()
@@ -173,7 +200,15 @@ def test_knn_ivf_recall(spark, sf_dir):
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact if r["rnk"] == 1}
     approx = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.75, f"knn_ivf recall {recall:.2f}"
+    assert recall >= 0.84, f"knn_ivf recall {recall:.2f}"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    n_corpus = emb.count()
+    frac = ivf_candidates(emb).count() / (N_QUERIES * (n_corpus - 1))
+    assert frac <= 0.70, f"knn_ivf candidate fraction {frac:.2f}"
     # every returned neighbor must be scored correctly: spot check one query
     exact_scores = {
         (r["query_id"], r["neighbor_id"]): r["cos"] for r in exact
@@ -311,3 +346,35 @@ def test_lsh_survivors_superset_of_exact_and_agree(spark):
     assert lsh >= exact, f"{len(exact - lsh)} exact survivors dropped by LSH"
     agreement = len(exact) / len(lsh)
     assert agreement >= 0.95, f"survivor agreement {agreement:.3f} < 0.95"
+
+
+def test_corpus_pipeline_lsh_agrees_with_exact(spark):
+    """corpus_pipeline_lsh vs corpus_pipeline at the driver's sf0.01.
+
+    The LSH pipeline's SURVIVOR set is a strict superset of the exact
+    pipeline's (the refinement argument tested on dedup_survivors_lsh),
+    but mixture rates derive from per-lang survivor counts, so the extra
+    LSH survivors can step a language's keep-rate down by a 1/256
+    granule and drop a handful of boundary-hash docs the exact pipeline
+    kept. The packed outputs therefore agree to >=95% Jaccard with only
+    a small one-sided loss allowed, rather than strict superset —
+    membership-level agreement, not bin assignment (extra survivors
+    legitimately shift packing offsets)."""
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {
+        r["doc_id"]
+        for r in REGISTRY["corpus_pipeline"].build(spark, sf_dir).collect()
+    }
+    lsh = {
+        r["doc_id"]
+        for r in REGISTRY["corpus_pipeline_lsh"].build(spark, sf_dir).collect()
+    }
+    missing = len(exact - lsh)
+    assert missing <= max(2, 0.02 * len(exact)), (
+        f"{missing} exact-pipeline docs missing from LSH pipeline"
+    )
+    jaccard = len(exact & lsh) / len(exact | lsh)
+    assert jaccard >= 0.95, f"packed-doc agreement {jaccard:.3f} < 0.95"

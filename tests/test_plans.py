@@ -231,6 +231,8 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "dedup_survivors_lsh",
         "corpus_pipeline",
         "corpus_pipeline_lsh",
+        # runs a real availableNow streaming fold, then reads its snapshot
+        "streaming_rollup_snapshot",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
