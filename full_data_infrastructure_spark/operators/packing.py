@@ -472,6 +472,7 @@ def _corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline's with >=95% agreement and that sampling/packing "
     "decisions coincide on the shared survivors.",
     tags=("llm", "dedup", "curation", "packing", "approx"),
+    bench=True,  # the full training-corpus pipeline in its 100 TB shape
 )
 def _corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from full_data_infrastructure_spark.operators.dedup import (

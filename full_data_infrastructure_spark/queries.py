@@ -91,7 +91,8 @@ _LOADED = False
 # Still r1-only after this round (round-5 rotation payload):
 # stratified_sample, repetition_signals, semi_join, anti_join,
 # cte_self_join, multimodal_join/resize/frame_sample,
-# validation_schema_check, threshold_validation, json_extract.
+# validation_schema_check, threshold_validation, json_extract,
+# train_val_test_split.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
@@ -150,7 +151,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "pii_redact",
     "sample_hash",
-    "train_val_test_split",
+    # New in round 4 (registered after the first window cut;
+    # train_val_test_split moved to the round-5 payload to make room).
+    "dedup_incremental",
 )
 
 
