@@ -164,3 +164,87 @@ def _debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         "op",
     )
+
+
+@register(
+    "streaming_upsert_snapshot",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               event_type, value,
+               CASE WHEN event_type = 'signup' THEN 'c'
+                    WHEN event_type = 'error' THEN 'd'
+                    ELSE 'u' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, ts_s, event_type, value
+    FROM ordered WHERE rn = 1 AND op != 'd'
+    """,
+    doc="CDC upsert-sink parity (T8's sink side): events become a mutable "
+    "keyed changelog (signup=create, error=delete, rest=update; "
+    "event_id is the offset/LSN), range-split into event_id-ordered "
+    "files and streamed ONE FILE PER MICRO-BATCH through "
+    "start_upsert_sink, whose foreachBatch applies full c/u/d op "
+    "semantics to the parquet snapshot per batch. The oracle computes "
+    "the global latest-per-key state directly, so a hash match proves "
+    "the incremental MERGE fold converges to the true changelog state "
+    "across real micro-batch boundaries — per-key order is what the "
+    "fold needs, and the ordered range split models a keyed topic's "
+    "per-partition ordering guarantee.",
+    tags=("cdc", "streaming", "events"),
+)
+def _streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from full_data_infrastructure_spark.streaming.sinks import start_upsert_sink
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    work = tempfile.mkdtemp(prefix="upsert_snapshot_")
+    src_dir = os.path.join(work, "changes")
+    # Range-split by the offset column: part-0000i holds the i-th event_id
+    # range (repartitionByRange preserves partition index in file names).
+    # The file source orders files by MODIFICATION TIME, and parallel
+    # write tasks finish in arbitrary order — so stamp strictly
+    # increasing mtimes in part order to make micro-batches replay the
+    # changelog in offset order, the per-key ordering a keyed topic
+    # partition guarantees.
+    changes.repartitionByRange(8, "event_id").write.parquet(src_dir)
+    parts = sorted(
+        f for f in os.listdir(src_dir) if f.startswith("part-")
+    )
+    base = os.path.getmtime(os.path.join(src_dir, parts[-1]))
+    for i, fname in enumerate(parts):
+        path = os.path.join(src_dir, fname)
+        os.utime(path, (base + i + 1, base + i + 1))
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = start_upsert_sink(
+        stream,
+        snapshot_path=os.path.join(work, "snapshot"),
+        checkpoint_path=os.path.join(work, "checkpoint"),
+        key="user_id",
+        order_col="event_id",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(work, "snapshot")).select(
+        "user_id", "ts_s", "event_type", "value"
+    )

@@ -530,3 +530,87 @@ def _embedding_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_to_centroid")
         )
     )
+
+
+@register(
+    "knn_label_consistency",
+    f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS e_q, label AS true_label
+          FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, q.true_label, c.label AS n_label,
+               ROUND({cosine_sql('q.e_q', 'c.e')}, 4) AS cos, c.vec_id
+        FROM q JOIN v c ON c.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, true_label, n_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, true_label, n_label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM ranked WHERE rnk <= {TOP_K}
+        GROUP BY query_id, true_label, n_label
+    ),
+    best AS (
+        SELECT query_id, true_label, n_label AS predicted_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, n_label) AS vr
+        FROM votes
+    )
+    SELECT query_id, true_label, predicted_label, n_votes,
+           true_label = predicted_label AS consistent
+    FROM best WHERE vr = 1
+    """,
+    doc="kNN label-consistency check — embedding-space mislabel detection "
+    "for training-data curation: each query vector's label is compared "
+    "to the majority label of its exact top-5 cosine neighbors "
+    "(deterministic tie-break: vote count desc, then label asc). "
+    "Rows where consistent = false are the candidates a labeling-QA "
+    "pass reviews. Reuses the broadcast-queries/one-corpus-pass "
+    "knn_bruteforce plan, so cost is the scan the kNN already paid; "
+    "swap in lsh/ivf candidates for corpus-scale sweeps.",
+    tags=("llm", "similarity", "vector", "quality"),
+)
+def _knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+    )
+    vecs = emb.select("vec_id", "e")
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES)
+    neighbors = knn_bruteforce(vecs, queries)
+    labeled = neighbors.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label")
+    )
+    best = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("n_label").alias("predicted_label"), "n_votes")
+    )
+    truth = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+        )
+    )
+    return best.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        "n_votes",
+        (F.col("true_label") == F.col("predicted_label")).alias("consistent"),
+    )

@@ -92,7 +92,7 @@ _LOADED = False
 # stratified_sample, repetition_signals, semi_join, anti_join,
 # cte_self_join, multimodal_join/resize/frame_sample,
 # validation_schema_check, threshold_validation, json_extract,
-# train_val_test_split.
+# train_val_test_split, pii_redact, sample_hash.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
@@ -149,11 +149,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "pii_redact",
-    "sample_hash",
-    # New in round 4 (registered after the first window cut;
-    # train_val_test_split moved to the round-5 payload to make room).
+    # New in round 4 (registered after the first window cut; pii_redact,
+    # sample_hash, train_val_test_split moved to the round-5 payload to
+    # make room — new queries need a first row more than standing-green
+    # ones need a refresh).
     "dedup_incremental",
+    "knn_label_consistency",
+    "streaming_upsert_snapshot",
 )
 
 

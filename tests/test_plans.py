@@ -231,8 +231,9 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "dedup_survivors_lsh",
         "corpus_pipeline",
         "corpus_pipeline_lsh",
-        # runs a real availableNow streaming fold, then reads its snapshot
+        # run a real availableNow streaming fold, then read its snapshot
         "streaming_rollup_snapshot",
+        "streaming_upsert_snapshot",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
