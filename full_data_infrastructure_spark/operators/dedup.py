@@ -152,11 +152,12 @@ def _signatures_from_hashed(hashed: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band's hash are
-    candidates. Shuffle key is (band_idx, band_hash) — high cardinality."""
+    """(doc_id, band_idx, band_hash): the LSH bucket index of a signature
+    table — shared by the self-join (lsh_candidate_pairs) and the
+    increment-vs-corpus lookup (dedup_incremental_lsh)."""
     rows_per_band = k // bands
     band_structs = F.array(
         *[
@@ -172,9 +173,17 @@ def lsh_candidate_pairs(
             for i in range(bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(band_structs).alias("b")
     ).select("doc_id", "b.band_idx", "b.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band's hash are
+    candidates. Shuffle key is (band_idx, band_hash) — high cardinality."""
+    banded = banded_signatures(signatures, bands, k)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -512,6 +521,64 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh_new.join(sh_corpus, "h")
+        .groupBy("new_doc_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_n") + F.col("sz_c") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("new_doc_id"), F.col("sz").alias("sz_n")),
+            "new_doc_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("dup_of"), F.col("sz").alias("sz_c")),
+            "dup_of",
+        )
+        .select("new_doc_id", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_incremental_lsh",
+    None,  # xxhash64 sketches are engine-specific; recall vs the exact
+    # incremental query asserted in tests/test_operators.py
+    doc="Incremental dedup at corpus scale: the freshly-arrived batch's "
+    "MinHash signatures probe the standing corpus's LSH band index "
+    "(a lookup join on (band_idx, band_hash) — candidates only where a "
+    "band collides, never increment x corpus), then candidates are "
+    "exact-Jaccard-verified on the hashed-shingle table. This is what "
+    "dedup_incremental's docstring promises for large batches: work is "
+    "O(batch x bands + collisions), the standing index is the "
+    "already-materialized banded-signature table, and verified pairs "
+    "are exact (precision 1 by construction) — only recall is "
+    "approximate, asserted vs dedup_incremental in tests. Rows-only.",
+    tags=("llm", "dedup", "extension", "approx"),
+)
+def _dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = tracked_persist(hashed_shingles(docs))
+    inc = F.col("doc_id") % INCREMENT_MOD == 0
+    banded = banded_signatures(_signatures_from_hashed(sh))
+    b_new = banded.filter(inc).select(
+        F.col("doc_id").alias("new_doc_id"), "band_idx", "band_hash"
+    )
+    b_corpus = banded.filter(~inc).select(
+        F.col("doc_id").alias("dup_of"), "band_idx", "band_hash"
+    )
+    cand = (
+        b_new.join(b_corpus, ["band_idx", "band_hash"])
+        .select("new_doc_id", "dup_of")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("new_doc_id"), "h"), "new_doc_id"
+        )
+        .join(sh.select(F.col("doc_id").alias("dup_of"), "h"), ["dup_of", "h"])
         .groupBy("new_doc_id", "dup_of")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -92,7 +92,7 @@ _LOADED = False
 # stratified_sample, repetition_signals, semi_join, anti_join,
 # cte_self_join, multimodal_join/resize/frame_sample,
 # validation_schema_check, threshold_validation, json_extract,
-# train_val_test_split, pii_redact, sample_hash.
+# train_val_test_split, pii_redact, sample_hash, count_distinct.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
@@ -138,7 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Re-attestation payload: newest green row is CORRECTNESS_r01.
     "groupby_count_avg",
     "scalar_count",
-    "count_distinct",
     "approx_count_distinct",
     "rollup_counts",
     "cube_counts",
@@ -154,6 +153,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # make room — new queries need a first row more than standing-green
     # ones need a refresh).
     "dedup_incremental",
+    "dedup_incremental_lsh",
     "knn_label_consistency",
     "streaming_upsert_snapshot",
 )

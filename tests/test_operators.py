@@ -348,6 +348,32 @@ def test_lsh_survivors_superset_of_exact_and_agree(spark):
     assert agreement >= 0.95, f"survivor agreement {agreement:.3f} < 0.95"
 
 
+def test_incremental_lsh_subset_and_recall(spark):
+    """dedup_incremental_lsh vs dedup_incremental at the driver's sf0.01.
+
+    Verified pairs are exact-Jaccard-checked, so the LSH result is a
+    SUBSET of the exact increment-vs-corpus pairs (precision 1 by
+    construction); banding only loses candidates, and near-dup pairs at
+    Jaccard >= 0.5 collide reliably (measured recall 1.0 at sf0.001 and
+    sf0.01 — 0.85 is the floor with margin)."""
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {
+        (r["new_doc_id"], r["dup_of"])
+        for r in REGISTRY["dedup_incremental"].build(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["new_doc_id"], r["dup_of"])
+        for r in REGISTRY["dedup_incremental_lsh"].build(spark, sf_dir).collect()
+    }
+    assert lsh <= exact, f"{len(lsh - exact)} false-positive pairs"
+    assert exact, "fixture regression: no incremental near-dup pairs at all"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.85, f"incremental LSH recall {recall:.2f}"
+
+
 def test_corpus_pipeline_lsh_agrees_with_exact(spark):
     """corpus_pipeline_lsh vs corpus_pipeline at the driver's sf0.01.
 
