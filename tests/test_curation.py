@@ -275,3 +275,24 @@ def test_twostar_matches_minlabel_on_known_and_random_graphs(spark):
         assert labels_of(connected_components_twostar, edges) == labels_of(
             connected_components, edges
         ), edges
+
+
+def test_twostar_converges_logarithmically_on_deep_chain(spark):
+    """A 64-vertex path is the adversarial depth case: min-label needs 63
+    rounds, two-star must contract it within O(log^2 n) — well inside the
+    default 30-round budget (which would RuntimeError otherwise). Also
+    exercises the star-forest convergence probe on a graph that is far
+    from star-shaped at the start: every vertex must still land on the
+    component minimum, and a disjoint 2-cycle plus singleton self-loop
+    must not leak labels across components."""
+    from full_data_infrastructure_spark.operators.dedup import (
+        connected_components_twostar,
+    )
+
+    edges = [(i, i + 1) for i in range(63)]  # path 0-1-...-63
+    edges += [(100, 101), (101, 100), (200, 200)]
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    labels = {r["id"]: r["cluster_id"] for r in connected_components_twostar(df).collect()}
+    assert all(labels[v] == 0 for v in range(64))
+    assert labels[100] == labels[101] == 100
+    assert labels[200] == 200
