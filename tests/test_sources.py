@@ -157,6 +157,48 @@ def test_schema_registry_matches_testdata(spark, sf_dir):
         assert df.schema == again.schema, name
 
 
+def test_events_ts_normalized_across_storage_variants(spark, sf_dir, tmp_path):
+    """The driver has regenerated events.parquet with THREE different ts
+    physical types across rounds — TIMESTAMP(NANOS) (read as bigint under
+    nanosAsLong), tz-less timestamp[us] (TIMESTAMP_NTZ under Spark 4),
+    and plain TIMESTAMP_LTZ. load_table must hand every consumer one
+    stable type (timestamp) with identical wall-clock values whichever
+    variant is on disk — the r3 sessionize_batch red was exactly this
+    class of drift."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    baseline = {
+        r["event_id"]: r["s"]
+        for r in events.select(
+            "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")
+        ).collect()
+    }
+
+    variants = {
+        "ntz": events.select(
+            "event_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+        ),
+        "ltz": events.select("event_id", "ts"),
+    }
+    for label, df in variants.items():
+        vdir = str(tmp_path / label)
+        df.write.parquet(os.path.join(vdir, "events.parquet"))
+        loaded = load_table(spark, vdir, "events")
+        assert dict(loaded.dtypes)["ts"] == "timestamp", label
+        got = {
+            r["event_id"]: r["s"]
+            for r in loaded.select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s"),
+            ).collect()
+        }
+        assert got == baseline, f"{label}: wall-clock values drifted"
+
+
 def test_jsonl_source_roundtrip(spark, sf_dir, tmp_path):
     """load_table's fmt seam covers line-delimited JSON sources (the other
     common corpus interchange format besides parquet)."""
