@@ -797,6 +797,109 @@ def _dup_span_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_span_removal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= {NGRAM}
+    ),
+    freq AS (
+        SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM g)
+        GROUP BY sh HAVING COUNT(*) >= 2
+    ),
+    bad AS (
+        SELECT DISTINCT g.doc_id, g.pos + u.o AS p
+        FROM g JOIN freq USING (sh), UNNEST([0, 1, 2]) AS u(o)
+    ),
+    tok_idx AS (
+        SELECT doc_id, i, toks[i] AS tok
+        FROM toks, UNNEST(range(1, len(toks) + 1)) AS r(i)
+    ),
+    clean AS (
+        SELECT t.doc_id,
+               COALESCE(string_agg(CASE WHEN b.p IS NULL THEN tok END,
+                                   ' ' ORDER BY t.i), '') AS clean_text,
+               COUNT(CASE WHEN b.p IS NULL THEN 1 END) AS n_kept
+        FROM tok_idx t
+        LEFT JOIN bad b ON b.doc_id = t.doc_id AND b.p = t.i - 1
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    """,
+    doc="Substring-level dedup ACTION completing dup_span_signal's flag "
+    "(Lee et al.): rewrite each document with every token removed that "
+    "sits inside a word 3-gram appearing in at least one OTHER document. "
+    "Scale shape: the only shuffles carry 8-byte gram hashes (corpus "
+    "frequency) and (doc_id, position) integers (the flag set, "
+    "re-collected to a small per-doc position array); the rewrite itself "
+    "is scan-local — token arrays are filtered by index in place, so "
+    "text NEVER crosses an exchange. Output is normalized-token text "
+    "(lowercased, single-spaced), plus kept/removed counts.",
+    tags=("llm", "dedup", "text"),
+)
+def _dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", doc_tokens().alias("toks"))
+    # Positional grams: same slice/zip_with fold as word_shingles but
+    # WITHOUT the distinct — position matters here.
+    gram_count = F.size("toks") - (NGRAM - 1)
+    parts = [F.slice("toks", j + 1, gram_count) for j in range(NGRAM)]
+    acc = parts[-1]
+    for prev in reversed(parts[:-1]):
+        acc = F.zip_with(prev, acc, lambda a, b: F.concat_ws(" ", a, b))
+    grams = (
+        tokd.filter(F.size("toks") >= NGRAM)
+        .select("doc_id", F.posexplode(acc).alias("pos", "sh"))
+        .select("doc_id", "pos", F.xxhash64("sh").alias("h"))
+    )
+    # Cross-doc frequency over per-doc-DISTINCT shingles — same dup
+    # definition as dup_span_signal (within-doc repeats alone don't flag).
+    dup_keys = (
+        hashed_shingles(docs)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    bad_positions = (
+        grams.join(dup_keys, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.col("pos") + F.lit(o) for o in range(NGRAM)])
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("bad"))
+    )
+    out = tokd.join(bad_positions, "doc_id", "left")
+    bad = F.coalesce(F.col("bad"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"), lambda t, i: ~F.array_contains(bad, i)
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
 CONTAINMENT_THRESHOLD = 0.85
 
 

@@ -92,7 +92,8 @@ _LOADED = False
 # stratified_sample, repetition_signals, semi_join, anti_join,
 # cte_self_join, multimodal_join/resize/frame_sample,
 # validation_schema_check, threshold_validation, json_extract,
-# train_val_test_split, pii_redact, sample_hash, count_distinct.
+# train_val_test_split, pii_redact, sample_hash, count_distinct,
+# cube_counts.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
@@ -140,7 +141,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_count",
     "approx_count_distinct",
     "rollup_counts",
-    "cube_counts",
     "histogram_buckets",
     "conditional_rate",
     "percentile_stats",
@@ -154,6 +154,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ones need a refresh).
     "dedup_incremental",
     "dedup_incremental_lsh",
+    "dedup_span_removal",
     "knn_label_consistency",
     "streaming_upsert_snapshot",
 )

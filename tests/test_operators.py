@@ -404,3 +404,46 @@ def test_corpus_pipeline_lsh_agrees_with_exact(spark):
     )
     jaccard = len(exact & lsh) / len(exact | lsh)
     assert jaccard >= 0.95, f"packed-doc agreement {jaccard:.3f} < 0.95"
+
+
+def test_span_removal_drops_shared_sentence_keeps_unique(spark):
+    """Crafted corpus: two docs share an exact 5-token sentence, each has
+    unique surrounding text. Every token of the shared span (and only
+    tokens covered by cross-doc 3-grams) must vanish from both docs;
+    a third doc with no cross-doc grams must pass through untouched."""
+    from full_data_infrastructure_spark.operators.dedup import (
+        _dedup_span_removal,
+    )
+    from full_data_infrastructure_spark.sources import parquet as P
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two {shared} three four"),
+        (3, "totally unique text with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    orig_load = P.load_table
+    try:
+        # _dedup_span_removal loads via load_table(spark, sf_dir, name);
+        # patch it to serve the crafted corpus.
+        P.load_table = lambda s, d, n, fmt="parquet": docs
+        import full_data_infrastructure_spark.operators.dedup as D
+
+        orig_mod_load = D.load_table
+        D.load_table = P.load_table
+        try:
+            out = {r["doc_id"]: r for r in _dedup_span_removal(spark, "ignored").collect()}
+        finally:
+            D.load_table = orig_mod_load
+    finally:
+        P.load_table = orig_load
+
+    for tok in shared.split():
+        assert tok not in out[1]["clean_text"].split(), tok
+        assert tok not in out[2]["clean_text"].split(), tok
+    # unique flanks survive (they sit outside every cross-doc 3-gram)
+    assert "alpha" in out[1]["clean_text"] and "four" in out[2]["clean_text"]
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_removed"] == 0
+    assert out[1]["n_removed"] == 5 and out[2]["n_removed"] == 5
