@@ -124,3 +124,49 @@ def test_apply_cdc_batch_idempotent(spark, snap, changes):
         # only assert when the key has a single change (no ts ties to break)
         if sum(1 for c in changes if c[0] == k) == 1:
             assert (k in out_keys) == (op != "d"), (k, op, out_keys)
+
+
+@given(
+    changes=st.lists(
+        st.tuples(keys, st.integers(0, 50), st.sampled_from(["c", "u", "d"])),
+        min_size=1,
+        max_size=12,
+    ),
+    cuts=st.lists(st.integers(1, 11), max_size=3, unique=True),
+)
+@SETTINGS
+def test_cdc_fold_invariant_to_batch_boundaries(spark, changes, cuts):
+    """Folding an offset-ordered changelog through apply_cdc_batch must
+    reach the same final state for ANY micro-batch split — the invariant
+    behind streaming_upsert_snapshot's oracle (there pinned to one 8-way
+    split; here exercised over random changelogs and random cut points).
+    The offset (list position) is the order column, so later batches
+    legitimately overwrite earlier ones."""
+    rows = [
+        (k, v, op, i) for i, (k, v, op) in enumerate(changes)
+    ]  # offset = position
+    empty = spark.createDataFrame([], "id bigint, v bigint")
+
+    def fold(batches):
+        state = empty
+        for b in batches:
+            if not b:
+                continue
+            bdf = spark.createDataFrame(
+                b, "id bigint, v bigint, op string, ts_ms bigint"
+            )
+            state = apply_cdc_batch(state, bdf, key="id")
+            # materialize like foreachBatch does (each batch reads the
+            # previously WRITTEN snapshot, not a growing lazy plan)
+            state = spark.createDataFrame(
+                state.collect() or [], "id bigint, v bigint"
+            )
+        return sorted(map(tuple, state.collect()))
+
+    single = fold([rows])
+    bounds = sorted(c for c in cuts if c < len(rows))
+    pieces, prev = [], 0
+    for c in bounds + [len(rows)]:
+        pieces.append(rows[prev:c])
+        prev = c
+    assert fold(pieces) == single
