@@ -418,3 +418,49 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(
         "user_id", "recency_days", "frequency", "monetary", segment.alias("segment")
     )
+
+
+@register(
+    "ema_by_user",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vs,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           list_reduce(vs, (acc, x) -> 0.5 * acc + 0.5 * x) AS ema_value
+    FROM seq
+    """,
+    doc="Per-user exponential moving average of event values (alpha = 0.5) "
+    "— the decayed-metric companion to the hypertable rollup, and a "
+    "recursive fold Spark's window frames can't express: computed as "
+    "one groupBy + array_sort + JVM-side higher-order aggregate (no "
+    "UDF, no per-row Python). alpha = 1/2 keeps every multiply exact "
+    "in binary floating point and both engines fold the identically "
+    "ordered sequence with identical IEEE ops, so the raw doubles "
+    "hash-match without rounding. Scale note: per-key state is the "
+    "key's event list — bounded by per-user cardinality, the same "
+    "bound the sessionize window carries; an unbounded stream would "
+    "use the applyInPandasWithState accumulator instead "
+    "(streaming/stateful.py).",
+    tags=("extension", "window", "events"),
+)
+def _ema_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # struct field order (ts, event_id, value) IS the sort key — unique by
+    # event_id, so the fold order is total and engine-independent.
+    grouped = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    seed = F.element_at("seq", 1).getField("value")
+    rest = F.slice("seq", 2, F.size("seq") - 1)
+    ema = F.aggregate(
+        rest, seed, lambda acc, s: acc * 0.5 + s.getField("value") * 0.5
+    )
+    return grouped.select("user_id", "n_events", ema.alias("ema_value"))

@@ -93,7 +93,7 @@ _LOADED = False
 # cte_self_join, multimodal_join/resize/frame_sample,
 # validation_schema_check, threshold_validation, json_extract,
 # train_val_test_split, pii_redact, sample_hash, count_distinct,
-# cube_counts.
+# cube_counts, rollup_counts.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
@@ -140,7 +140,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "groupby_count_avg",
     "scalar_count",
     "approx_count_distinct",
-    "rollup_counts",
     "histogram_buckets",
     "conditional_rate",
     "percentile_stats",
@@ -155,6 +154,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_incremental_lsh",
     "dedup_span_removal",
+    "ema_by_user",
     "knn_label_consistency",
     "streaming_upsert_snapshot",
 )
