@@ -170,11 +170,20 @@ def _streaming_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = table_path(sf_dir, "events")
     work = tempfile.mkdtemp(prefix="rollup_snapshot_")
-    # The file stream source wants a DIRECTORY; symlink the table in (zero
-    # copy — the source lists the dir and reads through the link).
+    # The file stream source wants a DIRECTORY of data files and does not
+    # recurse; symlink the table in (zero copy — the source lists the dir
+    # and reads through the links). Works whether the table is a single
+    # parquet file or a directory of part files.
     src_dir = os.path.join(work, "events_src")
     os.mkdir(src_dir)
-    os.symlink(src, os.path.join(src_dir, "events.parquet"))
+    if os.path.isdir(src):
+        for fname in os.listdir(src):
+            if not fname.startswith(("_", ".")):
+                os.symlink(
+                    os.path.join(src, fname), os.path.join(src_dir, fname)
+                )
+    else:
+        os.symlink(src, os.path.join(src_dir, "events.parquet"))
     # Schema from the footer — a metadata-only read; date_trunc is
     # NTZ/LTZ-agnostic, so no ts normalization needed.
     schema = spark.read.parquet(src).schema
