@@ -198,8 +198,11 @@ def _debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
+    from full_data_infrastructure_spark.streaming.replay import (
+        ordered_file_split,
+        replay_workdir,
+    )
     from full_data_infrastructure_spark.streaming.sinks import start_upsert_sink
 
     events = load_table(spark, sf_dir, "events")
@@ -214,23 +217,12 @@ def _streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("u"))
         .alias("op"),
     )
-    work = tempfile.mkdtemp(prefix="upsert_snapshot_")
+    work = replay_workdir("upsert_snapshot_")
     src_dir = os.path.join(work, "changes")
-    # Range-split by the offset column: part-0000i holds the i-th event_id
-    # range (repartitionByRange preserves partition index in file names).
-    # The file source orders files by MODIFICATION TIME, and parallel
-    # write tasks finish in arbitrary order — so stamp strictly
-    # increasing mtimes in part order to make micro-batches replay the
-    # changelog in offset order, the per-key ordering a keyed topic
-    # partition guarantees.
-    changes.repartitionByRange(8, "event_id").write.parquet(src_dir)
-    parts = sorted(
-        f for f in os.listdir(src_dir) if f.startswith("part-")
-    )
-    base = os.path.getmtime(os.path.join(src_dir, parts[-1]))
-    for i, fname in enumerate(parts):
-        path = os.path.join(src_dir, fname)
-        os.utime(path, (base + i + 1, base + i + 1))
+    # Range-split by the offset column with mtimes stamped in part order
+    # (replay.py): micro-batches replay the changelog in event_id order,
+    # the per-key ordering a keyed topic partition guarantees.
+    ordered_file_split(changes, "event_id", 8, src_dir)
     stream = (
         spark.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", 1)

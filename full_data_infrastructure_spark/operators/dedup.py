@@ -1003,11 +1003,11 @@ def connected_components_twostar(
     # working edge set derive from this checkpoint, so an expensive
     # upstream (the whole MinHash pipeline in dedup_survivors_lsh) is not
     # computed twice.
-    # All checkpoints here are LAZY (eager=False): the one fingerprint
-    # collect per round is then the round's single driver-blocking action,
-    # driving materialization of the whole round chain — versus three
-    # blocking pauses (two eager checkpoints + the collect) per round.
-    # Lineage is still truncated: the collect computes-and-caches each
+    # All checkpoints here are LAZY (eager=False): the is_star_forest
+    # probe's 1-row collect is then the round's single driver-blocking
+    # action, driving materialization of the whole round chain — versus
+    # three blocking pauses (two eager checkpoints + the probe) per round.
+    # Lineage is still truncated: the probe computes-and-caches each
     # checkpointed RDD before the next round builds on it.
     raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
         eager=False
@@ -1023,8 +1023,8 @@ def connected_components_twostar(
     )
     # Canonical (greater, smaller) orientation: near-dup graphs are mostly
     # 2-vertex components, and oriented pairs are ALREADY the star-forest
-    # fixpoint — with the seeded fingerprint below, those converge after
-    # one round instead of three.
+    # fixpoint — the is_star_forest probe below detects that structurally
+    # and exits with ZERO rounds instead of three.
     e = (
         raw.filter(F.col("s") != F.col("d"))
         .select(

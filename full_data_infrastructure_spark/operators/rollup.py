@@ -161,33 +161,31 @@ def _rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rollup", "events", "streaming"),
 )
 def _streaming_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from full_data_infrastructure_spark.sources.parquet import table_path
-    from full_data_infrastructure_spark.streaming.sinks import start_rollup_sink
-
     import os
 
+    from full_data_infrastructure_spark.sources.parquet import (
+        normalize_event_ts,
+        table_path,
+    )
+    from full_data_infrastructure_spark.streaming.replay import (
+        replay_workdir,
+        symlink_table_files,
+    )
+    from full_data_infrastructure_spark.streaming.sinks import start_rollup_sink
+
     src = table_path(sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="rollup_snapshot_")
-    # The file stream source wants a DIRECTORY of data files and does not
-    # recurse; symlink the table in (zero copy — the source lists the dir
-    # and reads through the links). Works whether the table is a single
-    # parquet file or a directory of part files.
+    work = replay_workdir("rollup_snapshot_")
+    # The file stream source wants a DIRECTORY of data files (no recursion);
+    # symlink the table in — zero copy.
     src_dir = os.path.join(work, "events_src")
-    os.mkdir(src_dir)
-    if os.path.isdir(src):
-        for fname in os.listdir(src):
-            if not fname.startswith(("_", ".")):
-                os.symlink(
-                    os.path.join(src, fname), os.path.join(src_dir, fname)
-                )
-    else:
-        os.symlink(src, os.path.join(src_dir, "events.parquet"))
-    # Schema from the footer — a metadata-only read; date_trunc is
-    # NTZ/LTZ-agnostic, so no ts normalization needed.
+    symlink_table_files(src, src_dir)
+    # Schema from the footer — a metadata-only read. nanosAsLong must be
+    # set BEFORE it (the generator may store ts as TIMESTAMP(NANOS)), and
+    # the stream then needs the same ts repair load_table applies: a
+    # bigint ts would reach rollup_partials' date_trunc and fail analysis.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src).schema
-    events = spark.readStream.schema(schema).parquet(src_dir)
+    events = normalize_event_ts(spark.readStream.schema(schema).parquet(src_dir))
     partials_path = f"{work}/partials"
     q = start_rollup_sink(
         events,

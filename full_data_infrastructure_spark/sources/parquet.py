@@ -26,6 +26,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP whatever parquet
+    physical type the testdata generation produced. Works on batch AND
+    streaming DataFrames (``dtypes`` is schema-only), so the streaming
+    parity builders that ``readStream`` the events table directly apply
+    the exact same repair as ``load_table``:
+
+    * TIMESTAMP(NANOS) read as int64 under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → ``timestamp_micros``
+      (integer division first, so no double rounding at 2^63 nanos);
+    * tz-less parquet timestamp[us] loaded as TIMESTAMP_NTZ in Spark 4 →
+      cast to TIMESTAMP so every consumer sees one type.
+    """
+    ts_type = dict(df.dtypes).get(ts_col)
+    if ts_type == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -34,10 +55,9 @@ def load_table(
 ) -> DataFrame:
     """Lazy scan of one table from a scale-factor directory.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    as int64 (spark.sql.legacy.parquet.nanosAsLong) — restore a proper
-    timestamp column here (microsecond precision, integer division so no
-    double rounding at 2^63 nanos).
+    ``events.ts`` may be stored as parquet TIMESTAMP(NANOS), which Spark
+    reads as int64 (spark.sql.legacy.parquet.nanosAsLong) — restore a
+    proper timestamp column via :func:`normalize_event_ts`.
     """
     if name == "events":
         # Must hold even when the caller (e.g. the verify driver) built a
@@ -45,15 +65,7 @@ def load_table(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.format(fmt).load(table_path(sf_dir, name))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # TIMESTAMP(NANOS) parquet read as int64 under nanosAsLong.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # tz-less parquet timestamp[us] loads as TIMESTAMP_NTZ in Spark 4;
-            # normalize so every events consumer (batch windows + streaming
-            # twins) sees one type however the testdata was generated.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -1,0 +1,76 @@
+"""Deterministic micro-batch replay scaffolding for the streaming parity
+queries (``streaming_rollup_snapshot``, ``streaming_upsert_snapshot``,
+``streaming_sessionize_snapshot``).
+
+Those builders prove fold parity: a table is replayed as a REAL
+``availableNow`` file stream through a streaming sink/aggregation, and the
+resulting snapshot is hash-compared against a direct batch/DuckDB
+computation. Doing that deterministically needs two pieces of harness:
+
+* a work directory that outlives the returned *lazy* plan — the driver
+  collects AFTER the builder returns, so the snapshot files must survive
+  until then — but not the process: every dir is registered for
+  ``atexit`` removal so repeated driver/bench invocations don't
+  accumulate disk.
+* control over micro-batch ORDER: Spark's file source orders files by
+  modification time, while parallel write tasks finish in arbitrary
+  order. ``ordered_file_split`` range-splits on the offset column and
+  stamps strictly increasing mtimes in part-index order, so micro-batches
+  replay the changelog in offset order — the per-partition ordering
+  guarantee a keyed Kafka topic provides in production, which is what the
+  stamping simulates.
+
+Test scaffolding, not a production path: these parity queries exist to
+prove the incremental folds are lossless, not to be the deployment shape.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def replay_workdir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: alive for the plan's lifetime, gone at
+    process exit."""
+    work = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
+def symlink_table_files(src: str, dest_dir: str) -> None:
+    """Expose a parquet table as a DIRECTORY of data files for the file
+    stream source (which lists one directory and does not recurse) —
+    zero-copy via symlinks. Works whether the table is a single parquet
+    file or a directory of part files."""
+    os.makedirs(dest_dir, exist_ok=True)
+    if os.path.isdir(src):
+        for fname in os.listdir(src):
+            if not fname.startswith(("_", ".")):
+                os.symlink(os.path.join(src, fname), os.path.join(dest_dir, fname))
+    else:
+        os.symlink(src, os.path.join(dest_dir, os.path.basename(src)))
+
+
+def ordered_file_split(
+    df: DataFrame, order_col: str, n: int, dest_dir: str
+) -> None:
+    """Write ``df`` as ``n`` range-partitioned parquet files whose mtimes
+    increase in partition-index order, so a ``maxFilesPerTrigger=1`` file
+    stream replays them as micro-batches ordered by ``order_col``.
+
+    ``repartitionByRange`` keeps equal keys in one partition and preserves
+    the partition index in part-file names, so part-0000i holds the i-th
+    ``order_col`` range and later batches never contain earlier offsets —
+    no event is ever late relative to a watermark advanced by a previous
+    batch."""
+    df.repartitionByRange(n, order_col).write.parquet(dest_dir)
+    parts = sorted(f for f in os.listdir(dest_dir) if f.startswith("part-"))
+    base = os.path.getmtime(os.path.join(dest_dir, parts[-1]))
+    for i, fname in enumerate(parts):
+        path = os.path.join(dest_dir, fname)
+        os.utime(path, (base + i + 1, base + i + 1))

@@ -71,11 +71,13 @@ def test_surface_counts_match_coverage_doc():
     the numbers drifted twice (commit 86d04f6, VERDICT r3 item 3), so
     they are now asserted instead of hand-maintained."""
     import re
+    from pathlib import Path
 
     total = len(registry.REGISTRY)
     with_oracle = sum(1 for q in registry.REGISTRY.values() if q.oracle)
     rows_only = total - with_oracle
-    text = open("COVERAGE.md").read()
+    # Resolve from this file, not the cwd — pytest may run from anywhere.
+    text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
     m = re.search(
         r"(\d+) registered queries, (\d+) with DuckDB oracles \(the (\d+)",
         text,
