@@ -218,6 +218,110 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionize_snapshot",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW)
+                    AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Event-time session-window streaming parity (the last §2.9 "
+    "extension family without an oracle-checked driver surface): events "
+    "replayed as a time-ordered availableNow file stream (one file per "
+    "micro-batch, replay.py) through session_window(gap=30min) with a "
+    "0-second watermark delay, appended to a parquet sink, then the "
+    "emitted sessions are numbered per user by start time. Sessions "
+    "legitimately SPAN micro-batches — the state store merges them — so "
+    "a hash match proves streaming session assembly equals the batch "
+    "LAG/SUM sessionization for real micro-batch boundaries. Append "
+    "mode only emits a session once the watermark passes its end, so a "
+    "single sentinel event one day past the corpus max ts (user_id -1, "
+    "filtered from the output; the replay twin of a live topic's "
+    "heartbeat) flushes every real session out of state. Gap boundary: "
+    "session_window still MERGES events exactly gap apart and splits "
+    "only at delta > gap — the same semantics as sessionize_batch's LAG "
+    "form, so the oracle is the same running-flag SQL; "
+    "tests/test_streaming.py pins the boundary empirically.",
+    tags=("extension", "window", "session", "streaming", "events"),
+)
+def _streaming_sessionize_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
+    from full_data_infrastructure_spark.streaming.replay import (
+        ordered_file_split,
+        replay_workdir,
+    )
+    from full_data_infrastructure_spark.streaming.windows import session_counts
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    work = replay_workdir("sessionize_snapshot_")
+    src_dir = os.path.join(work, "events_src")
+    # Time-range split: batch i+1 never holds a ts below batch i's max, so
+    # a 0-second watermark delay drops nothing (replay.py docstring).
+    ordered_file_split(events, "ts", 8, src_dir)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=1), -1)], events.schema
+    )
+    scratch = os.path.join(work, "sentinel_scratch")
+    sentinel.coalesce(1).write.parquet(scratch)
+    part = next(f for f in os.listdir(scratch) if f.startswith("part-"))
+    flush_file = os.path.join(src_dir, "part-zz-sentinel.parquet")
+    os.rename(os.path.join(scratch, part), flush_file)
+    last = max(
+        os.path.getmtime(os.path.join(src_dir, f)) for f in os.listdir(src_dir)
+    )
+    os.utime(flush_file, (last + 10, last + 10))
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sessions = session_counts(
+        normalize_event_ts(stream), gap="30 minutes", watermark="0 seconds"
+    )
+    out_path = os.path.join(work, "sessions")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", os.path.join(work, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snapshot = spark.read.parquet(out_path).filter(F.col("user_id") >= 0)
+    seq_w = Window.partitionBy("user_id").orderBy("session_start")
+    return snapshot.select(
+        "user_id",
+        F.row_number().over(seq_w).cast("bigint").alias("session_seq"),
+        F.col("n").alias("n_events"),
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH clicks AS (

@@ -234,6 +234,7 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         # run a real availableNow streaming fold, then read its snapshot
         "streaming_rollup_snapshot",
         "streaming_upsert_snapshot",
+        "streaming_sessionize_snapshot",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()

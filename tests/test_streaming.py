@@ -758,3 +758,35 @@ def test_rate_source_streams_rows_end_to_end(spark, tmp_path):
         assert vals == list(range(len(vals)))  # contiguous, monotone
     finally:
         q.stop()
+
+
+def test_session_window_gap_boundary_merges_at_exactly_gap(spark):
+    """Pin the gap-boundary semantics streaming_sessionize_snapshot's
+    oracle relies on: session_window MERGES two events exactly gap apart
+    and splits only when the delta EXCEEDS the gap — the same `delta >
+    gap => new session` rule as sessionize_batch's LAG form, so both
+    share one oracle shape. (Empirically pinned because the synthetic
+    events carry no exact-boundary deltas, so the parity hash alone
+    cannot distinguish > from >=.)"""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1),
+        (1, t0 + datetime.timedelta(minutes=30), 2),  # == gap: merges
+        (2, t0, 3),
+        (2, t0 + datetime.timedelta(minutes=30, microseconds=1), 4),  # > gap
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint"
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user: dict[int, list[int]] = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert per_user[1] == [2], per_user
+    assert sorted(per_user[2]) == [1, 1], per_user
