@@ -193,8 +193,11 @@ def _debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the incremental MERGE fold converges to the true changelog state "
     "across real micro-batch boundaries — per-key order is what the "
     "fold needs, and the ordered range split models a keyed topic's "
-    "per-partition ordering guarantee.",
+    "per-partition ordering guarantee. bench=True: the CDC pipeline is "
+    "the reference's flagship workload (SaveDelta.scala), so micro-batch "
+    "fold cost is measured round-over-round in the graded perf set.",
     tags=("cdc", "streaming", "events"),
+    bench=True,
 )
 def _streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
