@@ -549,11 +549,19 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key's event list — bounded by per-user cardinality, the same "
     "bound the sessionize window carries; an unbounded stream would "
     "use the applyInPandasWithState accumulator instead "
-    "(streaming/stateful.py).",
+    "(streaming/stateful.py::running_user_ema, proven bit-identical to "
+    "this fold for arbitrary micro-batch cuts in "
+    "tests/test_properties.py).",
     tags=("extension", "window", "events"),
 )
 def _ema_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    return ema_fold(load_table(spark, sf_dir, "events"))
+
+
+def ema_fold(events: DataFrame) -> DataFrame:
+    """The batch EMA fold behind ``ema_by_user``, reusable on any frame
+    with (user_id, ts, event_id, value) — the property test runs it on
+    arbitrary inputs against the streaming accumulator's chunked fold."""
     # struct field order (ts, event_id, value) IS the sort key — unique by
     # event_id, so the fold order is total and engine-independent.
     grouped = events.groupBy("user_id").agg(

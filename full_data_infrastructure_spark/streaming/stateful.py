@@ -114,6 +114,99 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+EMA_ALPHA = 0.5
+
+EMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ema_value", DoubleType()),
+    ]
+)
+
+_EMA_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("ema_value", DoubleType()),
+    ]
+)
+
+
+def fold_ema(
+    n_events: int, ema: float, values, alpha: float = EMA_ALPHA
+) -> tuple[int, float]:
+    """Pure sequential EMA fold — the unit both the streaming accumulator
+    below and the property test drive. With alpha = 1/2 every step is
+    ``ema * 0.5 + v * 0.5``: the identical IEEE-double operation sequence
+    as ``ema_by_user``'s JVM higher-order fold (operators/windows.py), so
+    for any micro-batch cut points the accumulated EMA is BIT-EXACTLY the
+    batch result (tests/test_properties.py::test_ema_fold_invariant_to_
+    batch_boundaries). A null input (pandas NaN) poisons the fold exactly
+    like SQL NULL does in the batch/DuckDB fold — NaN propagates through
+    every later step and is emitted as NULL.
+
+    Sequential on purpose: a vectorized per-batch closed form
+    (``0.5^m * ema + Σ 0.5^(m-i) v_i``) reorders the floating-point ops
+    and would break bit-parity with the batch fold; per-key rows per
+    micro-batch are bounded by the batch size, which is the point of the
+    escape hatch — state is O(1) per key however long the stream runs.
+    """
+    for v in values:
+        v = float(v)
+        if n_events == 0:
+            ema = v
+        else:
+            ema = ema * (1.0 - alpha) + v * alpha
+        n_events += 1
+    return n_events, ema
+
+
+def _ema_fn_factory(alpha: float):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n_events, ema) = state.get if state.exists else (0, float("nan"))
+        for pdf in pdfs:
+            # Event-time order within the batch; cross-batch order is the
+            # source's responsibility (a keyed topic's per-partition order,
+            # or replay.ordered_file_split in tests).
+            pdf = pdf.sort_values(["ts", "event_id"])
+            n_events, ema = fold_ema(n_events, ema, pdf["value"], alpha)
+        state.update((n_events, ema))
+        import math
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                # NaN means the fold saw a NULL value: emit NULL, matching
+                # the batch fold's NULL-poisoning semantics.
+                "ema_value": [None if math.isnan(ema) else ema],
+            }
+        )
+
+    return fn
+
+
+def running_user_ema(events: DataFrame, alpha: float = EMA_ALPHA) -> DataFrame:
+    """Per-user running EMA emitted on every batch the user appears in —
+    the unbounded-key escape hatch ``ema_by_user``'s docstring promises:
+    the batch query materializes each user's full event array per key,
+    while this holds two scalars per key in the state store. Input needs
+    columns user_id, ts (timestamp), event_id, value."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ema_fn_factory(alpha),
+            outputStructType=EMA_SCHEMA,
+            stateStructType=_EMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _session_fn_factory(timeout_ms: int):
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState

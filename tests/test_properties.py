@@ -170,3 +170,64 @@ def test_cdc_fold_invariant_to_batch_boundaries(spark, changes, cuts):
         pieces.append(rows[prev:c])
         prev = c
     assert fold(pieces) == single
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            keys,
+            ts_vals,
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    cuts=st.lists(st.integers(1, 11), max_size=3, unique=True),
+)
+@SETTINGS
+def test_ema_fold_invariant_to_batch_boundaries(spark, events, cuts):
+    """The streaming EMA accumulator's chunked fold (stateful.fold_ema,
+    the exact per-key logic applyInPandasWithState drives) must reproduce
+    ema_by_user's batch JVM fold BIT-EXACTLY for ANY micro-batch split of
+    the time-ordered event stream — the escape-hatch guarantee the batch
+    query's docstring cites for unbounded keys. Mirrors
+    test_cdc_fold_invariant_to_batch_boundaries."""
+    import math
+
+    from full_data_infrastructure_spark.operators.windows import ema_fold
+    from full_data_infrastructure_spark.streaming.stateful import fold_ema
+
+    rows = [
+        (u, t, i, v) for i, (u, t, v) in enumerate(events)
+    ]  # event_id = position: unique total tiebreaker
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint, value double"
+    )
+    want = {
+        r["user_id"]: (r["n_events"], r["ema_value"])
+        for r in ema_fold(df).collect()
+    }
+
+    # Stream replay: global (ts, event_id) order, split at arbitrary cuts.
+    ordered = sorted(rows, key=lambda r: (r[1], r[2]))
+    bounds = sorted(c for c in cuts if c < len(ordered))
+    state: dict[int, tuple[int, float]] = {}
+    prev = 0
+    for c in bounds + [len(ordered)]:
+        chunk = ordered[prev:c]
+        prev = c
+        per_user: dict[int, list[float]] = {}
+        for u, _t, _i, v in chunk:  # chunk is already (ts, event_id)-sorted
+            per_user.setdefault(u, []).append(v)
+        for u, vals in per_user.items():
+            n, ema = state.get(u, (0, float("nan")))
+            state[u] = fold_ema(n, ema, vals)
+
+    assert set(state) == set(want)
+    for u, (n, ema) in state.items():
+        wn, wv = want[u]
+        assert n == wn, (u, n, wn)
+        if wv is None:
+            assert math.isnan(ema), (u, ema)
+        else:
+            assert ema == wv, (u, ema, wv)  # bit-exact, no tolerance

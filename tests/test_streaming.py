@@ -790,3 +790,68 @@ def test_session_window_gap_boundary_merges_at_exactly_gap(spark):
         per_user.setdefault(r["user_id"], []).append(r["n"])
     assert per_user[1] == [2], per_user
     assert sorted(per_user[2]) == [1, 1], per_user
+
+
+def test_running_user_ema_matches_batch_fold(spark, sf_dir, tmp_path):
+    """End-to-end escape-hatch proof on the real fixture: events replayed
+    as a time-ordered multi-batch file stream through the
+    applyInPandasWithState EMA accumulator must end at BIT-EXACTLY the
+    per-user EMA ema_by_user's batch fold computes — including NULL
+    poisoning (users with a null value end at NULL on both paths). The
+    pure-fold cut invariance is property-tested in test_properties.py;
+    this drives the actual state-store plumbing."""
+    import math
+
+    from full_data_infrastructure_spark.operators.windows import ema_fold
+    from full_data_infrastructure_spark.streaming.replay import (
+        ordered_file_split,
+    )
+    from full_data_infrastructure_spark.streaming.stateful import (
+        running_user_ema,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    src = str(tmp_path / "ema_src")
+    ordered_file_split(events, "ts", 4, src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_user_ema(stream)
+        .writeStream.format("memory")
+        .queryName("ema_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ema_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # Update mode emits a row per (batch, key); the final state per user
+    # is the emission with the highest n_events (monotonic per key).
+    final: dict[int, tuple[int, float]] = {}
+    for r in spark.sql("SELECT * FROM ema_stream").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["ema_value"])
+    want = {
+        r["user_id"]: (r["n_events"], r["ema_value"])
+        for r in ema_fold(events).collect()
+    }
+    assert set(final) == set(want)
+    mismatches = []
+    for u, (wn, wv) in want.items():
+        gn, gv = final[u]
+        if gn != wn:
+            mismatches.append((u, "n", gn, wn))
+        elif wv is None:
+            if gv is not None and not math.isnan(gv):
+                mismatches.append((u, "null", gv, wv))
+        elif gv != wv:  # bit-exact, no tolerance
+            mismatches.append((u, "ema", gv, wv))
+    assert not mismatches, mismatches[:5]
