@@ -76,7 +76,9 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def exact_jaccard_pairs(
+    docs: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
     """Pairwise word-shingle Jaccard via shingle self-join (exact baseline).
 
     Returns (doc_a, doc_b, jaccard) for doc_a < doc_b, jaccard >= threshold.
@@ -88,8 +90,34 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     could merge two shingles corpus-wide — below any practical concern and
     identical to the accepted hashed-verification tradeoff). Measured at
     sf0.1: 8.6s -> ~3s for the pairs stage.
+
+    ``max_df`` is the hot-shingle guard that makes the baseline safe to
+    run at sf >= 1: the self-join does O(df^2) work per shingle, so one
+    stopword-like shingle with df = 10^6 alone produces 10^12 pairs.
+    Setting ``max_df`` drops shingles whose document frequency exceeds it
+    from the shingle UNIVERSE (sizes and intersections alike), capping
+    per-key join fan-out at max_df^2; the hot set itself is tiny by
+    construction, so it is removed with a broadcast anti-join — no extra
+    shuffle of the big table. Semantics: Jaccard over the df-filtered
+    shingle space. That is an APPROXIMATION, not a one-sided bound —
+    removing a shingle SHARED by a pair lowers their Jaccard
+    ((i-1)/(u-1) <= i/u), removing an unshared one raises it — with
+    per-pair perturbation <= m/(u-m) for m dropped shingles against
+    union size u, negligible when max_df is set well above the real
+    near-dup cluster size so only corpus-wide boilerplate crosses it.
+    The default (None) changes nothing: the registered queries and the
+    DuckDB oracle run the unfiltered exact metric. Guard behavior is
+    pinned by tests/test_operators.py::test_exact_jaccard_max_df_guard.
     """
     sh = tracked_persist(hashed_shingles(docs))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        sh = tracked_persist(sh.join(F.broadcast(hot), "h", "left_anti"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -483,3 +483,38 @@ def test_span_removal_drops_shared_sentence_keeps_unique(spark):
     assert out[3]["clean_text"] == rows[2][1]
     assert out[3]["n_removed"] == 0
     assert out[1]["n_removed"] == 5 and out[2]["n_removed"] == 5
+
+
+def test_exact_jaccard_max_df_guard(spark):
+    """Hot-shingle guard: a stopword-like sentence shared by EVERY filler
+    doc makes the unguarded shingle self-join quadratic in the corpus
+    (hundreds of boilerplate-only pairs from one hot bucket); max_df
+    drops those shingles from the universe, so the boilerplate pairs
+    vanish while a planted near-dup pair — whose overlap is genuine,
+    low-df text — survives with its Jaccard over the filtered space."""
+    hot = "the of and a to in is"
+    rows = []
+    for i in range(40):
+        uniq = f"doc{i} alpha{i} beta{i} gamma{i} delta{i} eps{i}"
+        rows.append((i, uniq + " " + hot))
+    shared = "zebra quokka lemur okapi gibbon tapir numbat wombat dugong"
+    rows.append((100, shared + " onlyx"))
+    rows.append((101, shared + " onlyy"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # Unguarded: the hot sentence alone pairs every filler doc with every
+    # other (5 shared hot grams / 17-gram union = 0.29 >= 0.25).
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard_pairs(docs, 0.25).collect()
+    }
+    assert len(unguarded) > 700, len(unguarded)
+
+    # Guarded: hot grams have df=40 > 10 and are dropped; filler docs
+    # retain only unique grams -> no pairs. The planted pair's shared
+    # grams have df=2 -> kept (7 shared / 9-gram union = 0.78).
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard_pairs(docs, 0.25, max_df=10).collect()
+    }
+    assert guarded == {(100, 101)}, guarded
