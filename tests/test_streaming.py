@@ -497,12 +497,25 @@ def test_upsert_sink_end_to_end(spark, tmp_path):
 def test_upsert_sink_delta_merge(spark, tmp_path):
     """With delta-spark installed, the upsert sink runs one transactional
     DeltaTable.merge per batch (matched delete / matched update / unmatched
-    insert) instead of the parquet directory swap. Skipped where
-    delta-spark is not importable (this container); the session must also
+    insert) instead of the parquet directory swap. The session must also
     carry the Delta SQL extension (session.py wires it when available)."""
     import json as _json
 
-    pytest.importorskip("delta")
+    pytest.importorskip(
+        "delta",
+        reason=(
+            "delta-spark cannot be exercised in this environment, settled "
+            "in round 5: the package is absent, `pip install delta-spark` "
+            "finds no distribution (no index access in the container), and "
+            "even a vendored wheel would not suffice — the JVM-side "
+            "delta-spark jars need spark.jars.packages network resolution. "
+            "The code under test is written against the public DeltaTable "
+            "API and this test runs it wherever the package exists; the "
+            "parquet upsert path carries the oracle-checked e2e coverage "
+            "(streaming_upsert_snapshot) plus the batch-boundary-invariance "
+            "property test meanwhile."
+        ),
+    )
 
     from full_data_infrastructure_spark.streaming.sinks import start_upsert_sink
 
