@@ -80,35 +80,39 @@ _LOADED = False
 # representative per operator-family tag (enforced by
 # tests/test_registry_order.py).
 #
-# Round-4 rotation: in come (a) the queries whose builders changed this
-# round (sessionize_batch TIMESTAMP_NTZ repair; dedup_cluster_cc on the
-# two-star path; dedup_survivors_lsh / knn_lsh / knn_ivf restructured),
-# (b) the two new round-4 queries (streaming_rollup_snapshot,
-# corpus_pipeline_lsh), and (c) 22 of the 34 queries whose newest green
-# row is CORRECTNESS_r01 (aggregates, dedup variants, curation samples,
-# relational singles); out go the round-3-attested rotation payload
-# (packing/rollup/heatmap/RFM...), which keep their CORRECTNESS_r03 rows.
-# Still r1-only after this round (round-5 rotation payload):
-# stratified_sample, repetition_signals, semi_join, anti_join,
-# cte_self_join, multimodal_join/resize/frame_sample,
-# validation_schema_check, threshold_validation, json_extract,
-# train_val_test_split, pii_redact, sample_hash, count_distinct,
-# cube_counts, rollup_counts.
+# Round-5 rotation: in come (a) the new streaming_sessionize_snapshot
+# (first row needed) and the builders touched this round
+# (streaming_rollup_snapshot ts-normalization + replay refactor,
+# streaming_upsert_snapshot replay refactor + now benched, ema_by_user
+# fold extraction, dedup_ngram_jaccard via the exact_jaccard_pairs
+# max_df parameter), (b) ALL 17 queries whose newest green row was still
+# CORRECTNESS_r01 (the full r4-verdict item-1 list — after this round no
+# query's newest row predates r2), and (c) 6 of the 15 r2-attested
+# queries (stalest next); out go the r4-attested rotation payload
+# (aggregates singles, dedup singles, knn_lsh/knn_ivf, debezium_roundtrip
+# and relational reps...), which keep their CORRECTNESS_r04 rows. Family
+# reps prefer the stalest sibling (not_exists_subquery r2 over
+# in_subquery r4, case_flag_arithmetic r3 over date_format_concat r4,
+# ntile_price_quartiles r3 over unpivot_lineitem r4); single-member
+# families (enrichment, security, distinct, setop, range, generator)
+# keep their only representative. Still r2-attested after this round
+# (round-6 payload): fingerprint_md5, lang_id_trigram, quality_score,
+# rolling_hash_fingerprint, tfidf_top_token, vocab_topk,
+# window_lag_delta, window_running_total, not_exists_subquery-siblings.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
     "flagship_benefits",
     "bu_salary_dashboard",
-    # Builders changed this round: need fresh attestation rows.
-    "sessionize_batch",
-    "dedup_cluster_cc",
-    "dedup_survivors_lsh",
-    "knn_lsh",
-    "knn_ivf",
-    # New in round 4.
+    # New in round 5 + builders changed this round.
+    "streaming_sessionize_snapshot",
     "streaming_rollup_snapshot",
-    "corpus_pipeline_lsh",
+    "streaming_upsert_snapshot",
+    "ema_by_user",
+    "dedup_ngram_jaccard",
     # Benched queries: the graded perf set stays value-attested.
+    "dedup_survivors_lsh",
+    "corpus_pipeline_lsh",
     "knn_bruteforce",
     "text_stats",
     "window_moving_avg",
@@ -118,45 +122,43 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "decontaminate_overlap",
     "multi_aggregate",
     "join_dim_snowflake",
-    # Family-tag representatives (siblings past the cap keep their
-    # r1/r2/r3 green rows).
-    "debezium_roundtrip",
-    "distinct_projection",
+    # Family-tag representatives (stalest sibling preferred; siblings
+    # past the cap keep their r3/r4 green rows).
     "enrichment_distance",
-    "generator_activities",
-    "multimodal_embed",
-    "notnull_filter",
-    "select_prune_cast",
-    "constraint_violations",
-    "range_join",
-    "unpivot_lineitem",
-    "proportional_sample",
-    "date_format_concat",
     "masked_projection",
+    "distinct_projection",
     "set_union_except_intersect",
-    "grouping_sets_counts",
-    "in_subquery",
-    # Re-attestation payload: newest green row is CORRECTNESS_r01.
-    "groupby_count_avg",
-    "scalar_count",
-    "approx_count_distinct",
-    "histogram_buckets",
-    "conditional_rate",
-    "percentile_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # New in round 4 (registered after the first window cut; pii_redact,
-    # sample_hash, train_val_test_split moved to the round-5 payload to
-    # make room — new queries need a first row more than standing-green
-    # ones need a refresh).
-    "dedup_incremental",
-    "dedup_incremental_lsh",
-    "dedup_span_removal",
-    "ema_by_user",
-    "knn_label_consistency",
-    "streaming_upsert_snapshot",
+    "range_join",
+    "generator_activities",
+    "not_exists_subquery",
+    "case_flag_arithmetic",
+    "ntile_price_quartiles",
+    # Re-attestation payload: every query whose newest green row was
+    # CORRECTNESS_r01.
+    "stratified_sample",
+    "repetition_signals",
+    "semi_join",
+    "anti_join",
+    "cte_self_join",
+    "multimodal_join",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "validation_schema_check",
+    "threshold_validation",
+    "json_extract",
+    "train_val_test_split",
+    "pii_redact",
+    "sample_hash",
+    "count_distinct",
+    "cube_counts",
+    "rollup_counts",
+    # Stalest r2-attested queries (6 of 15; the rest are the r6 payload).
+    "scalar_subquery_filter",
+    "window_rank_topn",
+    "window_dedup_latest",
+    "lang_id",
+    "vector_norms",
+    "embedding_quantize_int8",
 )
 
 

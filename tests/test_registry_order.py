@@ -59,6 +59,7 @@ def test_window_queries_are_oracle_checked_where_possible():
         "knn_lsh",
         "knn_ivf",
         "rolling_hash_fingerprint",
+        "validation_schema_check",  # V5 schema introspection: engine-specific
     }
     for name in registry.DRIVER_WINDOW:
         q = registry.REGISTRY[name]
