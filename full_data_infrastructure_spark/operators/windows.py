@@ -270,6 +270,7 @@ def _streaming_sessionize_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     from full_data_infrastructure_spark.streaming.replay import (
         ordered_file_split,
         replay_workdir,
+        write_flush_sentinel,
     )
     from full_data_infrastructure_spark.streaming.windows import session_counts
 
@@ -280,18 +281,12 @@ def _streaming_sessionize_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     # a 0-second watermark delay drops nothing (replay.py docstring).
     ordered_file_split(events, "ts", 8, src_dir)
     max_ts = events.agg(F.max("ts")).first()[0]
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts + datetime.timedelta(days=1), -1)], events.schema
+    write_flush_sentinel(
+        spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(days=1), -1)], events.schema
+        ),
+        src_dir,
     )
-    scratch = os.path.join(work, "sentinel_scratch")
-    sentinel.coalesce(1).write.parquet(scratch)
-    part = next(f for f in os.listdir(scratch) if f.startswith("part-"))
-    flush_file = os.path.join(src_dir, "part-zz-sentinel.parquet")
-    os.rename(os.path.join(scratch, part), flush_file)
-    last = max(
-        os.path.getmtime(os.path.join(src_dir, f)) for f in os.listdir(src_dir)
-    )
-    os.utime(flush_file, (last + 10, last + 10))
 
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -318,6 +313,147 @@ def _streaming_sessionize_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id",
         F.row_number().over(seq_w).cast("bigint").alias("session_seq"),
         F.col("n").alias("n_events"),
+    )
+
+
+@register(
+    "streaming_tumbling_snapshot",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Watermarked tumbling-window streaming parity: events replayed as "
+    "a time-ordered availableNow file stream through "
+    "tumbling_counts(1 hour) — the state-store windowed aggregate with "
+    "append-mode emission, a DIFFERENT mechanism from "
+    "streaming_rollup_snapshot's foreachBatch fold over the same "
+    "numbers — flushed by the far-future sentinel and hash-matched "
+    "against direct GROUP BY date_trunc aggregation. Proves the "
+    "watermark/append machinery emits every window exactly once with "
+    "exact counts across real micro-batch boundaries (windows spanning "
+    "batches merge in the state store).",
+    tags=("extension", "window", "streaming", "events"),
+)
+def _streaming_tumbling_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
+    from full_data_infrastructure_spark.streaming.replay import (
+        ordered_file_split,
+        replay_workdir,
+        write_flush_sentinel,
+    )
+    from full_data_infrastructure_spark.streaming.windows import tumbling_counts
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    work = replay_workdir("tumbling_snapshot_")
+    src_dir = os.path.join(work, "events_src")
+    ordered_file_split(events, "ts", 8, src_dir)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    write_flush_sentinel(
+        spark.createDataFrame(
+            [(max_ts + datetime.timedelta(days=1), "__sentinel__")],
+            events.schema,
+        ),
+        src_dir,
+    )
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    counts = tumbling_counts(
+        normalize_event_ts(stream), window="1 hour", watermark="0 seconds"
+    )
+    out_path = os.path.join(work, "windows")
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", os.path.join(work, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snapshot = spark.read.parquet(out_path).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    return snapshot.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00:00").alias(
+            "window_start"
+        ),
+        "event_type",
+        F.col("n").alias("n_events"),
+    )
+
+
+@register(
+    "streaming_dedup_snapshot",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    """,
+    doc="Stateful streaming dedup parity: the events changelog DOUBLED "
+    "(union with itself — every event arrives twice) and replayed as a "
+    "time-ordered availableNow file stream through watermarked "
+    "dropDuplicates(event_id); first-seen wins, the duplicate copy is "
+    "dropped by the state store whatever micro-batch it lands in (equal "
+    "timestamps range-split into the same batch, within the 2h "
+    "watermark horizon by construction). The appended sink must equal "
+    "the plain events table exactly — the driver surface for the "
+    "stateful-dedup family (T-extension), previously pytest-only.",
+    tags=("extension", "dedup", "streaming", "events"),
+)
+def _streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
+    from full_data_infrastructure_spark.streaming.replay import (
+        ordered_file_split,
+        replay_workdir,
+    )
+    from full_data_infrastructure_spark.streaming.windows import dedup_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    doubled = events.unionAll(events)
+    work = replay_workdir("dedup_snapshot_")
+    src_dir = os.path.join(work, "events_src")
+    ordered_file_split(doubled, "ts", 8, src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = dedup_stream(
+        normalize_event_ts(stream), keys=("event_id",), watermark="2 hours"
+    )
+    out_path = os.path.join(work, "deduped")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", os.path.join(work, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
     )
 
 

@@ -56,6 +56,30 @@ def symlink_table_files(src: str, dest_dir: str) -> None:
         os.symlink(src, os.path.join(dest_dir, os.path.basename(src)))
 
 
+def write_flush_sentinel(sentinel: DataFrame, src_dir: str) -> None:
+    """Append a one-row parquet file to a replay source directory with an
+    mtime AFTER every existing file, so it forms the final micro-batch.
+
+    Append-mode event-time aggregations emit a window only once the
+    watermark passes its end; real windows near the corpus max timestamp
+    would otherwise stay in state forever when the stream ends. A single
+    far-future sentinel row (filtered out of the snapshot by the caller)
+    advances the final watermark past every real window — the replay twin
+    of the watermark heartbeat a live topic provides."""
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="sentinel_", dir=os.path.dirname(src_dir))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(scratch)
+    part = next(f for f in os.listdir(scratch) if f.startswith("part-"))
+    flush_file = os.path.join(src_dir, "part-zz-sentinel.parquet")
+    os.rename(os.path.join(scratch, part), flush_file)
+    shutil.rmtree(scratch, ignore_errors=True)
+    last = max(
+        os.path.getmtime(os.path.join(src_dir, f)) for f in os.listdir(src_dir)
+    )
+    os.utime(flush_file, (last + 10, last + 10))
+
+
 def ordered_file_split(
     df: DataFrame, order_col: str, n: int, dest_dir: str
 ) -> None:

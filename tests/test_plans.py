@@ -235,6 +235,8 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "streaming_rollup_snapshot",
         "streaming_upsert_snapshot",
         "streaming_sessionize_snapshot",
+        "streaming_tumbling_snapshot",
+        "streaming_dedup_snapshot",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
