@@ -868,3 +868,52 @@ def test_running_user_ema_matches_batch_fold(spark, sf_dir, tmp_path):
         elif gv != wv:  # bit-exact, no tolerance
             mismatches.append((u, "ema", gv, wv))
     assert not mismatches, mismatches[:5]
+
+
+def test_streaming_rollup_snapshot_handles_bigint_ts(spark, sf_dir, tmp_path):
+    """Regression for the r4 advice finding: the rollup parity stream read
+    the parquet footer schema raw, so a TIMESTAMP(NANOS)-stored-as-bigint
+    ts — a storage variant the driver HAS produced across rounds — would
+    reach date_trunc as bigint and fail analysis at stream time. The
+    stream now applies the same normalize_event_ts repair as load_table;
+    replaying a bigint-ts variant must yield exactly the batch partials
+    computed on the same data."""
+    import os
+
+    from full_data_infrastructure_spark.operators.rollup import rollup_partials
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    events = load_table(spark, sf_dir, "events").limit(2000)
+    vdir = str(tmp_path / "bigint_variant")
+    events.withColumn("ts", F.unix_micros("ts") * 1000).write.parquet(
+        os.path.join(vdir, "events.parquet")
+    )
+
+    got = {
+        (r["bucket"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in REGISTRY["streaming_rollup_snapshot"].build(spark, vdir).collect()
+    }
+    batch = rollup_partials(load_table(spark, vdir, "events"), unit="hour")
+    want = {
+        (r["bucket"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in batch.select(
+            F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+        ).collect()
+    }
+    assert got == want
