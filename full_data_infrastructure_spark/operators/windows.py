@@ -458,6 +458,84 @@ def _streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_ema_snapshot",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vs,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           list_reduce(vs, (acc, x) -> 0.5 * acc + 0.5 * x) AS ema_value
+    FROM seq
+    """,
+    doc="Custom-stateful-operator streaming parity — the driver surface "
+    "for the applyInPandasWithState family (previously pytest-only): "
+    "events replayed as a time-ordered availableNow file stream through "
+    "running_user_ema (streaming/stateful.py), whose per-key state-store "
+    "scalars fold each micro-batch with the identical IEEE-double op "
+    "sequence as the batch/DuckDB list_reduce (alpha=1/2, every multiply "
+    "exact; NULL values poison the fold on both paths). The memory sink "
+    "collects the update-mode emissions and the final state per user — "
+    "the emission with the highest n_events — must hash-match the "
+    "oracle's direct fold over the whole history, proving the O(1)-state "
+    "accumulator equals the O(history) batch fold across real "
+    "micro-batch boundaries. Cut-point invariance is property-tested in "
+    "tests/test_properties.py; this row attests it on the driver's own "
+    "comparison.",
+    tags=("extension", "window", "streaming", "events"),
+)
+def _streaming_ema_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
+    from full_data_infrastructure_spark.streaming.replay import (
+        ordered_file_split,
+        replay_workdir,
+    )
+    from full_data_infrastructure_spark.streaming.stateful import running_user_ema
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    work = replay_workdir("ema_snapshot_")
+    src_dir = os.path.join(work, "events_src")
+    ordered_file_split(events, "ts", 8, src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # Update-mode emissions need the memory sink (the parquet sink is
+    # append-only); the table is bounded by users x batches.
+    table = f"ema_snapshot_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_ema(normalize_event_ts(stream))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(table)
+    # Final state per user = the emission with the highest n_events
+    # (strictly monotonic per key: every appearance adds >= 1 event).
+    last_w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emissions.withColumn("_rn", F.row_number().over(last_w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "ema_value")
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH clicks AS (

@@ -87,9 +87,10 @@ _LOADED = False
 # fold extraction, dedup_ngram_jaccard via the exact_jaccard_pairs
 # max_df parameter), (b) ALL 17 queries whose newest green row was still
 # CORRECTNESS_r01 (the full r4-verdict item-1 list — after this round no
-# query's newest row predates r2), (c) the two beyond-brief round-5
-# streaming parity queries (tumbling, stateful dedup), and (d) 4 of the
-# 15 r2-attested queries (stalest next); out go the r4-attested rotation payload
+# query's newest row predates r2), (c) the three beyond-brief round-5
+# streaming parity queries (tumbling, stateful dedup, stateful EMA), and
+# (d) 3 of the 15 r2-attested queries (stalest next); out go the
+# r4-attested rotation payload
 # (aggregates singles, dedup singles, knn_lsh/knn_ivf, debezium_roundtrip
 # and relational reps...), which keep their CORRECTNESS_r04 rows. Family
 # reps prefer the stalest sibling (not_exists_subquery r2 over
@@ -97,9 +98,10 @@ _LOADED = False
 # ntile_price_quartiles r3 over unpivot_lineitem r4); single-member
 # families (enrichment, security, distinct, setop, range, generator)
 # keep their only representative. Still r2-attested after this round
-# (round-6 payload): fingerprint_md5, lang_id_trigram, quality_score,
-# rolling_hash_fingerprint, tfidf_top_token, vocab_topk, vector_norms,
-# embedding_quantize_int8, window_lag_delta, window_running_total.
+# (round-6 payload): fingerprint_md5, lang_id, lang_id_trigram,
+# quality_score, rolling_hash_fingerprint, tfidf_top_token, vocab_topk,
+# vector_norms, embedding_quantize_int8, window_lag_delta,
+# window_running_total.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
@@ -153,17 +155,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "count_distinct",
     "cube_counts",
     "rollup_counts",
-    # Round-5 additions beyond the brief: tumbling-window and
-    # stateful-dedup streaming parity (first rows needed — new queries
-    # outrank standing-green refreshes, so vector_norms and
-    # embedding_quantize_int8 moved to the r6 payload).
+    # Round-5 additions beyond the brief: tumbling-window, stateful-dedup
+    # and applyInPandasWithState-EMA streaming parity (first rows needed —
+    # new queries outrank standing-green refreshes, so vector_norms,
+    # embedding_quantize_int8 and lang_id moved to the r6 payload).
     "streaming_tumbling_snapshot",
     "streaming_dedup_snapshot",
-    # Stalest r2-attested queries (4 of 15; the rest are the r6 payload).
+    "streaming_ema_snapshot",
+    # Stalest r2-attested queries (3 of 15; the rest are the r6 payload).
     "scalar_subquery_filter",
     "window_rank_topn",
     "window_dedup_latest",
-    "lang_id",
 )
 
 

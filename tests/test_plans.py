@@ -237,6 +237,7 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "streaming_sessionize_snapshot",
         "streaming_tumbling_snapshot",
         "streaming_dedup_snapshot",
+        "streaming_ema_snapshot",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
