@@ -397,19 +397,24 @@ def _streaming_tumbling_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_dedup_snapshot",
     """
-    SELECT event_id, user_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
-    FROM events
+    SELECT event_id, user_id, event_type FROM events
     """,
-    doc="Stateful streaming dedup parity: the events changelog DOUBLED "
-    "(union with itself — every event arrives twice) and replayed as a "
-    "time-ordered availableNow file stream through watermarked "
-    "dropDuplicates(event_id); first-seen wins, the duplicate copy is "
-    "dropped by the state store whatever micro-batch it lands in (equal "
-    "timestamps range-split into the same batch, within the 2h "
-    "watermark horizon by construction). The appended sink must equal "
-    "the plain events table exactly — the driver surface for the "
-    "stateful-dedup family (T-extension), previously pytest-only.",
+    doc="Stateful streaming dedup parity: the events changelog DOUBLED, "
+    "with each duplicate copy time-shifted +5 minutes so it typically "
+    "lands in a LATER micro-batch than its original (an equal-ts copy "
+    "would range-split into the same batch and be removed by "
+    "within-batch distinct, proving nothing about state) — then "
+    "replayed as a time-ordered availableNow file stream through "
+    "watermarked dropDuplicates(event_id). The state store must carry "
+    "every seen key across batch boundaries within the 2h watermark "
+    "horizon (+5min is far inside it) and drop the second copy. The "
+    "appended sink must hash-equal the plain events table on the "
+    "copy-invariant columns — exactly one row per event_id, none lost, "
+    "none extra; ts is deliberately excluded because WHICH copy "
+    "survives when both race into one micro-batch is arbitrary in any "
+    "distributed dedup and is not the semantics under attestation. The "
+    "driver surface for the stateful-dedup family (T-extension), "
+    "previously pytest-only.",
     tags=("extension", "dedup", "streaming", "events"),
 )
 def _streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,7 +430,10 @@ def _streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    doubled = events.unionAll(events)
+    late_copies = events.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    doubled = events.unionAll(late_copies)
     work = replay_workdir("dedup_snapshot_")
     src_dir = os.path.join(work, "events_src")
     ordered_file_split(doubled, "ts", 8, src_dir)
@@ -450,10 +458,7 @@ def _streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out_path).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_id", "user_id", "event_type"
     )
 
 
