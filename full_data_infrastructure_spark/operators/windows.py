@@ -395,6 +395,93 @@ def _streaming_tumbling_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_snapshot",
+    """
+    WITH pane AS (
+        SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS ws
+        FROM events
+        UNION ALL
+        SELECT event_type,
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:00') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM pane
+    GROUP BY 1, 2
+    """,
+    doc="Sliding-window streaming parity, completing the windowed trio "
+    "(tumbling/sliding/session all driver-attested): the time-ordered "
+    "events replay through sliding_counts(window=1h, slide=30min) — "
+    "every event lands in EXACTLY the two 30-minute-aligned hour panes "
+    "containing it, which the oracle reproduces as a two-way UNION ALL "
+    "of time_bucket shifts (both engines align buckets on :00/:30 "
+    "boundaries). Sentinel-flushed append emission; per-pane counts "
+    "must hash-match, proving overlapping-pane assignment and "
+    "cross-batch pane merging in the state store.",
+    tags=("extension", "window", "streaming", "events"),
+)
+def _streaming_sliding_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
+    from full_data_infrastructure_spark.streaming.replay import (
+        ordered_file_split,
+        replay_workdir,
+        write_flush_sentinel,
+    )
+    from full_data_infrastructure_spark.streaming.windows import sliding_counts
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    work = replay_workdir("sliding_snapshot_")
+    src_dir = os.path.join(work, "events_src")
+    ordered_file_split(events, "ts", 8, src_dir)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    write_flush_sentinel(
+        spark.createDataFrame(
+            [(max_ts + datetime.timedelta(days=1), "__sentinel__")],
+            events.schema,
+        ),
+        src_dir,
+    )
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    counts = sliding_counts(
+        normalize_event_ts(stream),
+        window="1 hour",
+        slide="30 minutes",
+        watermark="0 seconds",
+    )
+    out_path = os.path.join(work, "windows")
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", os.path.join(work, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snapshot = spark.read.parquet(out_path).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    return snapshot.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:00").alias(
+            "window_start"
+        ),
+        "event_type",
+        F.col("n").alias("n_events"),
+    )
+
+
+@register(
     "streaming_dedup_snapshot",
     """
     SELECT event_id, user_id, event_type FROM events

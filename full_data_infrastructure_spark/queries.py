@@ -87,10 +87,10 @@ _LOADED = False
 # fold extraction, dedup_ngram_jaccard via the exact_jaccard_pairs
 # max_df parameter), (b) ALL 17 queries whose newest green row was still
 # CORRECTNESS_r01 (the full r4-verdict item-1 list — after this round no
-# query's newest row predates r2), (c) the three beyond-brief round-5
-# streaming parity queries (tumbling, stateful dedup, stateful EMA), and
-# (d) 3 of the 15 r2-attested queries (stalest next); out go the
-# r4-attested rotation payload
+# query's newest row predates r2), (c) the four beyond-brief round-5
+# streaming parity queries (tumbling, sliding, stateful dedup, stateful
+# EMA), and (d) 2 of the 15 r2-attested queries (stalest next); out go
+# the r4-attested rotation payload
 # (aggregates singles, dedup singles, knn_lsh/knn_ivf, debezium_roundtrip
 # and relational reps...), which keep their CORRECTNESS_r04 rows. Family
 # reps prefer the stalest sibling (not_exists_subquery r2 over
@@ -101,7 +101,7 @@ _LOADED = False
 # (round-6 payload): fingerprint_md5, lang_id, lang_id_trigram,
 # quality_score, rolling_hash_fingerprint, tfidf_top_token, vocab_topk,
 # vector_norms, embedding_quantize_int8, window_lag_delta,
-# window_running_total.
+# window_running_total, window_dedup_latest.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
@@ -160,12 +160,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new queries outrank standing-green refreshes, so vector_norms,
     # embedding_quantize_int8 and lang_id moved to the r6 payload).
     "streaming_tumbling_snapshot",
+    "streaming_sliding_snapshot",
     "streaming_dedup_snapshot",
     "streaming_ema_snapshot",
-    # Stalest r2-attested queries (3 of 15; the rest are the r6 payload).
+    # Stalest r2-attested queries (2 of 15; the rest are the r6 payload).
     "scalar_subquery_filter",
     "window_rank_topn",
-    "window_dedup_latest",
 )
 
 

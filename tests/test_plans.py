@@ -236,6 +236,7 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "streaming_upsert_snapshot",
         "streaming_sessionize_snapshot",
         "streaming_tumbling_snapshot",
+        "streaming_sliding_snapshot",
         "streaming_dedup_snapshot",
         "streaming_ema_snapshot",
     }
