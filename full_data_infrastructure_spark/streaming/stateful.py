@@ -166,12 +166,21 @@ def _ema_fn_factory(alpha: float):
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (n_events, ema) = state.get if state.exists else (0, float("nan"))
-        for pdf in pdfs:
-            # Event-time order within the batch; cross-batch order is the
-            # source's responsibility (a keyed topic's per-partition order,
-            # or replay.ordered_file_split in tests).
-            pdf = pdf.sort_values(["ts", "event_id"])
-            n_events, ema = fold_ema(n_events, ema, pdf["value"], alpha)
+        # A key's micro-batch rows arrive as an ITERATOR of Arrow chunks
+        # (split at spark.sql.execution.arrow.maxRecordsPerBatch) with no
+        # cross-chunk order guarantee — the shuffle sorts on the grouping
+        # key only. The fold is order-sensitive, so concatenate ALL chunks
+        # and sort ONCE; sorting each chunk independently would silently
+        # fold out of event-time order for keys larger than one chunk
+        # (pinned by the small-maxRecordsPerBatch e2e test).
+        # Cross-batch order remains the source's responsibility (a keyed
+        # topic's per-partition order, or replay.ordered_file_split).
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            n_events, ema = fold_ema(n_events, ema, batch["value"], alpha)
         state.update((n_events, ema))
         import math
 

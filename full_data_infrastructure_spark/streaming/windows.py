@@ -6,8 +6,9 @@ engine surface for the north star; they run over the ``events`` fixture.
 
 Scale notes: watermarks bound state (without one, a windowed aggregate's
 state grows forever); window state is keyed by (window, key) and sharded by
-the shuffle, so high-cardinality keys spread evenly. dropDuplicates state
-is likewise watermark-bounded.
+the shuffle, so high-cardinality keys spread evenly. Dedup state is bounded
+only by dropDuplicatesWithinWatermark (see :func:`dedup_stream` — plain
+dropDuplicates without the event-time column in its keys never evicts).
 """
 
 from __future__ import annotations
@@ -89,7 +90,18 @@ def dedup_stream(
     ts_col: str = "ts",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Stateful streaming dedup: first-seen wins within the watermark
-    horizon; state for keys older than the watermark is dropped, bounding
-    memory — the streaming twin of window_dedup_latest."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates([*keys])
+    """Stateful streaming dedup: first-seen wins for any duplicate arriving
+    within the watermark delay of the first copy, and state older than the
+    horizon is EVICTED — bounded memory, the streaming twin of
+    window_dedup_latest.
+
+    ``dropDuplicatesWithinWatermark``, not plain ``dropDuplicates``: with
+    the event-time column absent from the keys (the normal case — the key
+    is the business id), plain dropDuplicates never evicts state by
+    watermark, so its memory grows with every distinct key ever seen; the
+    within-watermark variant trades that for an explicit horizon —
+    duplicates farther apart than the watermark both survive, which is the
+    contract a replayed-topic consumer actually wants."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [*keys]
+    )

@@ -805,15 +805,30 @@ def test_session_window_gap_boundary_merges_at_exactly_gap(spark):
     assert sorted(per_user[2]) == [1, 1], per_user
 
 
-def test_running_user_ema_matches_batch_fold(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize(
+    "n_files,arrow_batch",
+    [
+        (4, None),  # multi-batch: state carried across micro-batches
+        # Single batch + tiny Arrow batches: each user's rows reach the
+        # state function as MULTIPLE unordered chunks — the fold must
+        # concat-and-sort once, not sort each chunk (the silent
+        # out-of-order-fold bug this round's review caught).
+        (1, 16),
+    ],
+)
+def test_running_user_ema_matches_batch_fold(
+    spark, sf_dir, tmp_path, n_files, arrow_batch
+):
     """End-to-end escape-hatch proof on the real fixture: events replayed
-    as a time-ordered multi-batch file stream through the
-    applyInPandasWithState EMA accumulator must end at BIT-EXACTLY the
-    per-user EMA ema_by_user's batch fold computes — including NULL
-    poisoning (users with a null value end at NULL on both paths). The
-    pure-fold cut invariance is property-tested in test_properties.py;
-    this drives the actual state-store plumbing."""
+    as a time-ordered file stream through the applyInPandasWithState EMA
+    accumulator must end at BIT-EXACTLY the per-user EMA ema_by_user's
+    batch fold computes — including NULL poisoning (users with a null
+    value end at NULL on both paths). The pure-fold cut invariance is
+    property-tested in test_properties.py; this drives the actual
+    state-store plumbing, in both the cross-batch and the
+    multi-chunk-per-key regime."""
     import math
+    import uuid as _uuid
 
     from full_data_infrastructure_spark.operators.windows import ema_fold
     from full_data_infrastructure_spark.streaming.replay import (
@@ -827,28 +842,48 @@ def test_running_user_ema_matches_batch_fold(spark, sf_dir, tmp_path):
         "user_id", "ts", "event_id", "value"
     )
     src = str(tmp_path / "ema_src")
-    ordered_file_split(events, "ts", 4, src)
+    if arrow_batch is None:
+        ordered_file_split(events, "ts", n_files, src)
+    else:
+        # Deterministically scrambled SINGLE file via coalesce(1):
+        # ordered_file_split's repartitionByRange plans a local sort, so
+        # its files are ts-ordered and per-chunk folding would
+        # accidentally match — the variant must feed genuinely unordered
+        # chunks (mutation-checked: the old per-chunk sort folds 15/15
+        # users wrong on this input). A single file has no cross-file
+        # ordering contract, so scrambled order is legitimate replay
+        # input; the accumulator's concat-and-sort owns within-batch
+        # order.
+        events.orderBy(F.hash("event_id")).coalesce(1).write.parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        running_user_ema(stream)
-        .writeStream.format("memory")
-        .queryName("ema_stream")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ema_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev_arrow = spark.conf.get(conf_key)
+    if arrow_batch is not None:
+        spark.conf.set(conf_key, str(arrow_batch))
+    table = f"ema_stream_{_uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            running_user_ema(stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ema_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(conf_key, prev_arrow)
 
     # Update mode emits a row per (batch, key); the final state per user
     # is the emission with the highest n_events (monotonic per key).
     final: dict[int, tuple[int, float]] = {}
-    for r in spark.sql("SELECT * FROM ema_stream").collect():
+    for r in spark.sql(f"SELECT * FROM {table}").collect():
         cur = final.get(r["user_id"])
         if cur is None or r["n_events"] > cur[0]:
             final[r["user_id"]] = (r["n_events"], r["ema_value"])
