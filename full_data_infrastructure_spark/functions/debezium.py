@@ -202,10 +202,7 @@ def _debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from full_data_infrastructure_spark.streaming.replay import (
-        ordered_file_split,
-        replay_workdir,
-    )
+    from full_data_infrastructure_spark.streaming.replay import replay_stream
     from full_data_infrastructure_spark.streaming.sinks import start_upsert_sink
 
     events = load_table(spark, sf_dir, "events")
@@ -220,16 +217,11 @@ def _streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("u"))
         .alias("op"),
     )
-    work = replay_workdir("upsert_snapshot_")
-    src_dir = os.path.join(work, "changes")
     # Range-split by the offset column with mtimes stamped in part order
     # (replay.py): micro-batches replay the changelog in event_id order,
     # the per-key ordering a keyed topic partition guarantees.
-    ordered_file_split(changes, "event_id", 8, src_dir)
-    stream = (
-        spark.readStream.schema(changes.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
+    work, stream = replay_stream(
+        spark, changes, "event_id", prefix="upsert_snapshot_"
     )
     q = start_upsert_sink(
         stream,

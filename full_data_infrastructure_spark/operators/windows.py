@@ -264,49 +264,27 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _streaming_sessionize_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
-    import os
 
-    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
     from full_data_infrastructure_spark.streaming.replay import (
-        ordered_file_split,
-        replay_workdir,
-        write_flush_sentinel,
+        replay_stream,
+        run_stream_to_parquet,
     )
     from full_data_infrastructure_spark.streaming.windows import session_counts
 
-    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    work = replay_workdir("sessionize_snapshot_")
-    src_dir = os.path.join(work, "events_src")
     # Time-range split: batch i+1 never holds a ts below batch i's max, so
-    # a 0-second watermark delay drops nothing (replay.py docstring).
-    ordered_file_split(events, "ts", 8, src_dir)
-    max_ts = events.agg(F.max("ts")).first()[0]
-    write_flush_sentinel(
-        spark.createDataFrame(
-            [(-1, max_ts + datetime.timedelta(days=1), -1)], events.schema
-        ),
-        src_dir,
+    # a 0-second watermark delay drops nothing (replay.py docstring). The
+    # split re-writes the already-normalized frame, so the stream's ts is
+    # a proper timestamp whatever the source table stored.
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    work, stream = replay_stream(
+        spark,
+        events,
+        "ts",
+        prefix="sessionize_snapshot_",
+        sentinel_fn=lambda mx: (-1, mx + datetime.timedelta(days=1), -1),
     )
-
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    sessions = session_counts(
-        normalize_event_ts(stream), gap="30 minutes", watermark="0 seconds"
-    )
-    out_path = os.path.join(work, "sessions")
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", os.path.join(work, "checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sessions = session_counts(stream, gap="30 minutes", watermark="0 seconds")
+    out_path = run_stream_to_parquet(sessions, work, "sessions")
     snapshot = spark.read.parquet(out_path).filter(F.col("user_id") >= 0)
     seq_w = Window.partitionBy("user_id").orderBy("session_start")
     return snapshot.select(
@@ -340,48 +318,26 @@ def _streaming_sessionize_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def _streaming_tumbling_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
-    import os
 
-    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
     from full_data_infrastructure_spark.streaming.replay import (
-        ordered_file_split,
-        replay_workdir,
-        write_flush_sentinel,
+        replay_stream,
+        run_stream_to_parquet,
     )
     from full_data_infrastructure_spark.streaming.windows import tumbling_counts
 
     events = load_table(spark, sf_dir, "events").select("ts", "event_type")
-    work = replay_workdir("tumbling_snapshot_")
-    src_dir = os.path.join(work, "events_src")
-    ordered_file_split(events, "ts", 8, src_dir)
-    max_ts = events.agg(F.max("ts")).first()[0]
-    write_flush_sentinel(
-        spark.createDataFrame(
-            [(max_ts + datetime.timedelta(days=1), "__sentinel__")],
-            events.schema,
+    work, stream = replay_stream(
+        spark,
+        events,
+        "ts",
+        prefix="tumbling_snapshot_",
+        sentinel_fn=lambda mx: (
+            mx + datetime.timedelta(days=1),
+            "__sentinel__",
         ),
-        src_dir,
     )
-
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    counts = tumbling_counts(
-        normalize_event_ts(stream), window="1 hour", watermark="0 seconds"
-    )
-    out_path = os.path.join(work, "windows")
-    q = (
-        counts.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", os.path.join(work, "checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    counts = tumbling_counts(stream, window="1 hour", watermark="0 seconds")
+    out_path = run_stream_to_parquet(counts, work, "windows")
     snapshot = spark.read.parquet(out_path).filter(
         F.col("event_type") != "__sentinel__"
     )
@@ -424,51 +380,28 @@ def _streaming_tumbling_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _streaming_sliding_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
-    import os
 
-    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
     from full_data_infrastructure_spark.streaming.replay import (
-        ordered_file_split,
-        replay_workdir,
-        write_flush_sentinel,
+        replay_stream,
+        run_stream_to_parquet,
     )
     from full_data_infrastructure_spark.streaming.windows import sliding_counts
 
     events = load_table(spark, sf_dir, "events").select("ts", "event_type")
-    work = replay_workdir("sliding_snapshot_")
-    src_dir = os.path.join(work, "events_src")
-    ordered_file_split(events, "ts", 8, src_dir)
-    max_ts = events.agg(F.max("ts")).first()[0]
-    write_flush_sentinel(
-        spark.createDataFrame(
-            [(max_ts + datetime.timedelta(days=1), "__sentinel__")],
-            events.schema,
+    work, stream = replay_stream(
+        spark,
+        events,
+        "ts",
+        prefix="sliding_snapshot_",
+        sentinel_fn=lambda mx: (
+            mx + datetime.timedelta(days=1),
+            "__sentinel__",
         ),
-        src_dir,
-    )
-
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
     )
     counts = sliding_counts(
-        normalize_event_ts(stream),
-        window="1 hour",
-        slide="30 minutes",
-        watermark="0 seconds",
+        stream, window="1 hour", slide="30 minutes", watermark="0 seconds"
     )
-    out_path = os.path.join(work, "windows")
-    q = (
-        counts.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", os.path.join(work, "checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    out_path = run_stream_to_parquet(counts, work, "windows")
     snapshot = spark.read.parquet(out_path).filter(
         F.col("event_type") != "__sentinel__"
     )
@@ -505,12 +438,9 @@ def _streaming_sliding_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "dedup", "streaming", "events"),
 )
 def _streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
     from full_data_infrastructure_spark.streaming.replay import (
-        ordered_file_split,
-        replay_workdir,
+        replay_stream,
+        run_stream_to_parquet,
     )
     from full_data_infrastructure_spark.streaming.windows import dedup_stream
 
@@ -521,29 +451,11 @@ def _streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
     )
     doubled = events.unionAll(late_copies)
-    work = replay_workdir("dedup_snapshot_")
-    src_dir = os.path.join(work, "events_src")
-    ordered_file_split(doubled, "ts", 8, src_dir)
-
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
+    work, stream = replay_stream(
+        spark, doubled, "ts", prefix="dedup_snapshot_"
     )
-    deduped = dedup_stream(
-        normalize_event_ts(stream), keys=("event_id",), watermark="2 hours"
-    )
-    out_path = os.path.join(work, "deduped")
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", os.path.join(work, "checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    deduped = dedup_stream(stream, keys=("event_id",), watermark="2 hours")
+    out_path = run_stream_to_parquet(deduped, work, "deduped")
     return spark.read.parquet(out_path).select(
         "event_id", "user_id", "event_type"
     )
@@ -580,42 +492,19 @@ def _streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "window", "streaming", "events"),
 )
 def _streaming_ema_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import uuid
-
-    from full_data_infrastructure_spark.sources.parquet import normalize_event_ts
     from full_data_infrastructure_spark.streaming.replay import (
-        ordered_file_split,
-        replay_workdir,
+        replay_stream,
+        run_stream_to_memory,
     )
     from full_data_infrastructure_spark.streaming.stateful import running_user_ema
 
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
-    work = replay_workdir("ema_snapshot_")
-    src_dir = os.path.join(work, "events_src")
-    ordered_file_split(events, "ts", 8, src_dir)
-
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
+    work, stream = replay_stream(spark, events, "ts", prefix="ema_snapshot_")
     # Update-mode emissions need the memory sink (the parquet sink is
     # append-only); the table is bounded by users x batches.
-    table = f"ema_snapshot_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_ema(normalize_event_ts(stream))
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    table = run_stream_to_memory(running_user_ema(stream), work)
     emissions = spark.table(table)
     # Final state per user = the emission with the highest n_events
     # (strictly monotonic per key: every appearance adds >= 1 event).

@@ -84,8 +84,13 @@ _LOADED = False
 # (first row needed) and the builders touched this round
 # (streaming_rollup_snapshot ts-normalization + replay refactor,
 # streaming_upsert_snapshot replay refactor + now benched, ema_by_user
-# fold extraction, dedup_ngram_jaccard via the exact_jaccard_pairs
-# max_df parameter), (b) ALL 17 queries whose newest green row was still
+# fold extraction, plus dedup_ngram_jaccard — the DIRECT query surface of
+# exact_jaccard_pairs after its max_df addition; max_df defaults to None
+# and the plan is identical, so the transitive callers that merely pass
+# through it (dedup_cluster_cc, dedup_survivors, corpus_pipeline) keep
+# their standing rows — re-attesting the direct surface is prudence, not
+# the changed-builder invariant), (b) ALL 17 queries whose newest green
+# row was still
 # CORRECTNESS_r01 (the full r4-verdict item-1 list — after this round no
 # query's newest row predates r2), (c) the four beyond-brief round-5
 # streaming parity queries (tumbling, sliding, stateful dedup, stateful

@@ -66,8 +66,6 @@ def write_flush_sentinel(sentinel: DataFrame, src_dir: str) -> None:
     far-future sentinel row (filtered out of the snapshot by the caller)
     advances the final watermark past every real window — the replay twin
     of the watermark heartbeat a live topic provides."""
-    import tempfile
-
     scratch = tempfile.mkdtemp(prefix="sentinel_", dir=os.path.dirname(src_dir))
     sentinel.coalesce(1).write.mode("overwrite").parquet(scratch)
     part = next(f for f in os.listdir(scratch) if f.startswith("part-"))
@@ -98,3 +96,84 @@ def ordered_file_split(
     for i, fname in enumerate(parts):
         path = os.path.join(dest_dir, fname)
         os.utime(path, (base + i + 1, base + i + 1))
+
+
+def replay_stream(
+    spark,
+    df: DataFrame,
+    order_col: str,
+    prefix: str,
+    n_files: int = 8,
+    sentinel_fn=None,
+):
+    """One-stop deterministic replay source shared by the streaming parity
+    builders: work dir + ordered file split + optional watermark-flush
+    sentinel + a ``maxFilesPerTrigger=1`` file stream over the result.
+    Returns ``(work_dir, stream DataFrame)``.
+
+    ``sentinel_fn`` receives the split's maximum ``order_col`` value and
+    returns a far-future sentinel row tuple matching ``df``'s schema. The
+    maximum is read from the LAST part file only — the range split puts
+    the global max there, so this is a one-file footer-stats scan, not a
+    second full pass over the source table."""
+    from pyspark.sql import functions as F
+
+    work = replay_workdir(prefix)
+    src_dir = os.path.join(work, "src")
+    ordered_file_split(df, order_col, n_files, src_dir)
+    if sentinel_fn is not None:
+        parts = sorted(f for f in os.listdir(src_dir) if f.startswith("part-"))
+        mx = (
+            spark.read.parquet(os.path.join(src_dir, parts[-1]))
+            .agg(F.max(order_col))
+            .first()[0]
+        )
+        write_flush_sentinel(
+            spark.createDataFrame([sentinel_fn(mx)], df.schema), src_dir
+        )
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return work, stream
+
+
+def run_stream_to_parquet(
+    transformed: DataFrame, work: str, name: str = "out"
+) -> str:
+    """Drive a replayed stream to completion through an append-mode parquet
+    sink under the work dir; returns the output path to read back."""
+    out = os.path.join(work, name)
+    q = (
+        transformed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, f"{name}_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+def run_stream_to_memory(
+    transformed: DataFrame, work: str, output_mode: str = "update"
+) -> str:
+    """Drive a replayed stream to completion through the memory sink (the
+    only sink for update-mode emissions); returns the unique table name.
+    Driver memory holds keys x batches rows — bounded for parity replays."""
+    import uuid
+
+    table = f"replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(work, "mem_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table
