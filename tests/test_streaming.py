@@ -952,3 +952,56 @@ def test_streaming_rollup_snapshot_handles_bigint_ts(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_rollup_sink_honors_legacy_fence_location(spark, tmp_path):
+    """Upgrade-path regression for the batch-id fence: deployments created
+    before the fence moved inside the table directory left it at
+    '<path>_applied_batch'. A checkpoint wipe re-delivers the same files
+    with the same batch ids; with the marker ONLY at the legacy location
+    the folds must still no-op (additive merges would otherwise double
+    every count). A final control run with BOTH markers removed shows the
+    scenario is real: counts double."""
+    import json as _json
+    import os
+    import shutil
+
+    from full_data_infrastructure_spark.streaming.sinks import start_rollup_sink
+
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    partials = str(tmp_path / "partials")
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 10:05:00", "event_type": "click", "value": 1.5},
+        {"event_id": 2, "ts": "2024-01-01 10:40:00", "event_type": "click", "value": 2.5},
+    ]
+    (stream_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double"
+    ).json(str(stream_dir))
+
+    def run(ckpt_name):
+        q = start_rollup_sink(
+            stream, partials, str(tmp_path / ckpt_name), available_now=True
+        )
+        q.awaitTermination(120)
+        return {
+            (r["bucket"], r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(partials).collect()
+        }
+
+    first = run("ckpt1")
+    assert sum(first.values()) == 2
+
+    # Simulate the pre-migration layout: fence beside the table, not inside.
+    in_table = os.path.join(partials, "_applied_batch")
+    legacy = f"{partials}_applied_batch"
+    os.rename(in_table, legacy)
+    assert run("ckpt2") == first  # legacy fence honored: no double-apply
+
+    # Control: with no fence anywhere the same replay DOES double-apply,
+    # proving the assertions above discriminate.
+    os.remove(legacy)
+    doubled = run("ckpt3")
+    assert sum(doubled.values()) == 4
+    shutil.rmtree(partials)
