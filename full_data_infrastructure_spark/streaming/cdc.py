@@ -154,20 +154,28 @@ def latest_changes(
     provides a true offset/LSN, pass it as ``order_col`` instead; the
     stage tiebreak then only covers exact offset ties, which cannot
     happen.
-    """
-    from pyspark.sql import Window
 
+    Implemented as ``max_by`` over a (order_col, stage) comparator struct
+    rather than a ``row_number`` window: an aggregation gets map-side
+    partial combine (each shuffle partition ships one pre-reduced row per
+    key, not every change) and skips the per-partition sort — this runs
+    once per micro-batch in the upsert sink, so its constant factor is
+    the sink's steady-state cost.
+    """
+    # Higher stage wins an order_col tie under max: d=3 > u=2 > r=1 > c=0
+    # (the window form ordered ascending on the inverse ranks).
     op_stage = (
-        F.when(F.col("op") == "d", 0)
-        .when(F.col("op") == "u", 1)
-        .when(F.col("op") == "r", 2)
-        .otherwise(3)
+        F.when(F.col("op") == "d", 3)
+        .when(F.col("op") == "u", 2)
+        .when(F.col("op") == "r", 1)
+        .otherwise(0)
     )
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), op_stage)
-    return (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    payload = F.struct(*[c for c in changes.columns if c != key])
+    picked = changes.groupBy(key).agg(
+        F.max_by(payload, F.struct(F.col(order_col), op_stage)).alias("_latest")
+    )
+    return picked.select(
+        *[F.col(f"_latest.{c}").alias(c) if c != key else F.col(key) for c in changes.columns]
     )
 
 
@@ -188,8 +196,11 @@ def apply_cdc_batch(
 
     Used from ``foreachBatch``: read current snapshot, apply, overwrite (or
     Delta ``MERGE INTO`` where Delta is available — same semantics, atomic).
-    Shuffle cost: one window over the batch (small) + one anti-join keyed on
-    ``key``; the snapshot is never shuffled on an unkeyed column.
+    Shuffle cost: one map-side-combined aggregation over the batch (small)
+    + one anti-join keyed on ``key``; a micro-batch's distinct-key set is
+    bounded by the trigger size (``maxOffsetsPerTrigger`` on a real
+    topic), so AQE plans the anti-join as a broadcast at runtime and the
+    snapshot is never shuffled on an unkeyed column.
     """
     latest = latest_changes(changes, key, order_col)
     upserts = latest.filter(F.col("op") != "d").select(*snapshot.columns)
