@@ -23,7 +23,7 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from full_data_infrastructure_spark.cache import tracked_persist
@@ -1192,3 +1192,184 @@ def _dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup — Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+SEM_CELLS = 16  # embedding-space clusters (k-means|| offline at 100 TB)
+SEM_THRESHOLD = 0.95  # within-cluster cosine above which docs are duplicates
+
+
+def semantic_centroids(emb: DataFrame, n_cells: int = SEM_CELLS) -> DataFrame:
+    """Deterministic coarse clustering seeds: every len(corpus)/n_cells-th
+    vector, same stride sampler as the IVF quantizer
+    (similarity.ivf_candidates) — k-means|| replaces it offline at scale,
+    stride keeps CI and the DuckDB oracle reproducible. One broadcast
+    1-row aggregate derives the stride, so callers stay a single lazy
+    plan."""
+    corpus_n = emb.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / n_cells), F.lit(1).cast("bigint")
+        ).alias("stride")
+    )
+    return (
+        emb.crossJoin(F.broadcast(corpus_n))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") / F.col("stride") < n_cells)
+        )
+        .select(
+            (F.col("vec_id") / F.col("stride")).cast("int").alias("cell_id"),
+            F.col("e").alias("c_e"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+
+
+def semantic_dedup_flags(
+    emb: DataFrame, threshold: float = SEM_THRESHOLD, n_cells: int = SEM_CELLS
+) -> DataFrame:
+    """SemDeDup over an (vec_id, e, nrm) embedding table: cluster with a
+    broadcast coarse quantizer, then WITHIN each cluster rank vectors by
+    distance from the centroid (farthest first — the paper keeps the
+    "edge" examples) and drop any vector whose cosine to an
+    earlier-ranked cluster-mate reaches ``threshold``. That
+    dominated-by-earlier rule is exactly the public SemDeDup
+    implementation's sorted pairwise-similarity sweep; for a duplicate
+    clique it keeps precisely the min-ranked member.
+
+    Scale shape: the only O(corpus) joins are against BROADCAST tables
+    (centroids, and the 1-row stride aggregate); the pairwise stage
+    shuffles each vector once on cell_id and compares within cells only
+    — sum(|cell|^2), not |corpus|^2, and cluster count grows with the
+    corpus so |cell| stays bounded. Cross-cluster near-dups are missed
+    by design (the paper's recall/cost trade); tests pin both the drop
+    semantics on planted duplicate cliques and the within-cell
+    comparison-volume ceiling.
+
+    Every score is ROUNDed to 4 dp before any comparison, so ranking and
+    threshold decisions are bit-stable across engines — the whole chain
+    is deterministic and therefore ORACLE-CHECKED, unlike the hash-sketch
+    dedup family.
+
+    Returns (vec_id, cell_id, cos_centroid, kept) for every corpus row.
+    """
+    cents = semantic_centroids(emb, n_cells)
+    scored = emb.join(F.broadcast(cents), F.lit(True)).select(
+        "vec_id",
+        "e",
+        "nrm",
+        "cell_id",
+        F.round(
+            dot(F.col("e"), F.col("c_e")) / (F.col("nrm") * F.col("c_nrm")), 4
+        ).alias("cos_c"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), "cell_id"
+    )
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    w_keep = Window.partitionBy("cell_id").orderBy(F.col("cos_c").asc(), "vec_id")
+    ranked = assigned.withColumn("kr", F.row_number().over(w_keep))
+    a = ranked.select(
+        "cell_id",
+        F.col("kr").alias("kr_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = ranked.select(
+        "cell_id",
+        F.col("kr").alias("kr_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("kr_a") < F.col("kr_b"))
+        .filter(
+            F.round(
+                dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("vec_b").alias("_d"))
+        .distinct()
+    )
+    return ranked.join(
+        dropped, ranked["vec_id"] == dropped["_d"], "left"
+    ).select(
+        "vec_id",
+        "cell_id",
+        F.col("cos_c").alias("cos_centroid"),
+        F.col("_d").isNull().cast("int").alias("kept"),
+    )
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+        SELECT greatest(CAST(floor(count(*) / {SEM_CELLS}) AS BIGINT), 1)
+                   AS stride
+        FROM v
+    ),
+    cent AS (
+        SELECT CAST(vec_id / stride AS INT) AS cell_id, e AS c_e
+        FROM v, s
+        WHERE vec_id % stride = 0 AND vec_id / stride < {SEM_CELLS}
+    ),
+    scored AS (
+        SELECT v.vec_id, cent.cell_id,
+               ROUND({cosine_sql('v.e', 'cent.c_e')}, 4) AS cos_c
+        FROM v CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id, cos_c FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos_c DESC, cell_id) AS r
+            FROM scored) WHERE r = 1
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id
+                                     ORDER BY cos_c ASC, vec_id) AS kr
+        FROM assigned
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM ranked a
+        JOIN ranked b ON a.cell_id = b.cell_id AND a.kr < b.kr
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE ROUND({cosine_sql('va.e', 'vb.e')}, 4) >= {SEM_THRESHOLD}
+    )
+    SELECT r.vec_id, r.cell_id, r.cos_c AS cos_centroid,
+           CAST(d.vec_id IS NULL AS INT) AS kept
+    FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+    """,
+    doc="Semantic dedup (SemDeDup, Abbas et al.): cluster embeddings with "
+    "the deterministic stride quantizer, rank within clusters by distance "
+    "from centroid (farthest kept first), drop vectors with cosine >= "
+    f"{SEM_THRESHOLD} to an earlier-ranked cluster-mate. Comparison "
+    "volume is sum(|cell|^2) not |corpus|^2 — the scale twin of "
+    "dedup_embedding_cosine's brute-force baseline. Fully deterministic "
+    "(rounded scores, id tiebreaks), so oracle-checked end to end; drop "
+    "semantics on planted duplicate cliques asserted in "
+    "tests/test_operators.py.",
+    tags=("llm", "dedup", "vector"),
+)
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    return semantic_dedup_flags(emb)

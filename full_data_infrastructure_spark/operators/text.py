@@ -440,3 +440,113 @@ def _tfidf_top_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "tok", "tf", "df", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (hashed n-gram linear classifier)
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 256  # feature-hash buckets (one per md5-hex-prefix byte)
+QC_SCALE = 2_147_483_648  # 2^31 — the weight lattice denominator
+
+
+def _qc_weight(bucket: int) -> int:
+    """Deterministic integer weight in [-2^30, 2^30): the same LCG family
+    as similarity.lcg_plane_value, kept on the INTEGER lattice so per-doc
+    weight sums are exact (order-free) and the only float op is one final
+    division — no cross-engine accumulation-order hazard."""
+    return ((1103515245 * bucket + 12345) % QC_SCALE) - QC_SCALE // 2
+
+
+def quality_classifier_scores(docs: DataFrame) -> DataFrame:
+    """fastText-shaped quality scorer (Joulin et al. 2016 architecture,
+    deterministic stand-in weights): features are word unigrams + bigrams
+    feature-HASHED into 256 buckets via an md5 hex-prefix, score is the
+    mean bucket weight. In production the weight table is a trained
+    model's — the engine surface (hash, lookup, mean, threshold) is
+    identical; here it is the LCG lattice so the DuckDB oracle recomputes
+    it exactly.
+
+    Scale shape: tokenize/gram/hash are scan-local codegen expressions,
+    the weight table is a BROADCAST 256-row join, and the only shuffle is
+    the per-doc_id partial-aggregated sum — one integer per doc crossing
+    the exchange.
+    """
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        [(format(b, "02x"), _qc_weight(b)) for b in range(QC_BUCKETS)],
+        ["bucket", "w_int"],
+    )
+    toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = toks.select(
+        "doc_id", F.explode(F.concat("toks", bigrams)).alias("g")
+    )
+    scored = (
+        grams.select("doc_id", F.substring(F.md5("g"), 1, 2).alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_int").alias("sw"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        F.round(F.col("sw") / (F.col("n_grams") * F.lit(float(QC_SCALE))), 6).alias(
+            "score"
+        ),
+        (F.col("sw") > 0).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    ),
+    nonempty AS (SELECT * FROM toks WHERE len(toks) > 0),
+    grams AS (
+        SELECT doc_id, g FROM nonempty, UNNEST(toks) AS u(g)
+        UNION ALL
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        FROM nonempty, UNNEST(range(1, len(toks))) AS r(i)
+    ),
+    w AS (
+        SELECT printf('%02x', i) AS bucket,
+               (1103515245 * i + 12345) % {QC_SCALE} - {QC_SCALE // 2} AS w_int
+        FROM range({QC_BUCKETS}) t(i)
+    ),
+    scored AS (
+        SELECT doc_id, SUM(w.w_int) AS sw, COUNT(*) AS ng
+        FROM grams JOIN w ON substr(md5(grams.g), 1, 2) = w.bucket
+        GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+           ROUND(sw / (ng * {QC_SCALE}.0), 6) AS score,
+           CAST(sw > 0 AS INT) AS keep
+    FROM scored
+    """,
+    doc="Model-based quality filter (the fastText-classifier stage of "
+    "C4/CCNet-style pipelines): word unigram+bigram features hashed to "
+    "256 md5 buckets, a broadcast integer weight table, per-doc mean "
+    "weight as the quality logit, keep = logit > 0 decided on the exact "
+    "integer sum. Deterministic LCG weights stand in for trained ones, "
+    "making the whole scorer oracle-checkable; the engine surface is "
+    "unchanged by swapping in a real model's weights.",
+    tags=("llm", "text", "curation"),
+)
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier_scores(docs)

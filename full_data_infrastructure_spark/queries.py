@@ -94,7 +94,10 @@ _LOADED = False
 # CORRECTNESS_r01 (the full r4-verdict item-1 list — after this round no
 # query's newest row predates r2), (c) the four beyond-brief round-5
 # streaming parity queries (tumbling, sliding, stateful dedup, stateful
-# EMA), and (d) 2 of the 15 r2-attested queries (stalest next); out go
+# EMA), and (d) the two in-round oracle-checked additions with no row
+# yet, dedup_semantic and quality_classifier (first rows outrank
+# standing refreshes, so the two stalest-r2 slots they took rejoin the
+# r6 payload); out go
 # the r4-attested rotation payload
 # (aggregates singles, dedup singles, knn_lsh/knn_ivf, debezium_roundtrip
 # and relational reps...), which keep their CORRECTNESS_r04 rows. Family
@@ -106,7 +109,8 @@ _LOADED = False
 # (round-6 payload): fingerprint_md5, lang_id, lang_id_trigram,
 # quality_score, rolling_hash_fingerprint, tfidf_top_token, vocab_topk,
 # vector_norms, embedding_quantize_int8, window_lag_delta,
-# window_running_total, window_dedup_latest.
+# window_running_total, window_dedup_latest, scalar_subquery_filter,
+# window_rank_topn.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
@@ -168,9 +172,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_sliding_snapshot",
     "streaming_dedup_snapshot",
     "streaming_ema_snapshot",
-    # Stalest r2-attested queries (2 of 15; the rest are the r6 payload).
-    "scalar_subquery_filter",
-    "window_rank_topn",
+    # Round-5 in-round additions with no driver row yet (first rows
+    # outrank standing refreshes, so the two stalest-r2 refreshes that
+    # briefly held these slots — scalar_subquery_filter, window_rank_topn
+    # — rejoin the r6 payload; their families keep in-window reps via
+    # not_exists_subquery and the windowed streaming queries).
+    "dedup_semantic",
+    "quality_classifier",
 )
 
 

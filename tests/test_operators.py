@@ -518,3 +518,90 @@ def test_exact_jaccard_max_df_guard(spark):
         for r in exact_jaccard_pairs(docs, 0.25, max_df=10).collect()
     }
     assert guarded == {(100, 101)}, guarded
+
+
+def test_semantic_dedup_drops_planted_cliques(spark):
+    """SemDeDup semantics on a crafted corpus: three well-separated
+    direction clusters, each holding a duplicate clique (cosine ~1 within,
+    ~0 across); exactly one member per clique survives, singletons all
+    survive, and the survivor is the clique member FARTHEST from its
+    centroid (min keep-rank) per the paper's keep-edge-examples policy."""
+    from full_data_infrastructure_spark.functions.vector import l2_norm
+    from full_data_infrastructure_spark.operators.dedup import (
+        semantic_dedup_flags,
+    )
+
+    dim = 8
+
+    def vec(axis, eps_axis=None, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        if eps_axis is not None:
+            v[eps_axis] = eps
+        return v
+
+    rows = []
+    # Clique on axis 0: ids 0,1,2 (cos >= 0.999 pairwise).
+    for i, e in enumerate((0.0, 0.01, 0.02)):
+        rows.append((i, vec(0, 3, e)))
+    # Clique on axis 1: ids 3,4.
+    rows.append((3, vec(1)))
+    rows.append((4, vec(1, 4, 0.015)))
+    # Singletons on axis 2 — similar to nothing above threshold.
+    rows.append((5, vec(2)))
+    rows.append((6, vec(2, 5, 0.9)))  # cos(5,6) ~ 0.74 < 0.95
+    emb = spark.createDataFrame(rows, ["vec_id", "e"]).select(
+        "vec_id",
+        F.col("e").cast("array<double>").alias("e"),
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    # n_cells=2 -> stride max(7//2,1)=3: centroids vec 0 (axis 0) and
+    # vec 3 (axis 1); axis-2 singletons land in whichever is nearest.
+    flags = {
+        r["vec_id"]: r for r in semantic_dedup_flags(emb, n_cells=2).collect()
+    }
+    assert len(flags) == 7
+    kept_clique0 = [i for i in (0, 1, 2) if flags[i]["kept"] == 1]
+    kept_clique1 = [i for i in (3, 4) if flags[i]["kept"] == 1]
+    assert len(kept_clique0) == 1
+    assert len(kept_clique1) == 1
+    assert flags[5]["kept"] == 1 and flags[6]["kept"] == 1
+    # The survivor is its clique's farthest-from-centroid member: id 2
+    # carries the largest off-axis eps in clique 0 (centroid IS vec 0),
+    # id 4 in clique 1 (centroid IS vec 3).
+    assert kept_clique0 == [2]
+    assert kept_clique1 == [4]
+
+
+def test_semantic_dedup_comparison_volume_bounded(spark, sf_dir):
+    """The clustering must actually prune the pairwise work: within-cell
+    comparison volume (sum of |cell|*(|cell|-1)/2) stays under 25% of the
+    brute-force n*(n-1)/2 on the real embeddings table — recall cannot
+    have been bought with a near-complete scan."""
+    from full_data_infrastructure_spark.functions.vector import l2_norm
+    from full_data_infrastructure_spark.operators.dedup import (
+        SEM_CELLS,
+        semantic_centroids,
+    )
+    from full_data_infrastructure_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    n = emb.count()
+    cents = semantic_centroids(emb)
+    sizes = (
+        ivf_assignments(emb, cents, n_best=1)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    )
+    assert len(sizes) <= SEM_CELLS
+    pairwise = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    brute = n * (n - 1) // 2
+    assert pairwise <= 0.25 * brute, (
+        f"within-cell comparisons {pairwise} vs brute {brute}"
+    )
