@@ -1366,6 +1366,7 @@ def semantic_dedup_flags(
     "semantics on planted duplicate cliques asserted in "
     "tests/test_operators.py.",
     tags=("llm", "dedup", "vector"),
+    bench=True,
 )
 def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -546,6 +546,7 @@ def quality_classifier_scores(docs: DataFrame) -> DataFrame:
     "making the whole scorer oracle-checkable; the engine surface is "
     "unchanged by swapping in a real model's weights.",
     tags=("llm", "text", "curation"),
+    bench=True,
 )
 def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
