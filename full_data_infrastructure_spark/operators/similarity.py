@@ -813,3 +813,86 @@ def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+def ivfpq_shortlist(emb: DataFrame, rerank: int = PQ_RERANK) -> DataFrame:
+    """(query_id, neighbor_id) shortlist from the IVF x PQ composition:
+    IVF prunes WHICH vectors are scored (probed-cell candidates), ADC
+    over the PQ code table shrinks what each score COSTS — the classic
+    IVFADC index layout (Jégou et al. §V). Public so tests can bound
+    the shortlist."""
+    cand = ivf_candidates(emb)
+    en = emb.select(
+        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en")
+    )
+    subs = tracked_persist(_subvectors(en))
+    cb = pq_codebook(subs)
+    codes = pq_encode(subs, cb)
+    q_subs = subs.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    lut = q_subs.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code", dot(F.col("sub"), F.col("c_sub")).alias("p")
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("p").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
+    return (
+        adc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+
+@register(
+    "knn_ivfpq",
+    None,  # approximate — recall vs knn_bruteforce asserted in tests
+    doc="IVF+PQ ANN (IVFADC, Jégou et al. §V): the promised composition "
+    "of the two scale paths, now a measured operator rather than a "
+    "docstring claim — IVF probed-cell candidates scored by ADC over the "
+    "42x-compressed PQ code table, top-80 exact-reranked to top-5. At "
+    "100 TB this is the layout that works: cells bound the scan, codes "
+    "bound the bytes, and only the final 80 touch a float vector. "
+    "Rows-only; per-SF recall floors in tests/test_operators.py.",
+    tags=("llm", "similarity", "vector", "approx"),
+)
+def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    short = ivfpq_shortlist(emb)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("e_q"),
+        F.col("nrm").alias("n_q"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("e_c"),
+        F.col("nrm").alias("n_c"),
+    )
+    scored = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

@@ -110,9 +110,9 @@ _LOADED = False
 # quality_score, rolling_hash_fingerprint, tfidf_top_token, vocab_topk,
 # vector_norms, embedding_quantize_int8, window_lag_delta,
 # window_running_total, window_dedup_latest, scalar_subquery_filter,
-# window_rank_topn; knn_pq (new this round, rows-only, recall
-# pytest-asserted at all three SFs) heads the r6 window for its first
-# driver row.
+# window_rank_topn; knn_pq and knn_ivfpq (new this round, rows-only,
+# recall pytest-asserted at all three SFs) head the r6 window for their
+# first driver rows.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
