@@ -89,10 +89,11 @@ _LOADED = False
 # and the plan is identical, so the transitive callers that merely pass
 # through it (dedup_cluster_cc, dedup_survivors, corpus_pipeline) keep
 # their standing rows — re-attesting the direct surface is prudence, not
-# the changed-builder invariant), (b) ALL 17 queries whose newest green
-# row was still
-# CORRECTNESS_r01 (the full r4-verdict item-1 list — after this round no
-# query's newest row predates r2), (c) the four beyond-brief round-5
+# the changed-builder invariant), (b) 16 of the 17 queries whose newest
+# green row was still
+# CORRECTNESS_r01 (the r4-verdict item-1 list; cube_counts later ceded
+# its slot to the new layout family's first row — see the window entry
+# below), (c) the four beyond-brief round-5
 # streaming parity queries (tumbling, sliding, stateful dedup, stateful
 # EMA), and (d) the two in-round oracle-checked additions with no row
 # yet, dedup_semantic and quality_classifier (first rows outrank
@@ -164,8 +165,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pii_redact",
     "sample_hash",
     "count_distinct",
-    "cube_counts",
     "rollup_counts",
+    # cube_counts ceded its slot to the new layout family (its r1 row
+    # stands and the local oracle suite re-checks it every run; rollup/
+    # grouping-set coverage stays attested via rollup_counts) — it joins
+    # knn_pq/knn_ivfpq at the head of the r6 payload.
+    "zorder_key_lineitem",
     # Round-5 additions beyond the brief: tumbling-window, stateful-dedup
     # and applyInPandasWithState-EMA streaming parity (first rows needed —
     # new queries outrank standing-green refreshes, so vector_norms,
@@ -213,6 +218,7 @@ def _ensure_loaded() -> None:
         enrichment,
         generator,
         joins,
+        layout,
         multimodal,
         packing,
         quality,

@@ -295,3 +295,62 @@ def test_mixture_sample_broadcasts_rates_single_fact_scan(spark, sf_dir, queries
     assert len(scans) == 2, plan  # fact + one lang-aggregate scan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_layout_prunes_more_files(spark, sf_dir, tmp_path):
+    """The z-order layout's whole point is footer-stats file skipping on
+    MORE than one column: under a single-column (l_partkey) range layout
+    every file spans the full l_suppkey domain, so a suppkey predicate
+    overlaps every footer; under z-order each file covers a compact 2-D
+    tile and the same predicate prunes most of them. Counted directly
+    from the parquet footers a scan planner would consult."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from full_data_infrastructure_spark.operators.layout import zorder_layout
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    linear = os.path.join(tmp_path, "linear")
+    zpath = os.path.join(tmp_path, "zorder")
+    li.repartitionByRange(16, "l_partkey").write.parquet(linear)
+    zorder_layout(li, "l_partkey", "l_suppkey", 16, zpath)
+
+    lo = hi = 3  # one supplier: ~10% of the l_suppkey domain, all partkeys
+
+    def overlapping(path: str) -> tuple[int, int]:
+        total, overlap = 0, 0
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "l_suppkey"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            total += 1
+            if mins and min(mins) <= hi and max(maxs) >= lo:
+                overlap += 1
+        return overlap, total
+
+    z_hit, z_total = overlapping(zpath)
+    lin_hit, lin_total = overlapping(linear)
+    # Same predicate must touch strictly fewer z-ordered footers, and the
+    # pruning must be substantial, not incidental.
+    assert lin_hit == lin_total, "1-D layout should overlap every file"
+    assert z_hit < lin_hit
+    assert z_hit <= z_total // 2, f"z-order pruned only {z_total - z_hit}/{z_total}"
+    # Both layouts hold the same rows — layout is not allowed to drop data.
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(linear).count()
+        == li.count()
+    )
