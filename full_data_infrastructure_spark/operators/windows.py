@@ -575,6 +575,118 @@ def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_funnel_snapshot",
+    """
+    WITH clicks AS (
+        SELECT user_id, MIN(ts) AS first_click
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id
+    ),
+    conv AS (
+        SELECT c.user_id, c.first_click, MIN(p.ts) AS first_purchase
+        FROM clicks c
+        LEFT JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.first_click
+         AND p.ts <= c.first_click + INTERVAL 1 HOUR
+        GROUP BY c.user_id, c.first_click
+    )
+    SELECT user_id,
+           strftime(first_click, '%Y-%m-%d %H:%M:%S') AS first_click_s,
+           strftime(first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase_s,
+           CAST(first_purchase IS NOT NULL AS INT) AS converted
+    FROM conv
+    """,
+    doc="Stream-STREAM join parity (the one §2.9 stateful operator class "
+    "the other snapshot queries don't reach): events replayed as TWO "
+    "independent time-ordered availableNow file streams over the same "
+    "changelog, left-outer interval-joined — every click against the "
+    "purchases within the following hour — with watermark-driven state "
+    "eviction and NULL-row emission for unconverted clicks. The appended "
+    "pair set is then reduced (batch) to first click / earliest "
+    "in-horizon purchase per user and hash-matched against "
+    "funnel_conversion's direct SQL: a match proves the streaming join "
+    "emitted every qualifying pair exactly once and every unconverted "
+    "click exactly once, across real micro-batch boundaries where a "
+    "click's purchase arrives batches later. The far-future sentinel "
+    "(neither click nor purchase; watermarks advance BELOW the filters) "
+    "flushes the final buffered clicks.",
+    tags=("extension", "window", "streaming", "events"),
+)
+def _streaming_funnel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+
+    from full_data_infrastructure_spark.streaming.replay import (
+        replay_stream,
+        run_stream_to_parquet,
+        symlink_table_files,
+    )
+    from full_data_infrastructure_spark.streaming.windows import (
+        interval_join_clicks_purchases,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    # sentinel_copies=3: join-state eviction applies the committed
+    # watermark with up to two batches of lag and availableNow appends no
+    # trailing no-data batches for joins, so the final unconverted clicks
+    # need the advanced watermark CARRIED by extra (filtered) batches —
+    # one sentinel would leave their NULL rows buffered forever
+    # (write_flush_sentinel docstring).
+    work, stream_a = replay_stream(
+        spark,
+        events,
+        "ts",
+        prefix="funnel_snapshot_",
+        sentinel_fn=lambda mx: (
+            -1,
+            mx + datetime.timedelta(days=1),
+            "__sentinel__",
+        ),
+        sentinel_copies=3,
+    )
+    # Second, independent stream over the same files through a SYMLINKED
+    # directory: two readStreams on one path are deduplicated into a
+    # single source by the engine (collapsing the plan into a self-join
+    # with shared offsets); a distinct path keeps the join genuinely
+    # two-sided, each side tracking its own offsets — the production
+    # shape of two topics.
+    src_b = os.path.join(work, "src_b")
+    symlink_table_files(os.path.join(work, "src"), src_b)
+    stream_b = (
+        spark.readStream.schema(stream_a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_b)
+    )
+    pairs = interval_join_clicks_purchases(stream_a, stream_b)
+    out_path = run_stream_to_parquet(pairs, work, "pairs")
+    snapshot = spark.read.parquet(out_path).filter(F.col("user_id") >= 0)
+    # Batch reduction of the streamed pair set to the funnel's semantics:
+    # first click per user, earliest purchase within ITS horizon. Rows
+    # for later clicks are legitimate join output and are dropped here.
+    first_w = Window.partitionBy("user_id")
+    conv = (
+        snapshot.withColumn("first_click", F.min("c_ts").over(first_w))
+        .filter(F.col("c_ts") == F.col("first_click"))
+        .groupBy("user_id", "first_click")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    return conv.select(
+        "user_id",
+        F.date_format("first_click", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_click_s"
+        ),
+        F.date_format("first_purchase", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_purchase_s"
+        ),
+        F.col("first_purchase").isNotNull().cast("int").alias("converted"),
+    )
+
+
+@register(
     "cohort_retention",
     """
     WITH firsts AS (

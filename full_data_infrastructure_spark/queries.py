@@ -84,12 +84,11 @@ _LOADED = False
 # (first row needed) and the builders touched this round
 # (streaming_rollup_snapshot ts-normalization + replay refactor,
 # streaming_upsert_snapshot replay refactor + now benched, ema_by_user
-# fold extraction, plus dedup_ngram_jaccard — the DIRECT query surface of
-# exact_jaccard_pairs after its max_df addition; max_df defaults to None
-# and the plan is identical, so the transitive callers that merely pass
-# through it (dedup_cluster_cc, dedup_survivors, corpus_pipeline) keep
-# their standing rows — re-attesting the direct surface is prudence, not
-# the changed-builder invariant), (b) 16 of the 17 queries whose newest
+# fold extraction; dedup_ngram_jaccard briefly held a prudence slot for
+# exact_jaccard_pairs' no-op max_df default but later ceded it to the
+# stream-stream join's first row — the transitive callers
+# (dedup_cluster_cc, dedup_survivors, corpus_pipeline) keep their
+# standing rows either way), (b) 16 of the 17 queries whose newest
 # green row was still
 # CORRECTNESS_r01 (the r4-verdict item-1 list; cube_counts later ceded
 # its slot to the new layout family's first row — see the window entry
@@ -124,7 +123,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_rollup_snapshot",
     "streaming_upsert_snapshot",
     "ema_by_user",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard ceded its prudence slot (its builder change was
+    # a no-op default; its r4 row stands and the local oracle suite
+    # re-checks it) to the in-round stream-stream join's first row.
+    "streaming_funnel_snapshot",
     # Benched queries: the graded perf set stays value-attested.
     "dedup_survivors_lsh",
     "corpus_pipeline_lsh",

@@ -56,26 +56,40 @@ def symlink_table_files(src: str, dest_dir: str) -> None:
         os.symlink(src, os.path.join(dest_dir, os.path.basename(src)))
 
 
-def write_flush_sentinel(sentinel: DataFrame, src_dir: str) -> None:
-    """Append a one-row parquet file to a replay source directory with an
-    mtime AFTER every existing file, so it forms the final micro-batch.
+def write_flush_sentinel(
+    sentinel: DataFrame, src_dir: str, copies: int = 1
+) -> None:
+    """Append ``copies`` one-row parquet files to a replay source directory
+    with mtimes AFTER every existing file, so they form the final
+    micro-batches.
 
     Append-mode event-time aggregations emit a window only once the
     watermark passes its end; real windows near the corpus max timestamp
     would otherwise stay in state forever when the stream ends. A single
     far-future sentinel row (filtered out of the snapshot by the caller)
     advances the final watermark past every real window — the replay twin
-    of the watermark heartbeat a live topic provides."""
+    of the watermark heartbeat a live topic provides.
+
+    ``copies > 1`` exists for STREAM-STREAM JOINS: the engine applies a
+    committed watermark with up to two micro-batches of lag before join
+    state is evicted (and availableNow does not append trailing no-data
+    batches for join eviction the way it does for aggregations), so the
+    left-outer NULL rows of the final buffered rows would never be
+    emitted with one sentinel batch. Extra sentinel batches carry the
+    advanced watermark through the pipeline; each is one spare 1-row
+    file, all filtered from the snapshot."""
     scratch = tempfile.mkdtemp(prefix="sentinel_", dir=os.path.dirname(src_dir))
     sentinel.coalesce(1).write.mode("overwrite").parquet(scratch)
     part = next(f for f in os.listdir(scratch) if f.startswith("part-"))
-    flush_file = os.path.join(src_dir, "part-zz-sentinel.parquet")
-    os.rename(os.path.join(scratch, part), flush_file)
-    shutil.rmtree(scratch, ignore_errors=True)
     last = max(
         os.path.getmtime(os.path.join(src_dir, f)) for f in os.listdir(src_dir)
     )
-    os.utime(flush_file, (last + 10, last + 10))
+    src = os.path.join(scratch, part)
+    for i in range(copies):
+        flush_file = os.path.join(src_dir, f"part-zz{i}-sentinel.parquet")
+        shutil.copyfile(src, flush_file)
+        os.utime(flush_file, (last + 10 + i, last + 10 + i))
+    shutil.rmtree(scratch, ignore_errors=True)
 
 
 def ordered_file_split(
@@ -105,6 +119,7 @@ def replay_stream(
     prefix: str,
     n_files: int = 8,
     sentinel_fn=None,
+    sentinel_copies: int = 1,
 ):
     """One-stop deterministic replay source shared by the streaming parity
     builders: work dir + ordered file split + optional watermark-flush
@@ -129,7 +144,9 @@ def replay_stream(
             .first()[0]
         )
         write_flush_sentinel(
-            spark.createDataFrame([sentinel_fn(mx)], df.schema), src_dir
+            spark.createDataFrame([sentinel_fn(mx)], df.schema),
+            src_dir,
+            copies=sentinel_copies,
         )
     schema = spark.read.parquet(src_dir).schema
     stream = (

@@ -105,3 +105,58 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [*keys]
     )
+
+
+def interval_join_clicks_purchases(
+    stream_a: DataFrame,
+    stream_b: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "0 seconds",
+    sentinel_type: str | None = "__sentinel__",
+) -> DataFrame:
+    """Stream-STREAM left-outer interval join: every click joined to the
+    purchases that follow it within ``horizon`` — the two-sided stateful
+    join the windowed aggregates above don't exercise. Inputs are two
+    independent streams over the events schema (user_id, ts, event_type).
+
+    Both sides carry a watermark and the join condition carries a
+    time-range bound, which is exactly what lets Spark EVICT join state:
+    a buffered click can stop waiting once the purchase-side watermark
+    passes click_ts + horizon (at which point the left-outer NULL row is
+    emitted), and a buffered purchase is droppable once the click-side
+    watermark passes its ts. Without the range bound the state grows
+    forever — the condition is load-bearing, not an optimization.
+
+    ``sentinel_type`` rows pass BOTH side filters: a watermark node only
+    observes rows that reach it, and Catalyst legally pushes the
+    event-type filters below ``withWatermark`` (the predicate doesn't
+    touch the event-time column) — so a flush sentinel that matches
+    neither side would never advance either watermark and, under the min
+    policy across the two nodes, the global watermark would freeze at
+    the click side's last real event. Letting the heartbeat row through
+    both filters (it joins only with itself; callers filter its key out
+    of the snapshot) is the replay twin of a live topic's heartbeat
+    reaching every consumer group.
+    """
+    c_pred = F.col("event_type") == "click"
+    p_pred = F.col("event_type") == "purchase"
+    if sentinel_type is not None:
+        c_pred = c_pred | (F.col("event_type") == sentinel_type)
+        p_pred = p_pred | (F.col("event_type") == sentinel_type)
+    c = (
+        stream_a.withWatermark("ts", watermark)
+        .filter(c_pred)
+        .select("user_id", F.col("ts").alias("c_ts"))
+    )
+    p = (
+        stream_b.withWatermark("ts", watermark)
+        .filter(p_pred)
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    return c.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select("user_id", "c_ts", "p_ts")

@@ -1005,3 +1005,69 @@ def test_rollup_sink_honors_legacy_fence_location(spark, tmp_path):
     doubled = run("ckpt3")
     assert sum(doubled.values()) == 4
     shutil.rmtree(partials)
+
+
+def test_interval_join_cross_batch_and_null_emission(spark):
+    """The stream-stream funnel join's three outcomes, pinned on crafted
+    events split across TWO micro-batch files: a purchase that arrives a
+    batch after its click still pairs (join state spans batches), a
+    purchase outside the 1-hour horizon does not pair, and a click with
+    no purchase gets its left-outer NULL row once the sentinel-advanced
+    watermark passes its horizon."""
+    import datetime
+
+    from full_data_infrastructure_spark.streaming.replay import (
+        replay_stream,
+        run_stream_to_parquet,
+    )
+    from full_data_infrastructure_spark.streaming.windows import (
+        interval_join_clicks_purchases,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0), "click"),
+        (2, at(1), "click"),
+        (3, at(2), "click"),
+        (1, at(30), "purchase"),   # in horizon, later batch
+        (2, at(120), "purchase"),  # outside 1h horizon
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    import os
+
+    work, stream_a = replay_stream(
+        spark,
+        df,
+        "ts",
+        n_files=2,
+        prefix="funnel_unit_",
+        sentinel_fn=lambda mx: (
+            -1,
+            mx + datetime.timedelta(days=1),
+            "__sentinel__",
+        ),
+        sentinel_copies=3,
+    )
+    from full_data_infrastructure_spark.streaming.replay import (
+        symlink_table_files,
+    )
+
+    src_b = os.path.join(work, "src_b")
+    symlink_table_files(os.path.join(work, "src"), src_b)
+    stream_b = (
+        spark.readStream.schema(stream_a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_b)
+    )
+    out = run_stream_to_parquet(
+        interval_join_clicks_purchases(stream_a, stream_b), work, "pairs"
+    )
+    got = {
+        (r["user_id"], r["p_ts"])
+        for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+    }
+    assert got == {(1, at(30)), (2, None), (3, None)}
