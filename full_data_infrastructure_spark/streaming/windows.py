@@ -160,3 +160,20 @@ def interval_join_clicks_purchases(
         & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
         "leftOuter",
     ).select("user_id", "c_ts", "p_ts")
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-STATIC dimension join — the enrichment shape of a CDC
+    pipeline (each micro-batch's rows decorated from a dimension table).
+
+    The static side is explicitly BROADCAST: a stream-static join is
+    per-batch stateless (no watermark, no join state), so the only scale
+    question is whether the dim ships to the batch or the batch shuffles
+    to the dim — for dimension-sized tables broadcast is always the
+    answer, and at 100 TB the dim is re-broadcast only when the plan is
+    re-resolved, not per record. For mutable dimensions, re-reading the
+    dim per batch belongs in foreachBatch instead (the upsert sink's
+    territory)."""
+    return stream.join(F.broadcast(dim), on=key, how=how)

@@ -1071,3 +1071,47 @@ def test_interval_join_cross_batch_and_null_emission(spark):
         for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
     }
     assert got == {(1, at(30)), (2, None), (3, None)}
+
+
+def test_stream_static_dim_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment (the join-matrix cell the stream-stream
+    funnel doesn't cover): events streamed through a broadcast join with
+    a static per-user dimension produce exactly the batch join's rows —
+    stateless per batch, so no watermark or sentinel machinery is
+    involved."""
+    import os
+
+    from full_data_infrastructure_spark.streaming.replay import (
+        replay_stream,
+        run_stream_to_parquet,
+    )
+    from full_data_infrastructure_spark.streaming.windows import (
+        enrich_stream_with_dim,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    ).limit(500)
+    # Deterministic dimension derived from the events' own keys; missing
+    # rows exercise the left-outer null path.
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 3 != 0)
+        .select("user_id", (F.col("user_id") * 100).alias("segment"))
+    )
+    work, stream = replay_stream(
+        spark, events, "event_id", n_files=4, prefix="dimjoin_"
+    )
+    out = run_stream_to_parquet(
+        enrich_stream_with_dim(stream, dim, key="user_id"), work, "enriched"
+    )
+    got = {
+        (r["event_id"], r["segment"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["event_id"], r["segment"])
+        for r in events.join(dim, "user_id", "left").collect()
+    }
+    assert got == want and len(got) == 500
