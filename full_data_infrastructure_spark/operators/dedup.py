@@ -1184,14 +1184,61 @@ def connected_components_twostar(
 )
 def _dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs)
-    labels = connected_components_twostar(pairs)
-    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
-        F.col("id").alias("doc_id")
-    )
+    losers = lsh_survivor_losers(docs)
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+def collapse_exact_duplicates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(canonical docs, exact-loser ids): group by the md5 fingerprint of
+    normalized text (the dedup_exact definition), keep the min doc_id per
+    group. The shuffle carries 16-byte fingerprints, never text."""
+    fp = docs.select("doc_id", F.md5(normalized_text()).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    losers = (
+        fp.join(canon, "fp")
+        .filter(F.col("doc_id") != F.col("canon_id"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti"), losers
+
+
+def lsh_survivor_losers(
+    docs: DataFrame, collapse_exact: bool = False
+) -> DataFrame:
+    """doc_ids dropped by the LSH near-dup survivor pass — the shared core
+    of dedup_survivors_lsh.
+
+    ``collapse_exact=True`` prepends a fingerprint collapse: exact
+    duplicates (byte-identical after normalization) are reduced to their
+    min-id canonical BEFORE shingling/MinHash. On web-scale corpora exact
+    copies are the dominant duplicate class (often ~30% of documents) and
+    every copy carries an IDENTICAL signature, so they land in the same
+    LSH band buckets and make the bucket self-join quadratic in copy
+    count — the hot-key skew the pipeline would actually hit at 100 TB.
+    Collapsing first removes that skew and shrinks every downstream
+    stage, and the SURVIVOR SET IS PROVABLY UNCHANGED: a full cluster's
+    min id equals the min over its exact-groups' min ids, so the merged
+    losers (exact losers + near-dup losers over canonicals) equal the
+    uncollapsed losers (property-tested on planted exact families in
+    tests/test_operators.py). Default False only because the synthetic
+    documents table has zero exact duplicates — the benched query should
+    not pay a fingerprint pass its data can't use; flip it on for real
+    corpora.
+    """
+    if collapse_exact:
+        canon_docs, exact_losers = collapse_exact_duplicates(docs)
+    else:
+        canon_docs, exact_losers = docs, None
+    pairs = minhash_dedup_pairs(canon_docs)
+    labels = connected_components_twostar(pairs)
+    near_losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    if exact_losers is None:
+        return near_losers
+    return near_losers.unionByName(exact_losers)
 
 
 # ---------------------------------------------------------------------------

@@ -677,3 +677,30 @@ def test_knn_ivfpq_recall(spark, sf_dir):
         per_q[q] = per_q.get(q, 0) + 1
     assert all(v <= TOP_K for v in per_q.values())
     assert PQ_RERANK <= 80
+
+
+def test_lsh_survivors_invariant_to_exact_collapse(spark, near_dup_docs):
+    """collapse_exact=True must not change the survivor set, only the
+    work: the near_dup_docs fixture plants byte-identical copies
+    (doc_id+200000), which carry identical MinHash signatures and are the
+    LSH band buckets' hot-key skew at scale. The fingerprint collapse
+    removes them before shingling; a full cluster's min id equals the min
+    over its exact-groups' min ids, so the merged loser sets agree
+    exactly."""
+    from full_data_infrastructure_spark.operators.dedup import (
+        collapse_exact_duplicates,
+        lsh_survivor_losers,
+    )
+
+    plain = {r["doc_id"] for r in lsh_survivor_losers(near_dup_docs).collect()}
+    collapsed = {
+        r["doc_id"]
+        for r in lsh_survivor_losers(near_dup_docs, collapse_exact=True).collect()
+    }
+    assert plain == collapsed
+    assert plain, "fixture should produce losers"
+    # The collapse actually shrank the MinHash input.
+    canon, losers = collapse_exact_duplicates(near_dup_docs)
+    n_all = near_dup_docs.count()
+    assert canon.count() < n_all
+    assert canon.count() + losers.count() == n_all
