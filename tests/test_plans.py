@@ -239,6 +239,7 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "streaming_sliding_snapshot",
         "streaming_dedup_snapshot",
         "streaming_ema_snapshot",
+        "streaming_funnel_snapshot",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
