@@ -896,3 +896,72 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS anchor_id, label AS a_label, e AS e_q
+          FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.anchor_id, q.a_label,
+               c.vec_id AS negative_id, c.label AS n_label,
+               ROUND({cosine_sql('q.e_q', 'c.e')}, 4) AS cos
+        FROM q JOIN v c
+          ON c.vec_id != q.anchor_id AND c.label != q.a_label
+    ),
+    ranked AS (
+        SELECT anchor_id, a_label, negative_id, n_label, cos,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos DESC, negative_id) AS rnk
+        FROM scored
+    )
+    SELECT anchor_id, a_label, negative_id, n_label, cos
+    FROM ranked WHERE rnk = 1
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor, the "
+    "single most similar corpus vector with a DIFFERENT label — the "
+    "negatives that actually move a contrastive loss, vs easy random "
+    "ones. Exact top-1 by rounded cosine with id tiebreak "
+    "(oracle-checked); at scale the anchor x corpus pass swaps in the "
+    "knn_ivfpq shortlist with a label-mismatch post-filter, same "
+    "composition as knn_label_consistency.",
+    tags=("llm", "vector"),
+)
+def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "label", "e", l2_norm(F.col("e")).alias("nrm"))
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("e").alias("e_q"),
+        F.col("nrm").alias("n_q"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(anchors),
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("label") != F.col("a_label")),
+        )
+        .select(
+            "anchor_id",
+            "a_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("n_label"),
+            F.round(
+                dot(F.col("e_q"), F.col("e")) / (F.col("n_q") * F.col("nrm")), 4
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "negative_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("anchor_id", "a_label", "negative_id", "n_label", "cos")
+    )
