@@ -355,3 +355,21 @@ def test_zorder_layout_prunes_more_files(spark, sf_dir, tmp_path):
         == spark.read.parquet(linear).count()
         == li.count()
     )
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir, queries):
+    """dedup_semantic's only corpus-wide joins are against broadcast
+    tables (stride aggregate + centroids); the pairwise stage must key on
+    cell_id, never cross-join the corpus with itself."""
+    plan = plan_of(queries["dedup_semantic"](spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_broadcasts_weights(spark, sf_dir, queries):
+    """The 256-row weight table must reach the gram scan as a broadcast
+    hash join — shuffling the exploded gram stream on its hash bucket
+    would be a corpus-sized exchange for a dimension-sized lookup."""
+    plan = plan_of(queries["quality_classifier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
