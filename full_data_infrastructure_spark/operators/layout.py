@@ -82,8 +82,9 @@ def zorder_layout(
     ).drop("_z").write.mode("overwrite").parquet(path)
 
 
-_Z_NORM_A = f"CAST(((l_partkey - mn_a) * 65535) AS BIGINT) / (mx_a - mn_a)"
-_Z_NORM_B = f"CAST(((l_suppkey - mn_b) * 65535) AS BIGINT) / (mx_b - mn_b)"
+_Z_MAX = (1 << Z_BITS) - 1
+_Z_NORM_A = f"CAST(((l_partkey - mn_a) * {_Z_MAX}) AS BIGINT) / (mx_a - mn_a)"
+_Z_NORM_B = f"CAST(((l_suppkey - mn_b) * {_Z_MAX}) AS BIGINT) / (mx_b - mn_b)"
 
 
 @register(
