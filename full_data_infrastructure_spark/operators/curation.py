@@ -369,3 +369,59 @@ def _proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(0.1 * F.col("n")))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+        FROM documents
+    ),
+    old AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN md5(f) ELSE f END AS f
+        FROM fp WHERE doc_id % 5 != 0
+    ),
+    new AS (SELECT doc_id, f FROM fp WHERE doc_id % 7 != 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.f != n.f THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+    doc="Corpus snapshot diff — the version-comparison pass run before "
+    "retraining on an updated corpus: FULL OUTER JOIN of two snapshots "
+    "on doc_id comparing 16-byte content fingerprints, classifying every "
+    "doc added / removed / changed / unchanged. Only (doc_id, "
+    "fingerprint) pairs shuffle, never text — the diff of two 100 TB "
+    "snapshots moves 24 bytes per doc. The fixture derives both "
+    "snapshots deterministically from the documents table (mod-5/mod-7 "
+    "membership, mod-11 rows mutated), so the oracle reproduces them "
+    "exactly.",
+    tags=("llm", "curation"),
+)
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(normalized_text()).alias("f"))
+    old = fp.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.md5("f")).otherwise(F.col("f")).alias("f"),
+    )
+    new = fp.filter(F.col("doc_id") % 7 != 0)
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("f").alias("o_f"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("f").alias("n_f"))
+    joined = o.join(n, o["o_id"] == n["n_id"], "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_f") != F.col("n_f"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce("o_id", "n_id").alias("doc_id"), status.alias("status")
+    )

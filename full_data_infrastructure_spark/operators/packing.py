@@ -541,3 +541,63 @@ def _pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("n_tokens"),
         F.round(F.sum("n_tok") / float(CONTEXT_TOKENS), 4).alias("fill_fraction"),
     )
+
+
+TOKEN_BUDGET = 20_000  # per-source assembly budget for token_budget_sample
+
+
+@register(
+    "token_budget_sample",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> length(t) > 0)) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY ord_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM sized
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_before AS BIGINT) AS cum_tokens_before
+    FROM c WHERE cum_before < {TOKEN_BUDGET}
+    """,
+    doc="Token-budgeted corpus assembly: per source, docs in deterministic "
+    "md5 order are admitted while the running token total is under the "
+    f"budget ({TOKEN_BUDGET:,} here) — 'give me N tokens per source', the "
+    "assembly contract training runs actually specify, vs "
+    "mixture_sample's proportional rates. The admitted set is a strict "
+    "prefix, so it is stable under corpus growth: new docs sort into the "
+    "md5 order and can only displace docs at the boundary, never reshuffle "
+    "the interior. One window per source partition; source count is "
+    "bounded, so partitions stay balanced at 100 TB (the same argument as "
+    "the stratified sampler), and the md5 order key means no RNG state "
+    "and retry-safe admission.",
+    tags=("llm", "packing", "sampling"),
+)
+def _token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("ord_key"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = sized.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_tokens_before"),
+    )
+    return c.filter(F.col("cum_tokens_before") < TOKEN_BUDGET)

@@ -111,8 +111,9 @@ _LOADED = False
 # vector_norms, embedding_quantize_int8, window_lag_delta,
 # window_running_total, window_dedup_latest, scalar_subquery_filter,
 # window_rank_topn; knn_pq, knn_ivfpq (rows-only, recall
-# pytest-asserted at all three SFs), hard_negative_mining, cube_counts
-# and dedup_ngram_jaccard head the r6 window for first/refreshed rows.
+# pytest-asserted at all three SFs), hard_negative_mining,
+# snapshot_diff, token_budget_sample, cube_counts and
+# dedup_ngram_jaccard head the r6 window for first/refreshed rows.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
