@@ -297,22 +297,42 @@ N_PROBE = 6  # cells probed per query
 CORPUS_ASSIGN = 2  # cells each corpus vector is indexed under (multi-assign)
 
 
+def packed_centroids(centroids: DataFrame) -> DataFrame:
+    """Collapse a (cell_id, c_e, c_nrm) centroid table into ONE row holding
+    an array of cells, broadcastable onto every corpus row. Cell count is
+    small by construction (it's a coarse quantizer), so the packed row is
+    a few KB."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cell_id", "c_e", "c_nrm"))
+        ).alias("_cells")
+    )
+
+
 def ivf_assignments(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
-    """Assign each vector to its ``n_best`` nearest centroid cells by cosine
-    (broadcast centroids — one corpus pass, no shuffle)."""
-    scored = emb.join(F.broadcast(centroids), F.lit(True)).select(
-        "vec_id",
-        "cell_id",
-        (
-            dot(F.col("e"), F.col("c_e")) / (F.col("nrm") * F.col("c_nrm"))
-        ).alias("cell_score"),
+    """Assign each vector to its ``n_best`` nearest centroid cells by
+    cosine — a MAP-ONLY pass: the centroid table is packed into a single
+    broadcast row, every corpus row scores all cells in-row with
+    higher-order functions, sorts the (neg score, cell_id) structs, and
+    explodes its top ``n_best``. ZERO shuffle for assignment (the earlier
+    row_number-window form exchanged |cells| rows per vector — the one
+    stage of the IVF/SemDeDup family whose shuffle grew with corpus x
+    cells). Ordering matches the window form exactly: score desc,
+    cell_id asc."""
+    scored = emb.join(F.broadcast(packed_centroids(centroids)), F.lit(True))
+    per_cell = F.transform(
+        "_cells",
+        lambda c: F.struct(
+            (
+                -dot(F.col("e"), c["c_e"]) / (F.col("nrm") * c["c_nrm"])
+            ).alias("neg_score"),
+            c["cell_id"].alias("cell_id"),
+        ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cell_score").desc(), "cell_id")
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_best)
-        .select("vec_id", "cell_id")
-    )
+    top = F.slice(F.array_sort(per_cell), 1, n_best)
+    return scored.select(
+        "vec_id", F.explode(top).alias("_t")
+    ).select("vec_id", F.col("_t.cell_id").alias("cell_id"))
 
 
 def ivf_candidates(emb: DataFrame) -> DataFrame:
@@ -646,29 +666,39 @@ def _subvectors(vecs: DataFrame, vec_col: str = "en") -> DataFrame:
     )
 
 
-def _pq_l2sq(a: str, b: str):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def packed_codebook(codebook: DataFrame) -> DataFrame:
+    """(s, _codes): each subspace's codewords packed into one array row —
+    PQ_CODES structs of a PQ_SUB-dim vector each, a few KB per subspace,
+    broadcastable onto the subvector stream."""
+    return codebook.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("code", "c_sub"))).alias("_codes")
     )
 
 
 def pq_encode(subs: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, s, code): nearest codeword per subvector by squared L2,
-    code-id tiebreak. The codebook is BROADCAST and the argmin is a
-    map-side-combinable ``min_by`` aggregation — encode cost is
-    O(n * PQ_M * PQ_CODES) scan-local work, the PQ training/encode
-    complexity from the paper, with one integer pair per (vec, s)
-    crossing the exchange."""
-    return (
-        subs.join(F.broadcast(codebook), "s")
-        .select(
-            "vec_id", "s", "code", _pq_l2sq("sub", "c_sub").alias("d2")
-        )
-        .groupBy("vec_id", "s")
-        .agg(F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code"))
+    code-id tiebreak — a MAP-ONLY pass: the per-subspace codebook is
+    packed into one broadcast array row, each subvector computes all
+    PQ_CODES distances in-row with nested higher-order functions, and
+    ``array_min`` over (d2, code) structs is the argmin. Encode cost is
+    O(n * PQ_M * PQ_CODES) scan-local work, the PQ encode complexity
+    from the paper, with ZERO encode shuffle (the earlier min_by
+    aggregation exchanged a pre-combined row per (vec, s); this form
+    exchanges nothing)."""
+    j = subs.join(F.broadcast(packed_codebook(codebook)), "s")
+    per_code = F.transform(
+        "_codes",
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("sub"), c["c_sub"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["code"].alias("code"),
+        ),
     )
+    best = F.array_min(per_code)
+    return j.select("vec_id", "s", best["code"].alias("code"))
 
 
 def pq_codebook(subs: DataFrame, refine_rounds: int = 1) -> DataFrame:
