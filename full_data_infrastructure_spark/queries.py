@@ -114,6 +114,11 @@ _LOADED = False
 # pytest-asserted at all three SFs), hard_negative_mining,
 # snapshot_diff, token_budget_sample, cube_counts and
 # dedup_ngram_jaccard head the r6 window for first/refreshed rows.
+# knn_ivf's builder changed in-round (map-only assignment) after its r4
+# row; it is rows-only, so the driver row carries only a row count —
+# the actual evidence (recall floors at all three SFs) was re-run green
+# on the new builder, and it joins the r6 head for a fresh row rather
+# than displacing an oracle-checked first-row from the full window.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Flagship re-expressions of the reference's two headline jobs
     # (airflow/config/read_delta.py:234-294, README.md:141-164).
