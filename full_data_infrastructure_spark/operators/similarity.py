@@ -995,3 +995,167 @@ def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("anchor_id", "a_label", "negative_id", "n_label", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's algorithm) — the offline clustering step the
+# IVF quantizer and SemDeDup docstrings defer to, as a real operator
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # mean-refinement rounds; the emitted assignment is the
+# (KMEANS_ITERS+1)-th, against the last refined centroids
+
+
+def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, cos): nearest centroid by ROUNDED cosine
+    (4 dp, cluster-id tiebreak) — the same map-only packed-broadcast
+    shape as ivf_assignments, but on the rounded score so every
+    assignment decision is bit-stable across engines and the whole
+    k-means chain stays oracle-checkable."""
+    scored = emb.join(F.broadcast(packed_centroids(cents)), F.lit(True))
+    per_cell = F.transform(
+        "_cells",
+        lambda c: F.struct(
+            (
+                -F.round(
+                    dot(F.col("e"), c["c_e"]) / (F.col("nrm") * c["c_nrm"]), 4
+                )
+            ).alias("neg_cos"),
+            c["cell_id"].alias("cluster_id"),
+        ),
+    )
+    best = F.array_min(per_cell)
+    return scored.select(
+        "vec_id",
+        best["cluster_id"].alias("cluster_id"),
+        (-best["neg_cos"]).alias("cos"),
+    )
+
+
+def kmeans_refine(emb: DataFrame, assigned: DataFrame) -> DataFrame:
+    """New centroids as per-position DECIMAL-exact means of each cluster's
+    members, rounded to 6 dp — order-independent partial sums make the
+    mean bit-identical across engines and partitionings (the
+    embedding_lang_drift rule), and the rounding keeps downstream
+    assignment decisions stable. Clusters that lose all members die, in
+    both engines identically. One positional shuffle of (cluster, p,
+    decimal) partials per iteration — the k-means training reduce."""
+    pos = (
+        assigned.join(emb, "vec_id")
+        .select("cluster_id", F.posexplode("e").alias("p", "x"))
+        .groupBy("cluster_id", "p")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("x")
+        )
+    )
+    cent = pos.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "x"))), lambda s: s["x"]
+        ).alias("c_e")
+    )
+    return cent.select(
+        F.col("cluster_id").alias("cell_id"),
+        "c_e",
+        l2_norm(F.col("c_e")).alias("c_nrm"),
+    )
+
+
+def _kmeans_oracle() -> str:
+    k, d = KMEANS_K, DIM
+    sql = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> x * x))) > 0
+    ),
+    s AS (
+        SELECT greatest(CAST(floor(count(*) / {k}) AS BIGINT), 1) AS stride
+        FROM v
+    ),
+    cent0 AS (
+        SELECT CAST(vec_id / stride AS INT) AS cluster_id, e AS ce
+        FROM v, s
+        WHERE vec_id % stride = 0 AND vec_id / stride < {k}
+    )"""
+    for i in range(KMEANS_ITERS + 1):
+        sql += f""",
+    a{i} AS (
+        SELECT vec_id, cluster_id, cos FROM (
+            SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY cos DESC, cluster_id)
+                       AS rn
+            FROM (
+                SELECT v.vec_id, c.cluster_id,
+                       ROUND({cosine_sql('v.e', 'c.ce')}, 4) AS cos
+                FROM v CROSS JOIN cent{i} c
+            ) sc
+        ) WHERE rn = 1
+    )"""
+        if i < KMEANS_ITERS:
+            sql += f""",
+    m{i} AS (
+        SELECT a.cluster_id, r.i AS p,
+               ROUND(CAST(SUM(CAST(v.e[r.i] AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS x
+        FROM a{i} a JOIN v ON v.vec_id = a.vec_id,
+             UNNEST(range(1, {d + 1})) AS r(i)
+        GROUP BY a.cluster_id, r.i
+    ),
+    cent{i + 1} AS (
+        SELECT cluster_id, list(x ORDER BY p) AS ce FROM m{i}
+        GROUP BY cluster_id
+    )"""
+    sql += f"""
+    SELECT vec_id, cluster_id, cos FROM a{KMEANS_ITERS}
+    """
+    return sql
+
+
+@register(
+    "embedding_kmeans",
+    _kmeans_oracle(),
+    doc=f"Distributed k-means (Lloyd's): {KMEANS_K} stride-seeded "
+    f"centroids, {KMEANS_ITERS} mean-refinement rounds, final assignment "
+    "emitted — the offline clustering step the IVF quantizer and "
+    "SemDeDup defer to, as a real oracle-checked operator. Per round: a "
+    "map-only packed-broadcast assignment on ROUNDED cosine (bit-stable "
+    "decisions) and one positional reduce with DECIMAL-exact means "
+    "(order-independent, hence engine-identical; the "
+    "embedding_lang_drift rule) rounded to 6 dp. The oracle unrolls the "
+    "same iterations as CTE stages. At 100 TB the assignment pass is "
+    "shuffle-free and the training reduce moves K x dim decimals per "
+    "partition per round.",
+    tags=("llm", "vector"),
+)
+def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    corpus_n = emb.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / KMEANS_K), F.lit(1).cast("bigint")
+        ).alias("stride")
+    )
+    cents = (
+        emb.crossJoin(F.broadcast(corpus_n))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") / F.col("stride") < KMEANS_K)
+        )
+        .select(
+            (F.col("vec_id") / F.col("stride")).cast("int").alias("cell_id"),
+            F.col("e").alias("c_e"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = kmeans_refine(emb, kmeans_assign(emb, cents))
+    return kmeans_assign(emb, cents)

@@ -112,8 +112,8 @@ _LOADED = False
 # window_running_total, window_dedup_latest, scalar_subquery_filter,
 # window_rank_topn; knn_pq, knn_ivfpq (rows-only, recall
 # pytest-asserted at all three SFs), hard_negative_mining,
-# snapshot_diff, token_budget_sample, cube_counts and
-# dedup_ngram_jaccard head the r6 window for first/refreshed rows.
+# snapshot_diff, token_budget_sample, embedding_kmeans, cube_counts
+# and dedup_ngram_jaccard head the r6 window for first/refreshed rows.
 # knn_ivf's builder changed in-round (map-only assignment) after its r4
 # row; it is rows-only, so the driver row carries only a row count —
 # the actual evidence (recall floors at all three SFs) was re-run green

@@ -704,3 +704,49 @@ def test_lsh_survivors_invariant_to_exact_collapse(spark, near_dup_docs):
     n_all = near_dup_docs.count()
     assert canon.count() < n_all
     assert canon.count() + losers.count() == n_all
+
+
+def test_kmeans_refinement_improves_objective(spark, sf_dir):
+    """Lloyd's guarantee, observed: mean cosine-to-assigned-centroid after
+    the refinement rounds is at least the seed assignment's (equality
+    only possible if the seeds were already stationary)."""
+    from full_data_infrastructure_spark.functions.vector import l2_norm
+    from full_data_infrastructure_spark.operators.similarity import (
+        KMEANS_K,
+        kmeans_assign,
+        kmeans_refine,
+    )
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    corpus_n = emb.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / KMEANS_K), F.lit(1).cast("bigint")
+        ).alias("stride")
+    )
+    seeds = (
+        emb.crossJoin(F.broadcast(corpus_n))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") / F.col("stride") < KMEANS_K)
+        )
+        .select(
+            (F.col("vec_id") / F.col("stride")).cast("int").alias("cell_id"),
+            F.col("e").alias("c_e"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    seed_obj = (
+        kmeans_assign(emb, seeds).agg(F.avg("cos").alias("o")).first()["o"]
+    )
+    final = REGISTRY["embedding_kmeans"].build(spark, sf_dir)
+    final_obj = final.agg(F.avg("cos").alias("o")).first()["o"]
+    assert final_obj >= seed_obj - 1e-9, (seed_obj, final_obj)
+    n_clusters = final.select("cluster_id").distinct().count()
+    assert 1 <= n_clusters <= KMEANS_K
