@@ -1252,8 +1252,10 @@ SEM_THRESHOLD = 0.95  # within-cluster cosine above which docs are duplicates
 def semantic_centroids(emb: DataFrame, n_cells: int = SEM_CELLS) -> DataFrame:
     """Deterministic coarse clustering seeds: every len(corpus)/n_cells-th
     vector, same stride sampler as the IVF quantizer
-    (similarity.ivf_candidates) — k-means|| replaces it offline at scale,
-    stride keeps CI and the DuckDB oracle reproducible. One broadcast
+    (similarity.ivf_candidates) — at scale, refine these seeds with the
+    in-repo distributed Lloyd's (similarity.kmeans_refine, the
+    embedding_kmeans operator); stride alone keeps CI and the DuckDB
+    oracle reproducible. One broadcast
     1-row aggregate derives the stride, so callers stay a single lazy
     plan."""
     corpus_n = emb.agg(
