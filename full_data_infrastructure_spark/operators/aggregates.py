@@ -396,3 +396,153 @@ def _winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+def heavy_hitter_candidates(
+    keys: DataFrame, key_col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summary: a map-only pass that shrinks an
+    arbitrarily large key stream to at most ``k`` candidate keys per
+    partition, plus one row-count row (``key IS NULL``) per partition.
+
+    The summary is the mergeable weighted variant (Berinde et al., "Space-
+    optimal heavy hitters with strong error bounds"): each Arrow batch's
+    exact counts are folded into the counter dict, and whenever more than
+    ``k`` counters are live, the (k+1)-th largest count is subtracted from
+    all of them and non-positive counters are dropped — at most ``k``
+    survive, and every prune removes at least (k+1) units per decremented
+    unit, so any key's undercount is at most n_p/(k+1) for a partition of
+    n_p rows. Hence every key with partition count > n_p/(k+1) survives
+    with a positive counter, and (pigeonhole over partitions: if a key
+    stayed under n_i/(k+1) everywhere, its global count would be under
+    N/(k+1)) the UNION of partition summaries is a guaranteed superset of
+    all keys with global frequency above N/(k+1).
+
+    100 TB shape: nothing shuffles — the pass reads the key column only
+    (column pruning reaches the scan) and emits ≤ partitions x (k+1)
+    rows. Python-side work is one vectorized ``value_counts`` per Arrow
+    batch plus O(k log k) per prune; the dict never exceeds
+    k + batch-distinct entries. NULL keys are ignored (the null row is
+    the partition row-count marker).
+    """
+    import pandas as pd
+
+    key_field = keys.schema[key_col]
+
+    def summarize(batches):
+        import numpy as np
+
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            n_rows += int(pdf[key_col].notna().sum())
+            for key, c in vc.items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                # (k+1)-th largest: at most k counters are strictly above.
+                thresh = np.partition(vals, len(vals) - (k + 1))[
+                    len(vals) - (k + 1)
+                ]
+                counters = {
+                    key: c - thresh for key, c in counters.items() if c > thresh
+                }
+        yield pd.DataFrame(
+            {
+                key_col: list(counters.keys()) + [None],
+                "w": list(counters.values()) + [n_rows],
+            }
+        )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType, True),
+            StructField("w", LongType(), False),
+        ]
+    )
+    return keys.select(key_col).mapInPandas(summarize, out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    support_num: int,
+    support_den: int,
+    k: int,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with frequency >= support_num/support_den
+    of all rows) in two passes, never a full-cardinality shuffle.
+
+    Pass 1 (:func:`heavy_hitter_candidates`) is map-only and yields a
+    guaranteed superset of the heavy hitters plus the exact total row
+    count; pass 2 re-scans the input but counts ONLY rows matching the
+    broadcast candidate set — the groupBy shuffles at most
+    partitions x k keys instead of the full key cardinality. The final
+    filter uses exact integer cross-multiplication (cnt * den >= num *
+    total), so the result is deterministic and oracle-checkable despite
+    the sketch in the middle. Requires support > 1/(k+1), otherwise the
+    superset guarantee does not hold — asserted.
+
+    A plain ``GROUP BY key HAVING count >= t`` shuffles every distinct
+    key; over 100 TB of tokens that is the vocabulary-sized shuffle this
+    operator exists to avoid.
+    """
+    if support_num * (k + 1) <= support_den:
+        raise ValueError(
+            f"support {support_num}/{support_den} needs k > "
+            f"{support_den / support_num - 1:.0f} counters for the "
+            "Misra-Gries superset guarantee"
+        )
+    from full_data_infrastructure_spark.cache import tracked_persist
+
+    cands = tracked_persist(heavy_hitter_candidates(df, key_col, k))
+    total = cands.where(F.col(key_col).isNull()).agg(
+        F.sum("w").alias("total")
+    )
+    cand_keys = cands.where(F.col(key_col).isNotNull()).select(key_col).distinct()
+    counts = (
+        df.join(F.broadcast(cand_keys), key_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * support_den >= F.lit(support_num) * F.col("total"))
+        .select(key_col, "cnt")
+        .orderBy(F.desc("cnt"), key_col)
+    )
+
+
+@register(
+    "heavy_hitters_tokens",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> length(t) > 0)) AS tok
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+    SELECT c.tok, c.cnt
+    FROM c, tot
+    WHERE c.cnt * 1000 >= 3 * tot.n
+    ORDER BY cnt DESC, tok
+    """,
+    doc="All tokens carrying >= 0.3% of the corpus token stream — the "
+    "stopword/boilerplate head a tokenizer or quality filter needs — via "
+    "the two-pass Misra-Gries plan (map-only candidate sketch, then "
+    "exact counts of the broadcast candidates only). The oracle computes "
+    "the same set with a full GROUP BY; results match exactly because "
+    "the sketch only proposes candidates, never counts. k=999 counters "
+    "bounds the guarantee at 0.1% < 0.3% support.",
+    tags=("extension", "aggregate", "approx", "llm", "text"),
+)
+def _heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", support_num=3, support_den=1000, k=999)

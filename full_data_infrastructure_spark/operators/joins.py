@@ -301,3 +301,44 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_facts.join(salted_dim, [on, "_salt"], how).drop("_salt")
+
+
+@register(
+    "runtime_filtered_join",
+    f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           {sql_money_sum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="Selective-dimension fact join in the shape Catalyst's runtime "
+    "row-level filtering (InjectRuntimeFilter, Spark 3.3+) accelerates: "
+    "when the filtered orders side is too big to broadcast, the optimizer "
+    "builds a bloom filter over its join keys and semi-filters the "
+    "lineitem scan BEFORE the shuffle, so non-matching fact rows never "
+    "cross an exchange — the runtime twin of static partition pruning. "
+    "The builder stays fully declarative (no hints); "
+    "tests/test_plans.py::test_runtime_bloom_filter_injection pins the "
+    "injection (might_contain on the fact scan) in the no-broadcast "
+    "regime a 100 TB join runs in.",
+    tags=("extension", "join"),
+)
+def _runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") == "F")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -137,3 +137,39 @@ def _zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@register(
+    "compact_small_files",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+    doc="Small-file compaction roundtrip — the OPTIMIZE stand-in for "
+    "streaming sinks that accrete one file per micro-batch per partition "
+    "(scan throughput at 100 TB dies on file-open overhead, and the "
+    "reference never compacts: SaveDelta.scala appends forever). The "
+    "builder scatters the documents projection into 64 deliberately tiny "
+    "files, runs sources/sinks.py::compact to rewrite them at a target "
+    "file size, and returns the compacted table; the oracle hash proves "
+    "the rewrite LOSSLESS (bit-identical rows), while the file-count "
+    "payoff is asserted from the real directory in "
+    "tests/test_sources.py::test_compact_reduces_file_count. "
+    "Eager by design (a layout maintenance job, not a query plan) — "
+    "exempted from the lazy-builder gate alongside the streaming "
+    "snapshots.",
+    tags=("extension", "layout"),
+)
+def _compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from full_data_infrastructure_spark.sources.parquet import load_table as _lt
+    from full_data_infrastructure_spark.sources.sinks import compact
+    from full_data_infrastructure_spark.streaming.replay import replay_workdir
+
+    docs = _lt(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    work = replay_workdir("compact_")
+    path = os.path.join(work, "docs")
+    # Simulate micro-batch accretion: 64 files, each a few KB at test SFs.
+    docs.repartition(64).write.parquet(path)
+    compact(spark, path, fmt="parquet", target_file_bytes=4 * 1024 * 1024)
+    return spark.read.parquet(path)

@@ -88,10 +88,13 @@ _LOADED = False
 # exact_jaccard_pairs' no-op max_df default but later ceded it to the
 # stream-stream join's first row — the transitive callers
 # (dedup_cluster_cc, dedup_survivors, corpus_pipeline) keep their
-# standing rows either way), (b) 16 of the 17 queries whose newest
+# standing rows either way), (b) 13 of the 17 queries whose newest
 # green row was still
 # CORRECTNESS_r01 (the r4-verdict item-1 list; cube_counts later ceded
-# its slot to the new layout family's first row — see the window entry
+# its slot to the new layout family's first row, and count_distinct,
+# rollup_counts and cte_self_join ceded theirs to the three late-round
+# first rows heavy_hitters_tokens / runtime_filtered_join /
+# compact_small_files — see the window entries
 # below), (c) the four beyond-brief round-5
 # streaming parity queries (tumbling, sliding, stateful dedup, stateful
 # EMA), and (d) the two in-round oracle-checked additions with no row
@@ -112,7 +115,8 @@ _LOADED = False
 # window_running_total, window_dedup_latest, scalar_subquery_filter,
 # window_rank_topn; knn_pq, knn_ivfpq (rows-only, recall
 # pytest-asserted at all three SFs), hard_negative_mining,
-# snapshot_diff, token_budget_sample, embedding_kmeans, cube_counts
+# snapshot_diff, token_budget_sample, embedding_kmeans, cube_counts,
+# count_distinct, rollup_counts, cte_self_join (still r1-attested)
 # and dedup_ngram_jaccard head the r6 window for first/refreshed rows.
 # knn_ivf's builder changed in-round (map-only assignment) after its r4
 # row; it is rows-only, so the driver row carries only a row count —
@@ -162,7 +166,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "repetition_signals",
     "semi_join",
     "anti_join",
-    "cte_self_join",
+    # cte_self_join ceded its refresh slot too (r1 row stands; the join
+    # family keeps seven in-window reps incl. runtime_filtered_join).
     "multimodal_join",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -172,13 +177,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "train_val_test_split",
     "pii_redact",
     "sample_hash",
-    "count_distinct",
-    "rollup_counts",
+    # count_distinct and rollup_counts ceded their refresh slots to the
+    # late-round-5 first rows below (heavy_hitters_tokens,
+    # runtime_filtered_join, compact_small_files) — first rows outrank
+    # standing refreshes; their r1 rows stand, the aggregate family keeps
+    # five in-window reps, and both head the r6 payload.
+    "heavy_hitters_tokens",
+    "runtime_filtered_join",
     # cube_counts ceded its slot to the new layout family (its r1 row
     # stands and the local oracle suite re-checks it every run; rollup/
     # grouping-set coverage stays attested via rollup_counts) — it joins
     # knn_pq/knn_ivfpq at the head of the r6 payload.
     "zorder_key_lineitem",
+    "compact_small_files",
     # Round-5 additions beyond the brief: tumbling-window, stateful-dedup
     # and applyInPandasWithState-EMA streaming parity (first rows needed —
     # new queries outrank standing-green refreshes, so vector_norms,

@@ -750,3 +750,73 @@ def test_kmeans_refinement_improves_objective(spark, sf_dir):
     assert final_obj >= seed_obj - 1e-9, (seed_obj, final_obj)
     n_clusters = final.select("cluster_id").distinct().count()
     assert 1 <= n_clusters <= KMEANS_K
+
+
+class TestHeavyHitters:
+    """Misra-Gries two-pass heavy hitters: superset guarantee under forced
+    pruning, bounded candidate volume, exactness of the final result."""
+
+    @pytest.fixture(scope="class")
+    def zipf_keys(self, spark):
+        """A deterministic Zipf-ish stream: key i appears ~1000/i times
+        (400+ distinct keys, ~6000 rows) across 8 partitions — far more
+        distinct keys than the sketch's counters, so the MG prune path
+        (subtract the (k+1)-th largest, drop non-positive) is exercised
+        on every batch, unlike the 31-token synthetic corpus."""
+        rows = [(f"k{i:04d}",) for i in range(1, 420) for _ in range(1000 // i)]
+        return spark.createDataFrame(rows, "key string").repartition(8)
+
+    def test_candidates_are_superset_and_bounded(self, spark, zipf_keys):
+        from full_data_infrastructure_spark.operators.aggregates import (
+            heavy_hitter_candidates,
+        )
+
+        k = 16
+        cands = heavy_hitter_candidates(zipf_keys, "key", k).collect()
+        markers = [r for r in cands if r.key is None]
+        keys = {r.key for r in cands if r.key is not None}
+        total = sum(r.w for r in markers)
+        n_parts = zipf_keys.rdd.getNumPartitions()
+        assert total == zipf_keys.count()
+        # prune actually ran: far fewer candidates than distinct keys,
+        # and never more than partitions x k
+        assert len(keys) <= n_parts * k
+        assert len(keys) < 419
+        # superset guarantee: every key with count > N/(k+1) is present
+        exact = {
+            r.key: r.cnt
+            for r in zipf_keys.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        must_have = {key for key, c in exact.items() if c * (k + 1) > total}
+        assert must_have <= keys, must_have - keys
+
+    def test_result_is_exact(self, spark, zipf_keys):
+        from full_data_infrastructure_spark.operators.aggregates import (
+            heavy_hitters,
+        )
+
+        got = heavy_hitters(
+            zipf_keys, "key", support_num=2, support_den=100, k=99
+        ).collect()
+        total = zipf_keys.count()
+        exact = sorted(
+            (
+                (r.key, r.cnt)
+                for r in zipf_keys.groupBy("key")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+                if r.cnt * 100 >= 2 * total
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [(r.key, r.cnt) for r in got] == exact
+
+    def test_support_below_guarantee_rejected(self, spark, zipf_keys):
+        from full_data_infrastructure_spark.operators.aggregates import (
+            heavy_hitters,
+        )
+
+        with pytest.raises(ValueError, match="Misra-Gries"):
+            heavy_hitters(zipf_keys, "key", support_num=1, support_den=1000, k=99)

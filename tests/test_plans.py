@@ -240,6 +240,8 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "streaming_dedup_snapshot",
         "streaming_ema_snapshot",
         "streaming_funnel_snapshot",
+        # layout maintenance job: scatters, compacts, reads back
+        "compact_small_files",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
@@ -373,3 +375,39 @@ def test_quality_classifier_broadcasts_weights(spark, sf_dir, queries):
     plan = plan_of(queries["quality_classifier"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir, queries):
+    """runtime_filtered_join must stay declarative enough for Catalyst's
+    InjectRuntimeFilter to fire in the regime a 100 TB join runs in: with
+    broadcast off (the filtered dimension is too big to ship at scale)
+    and the application-side size gate lowered to test scale, the
+    optimizer must build a bloom filter over the filtered orders keys and
+    apply might_contain to the lineitem side BEFORE its shuffle."""
+    saved = {
+        key: spark.conf.get(key, None)
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        plan = plan_of(queries["runtime_filtered_join"](spark, sf_dir))
+        assert "might_contain" in plan, plan
+        # the bloom probe must sit on the lineitem (application) side
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
