@@ -231,3 +231,41 @@ def test_ema_fold_invariant_to_batch_boundaries(spark, events, cuts):
             assert math.isnan(ema), (u, ema)
         else:
             assert ema == wv, (u, ema, wv)  # bit-exact, no tolerance
+
+
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=60),
+    k=st.integers(min_value=2, max_value=6),
+    n_parts=st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_heavy_hitters_exact_for_any_stream(spark, stream, k, n_parts):
+    """heavy_hitters == GROUP BY ... HAVING for ANY multiset, counter
+    budget and partitioning — the sketch may only change WHICH candidates
+    are counted, never the counted result. Support is pinned just above
+    the 1/(k+1) guarantee line so the candidate set is as thin as the
+    bound allows (the adversarial regime for the superset argument)."""
+    from full_data_infrastructure_spark.operators.aggregates import heavy_hitters
+
+    support_num, support_den = 1, k  # 1/k > 1/(k+1): minimal legal support
+    df = spark.createDataFrame(
+        [(f"v{x}",) for x in stream], "key string"
+    ).repartition(n_parts)
+    got = [
+        (r.key, r.cnt)
+        for r in heavy_hitters(
+            df, "key", support_num=support_num, support_den=support_den, k=k
+        ).collect()
+    ]
+    total = len(stream)
+    from collections import Counter
+
+    want = sorted(
+        (
+            (f"v{key}", c)
+            for key, c in Counter(stream).items()
+            if c * support_den >= support_num * total
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want, (stream, k, n_parts, got, want)
