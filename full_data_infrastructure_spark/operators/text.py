@@ -551,3 +551,60 @@ def quality_classifier_scores(docs: DataFrame) -> DataFrame:
 def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return quality_classifier_scores(docs)
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> length(t) > 0)) AS tok
+        FROM documents
+    ),
+    words AS (
+        SELECT tok, COUNT(*) AS n FROM toks WHERE length(tok) >= 2 GROUP BY tok
+    ),
+    pairs AS (
+        SELECT substring(w.tok, CAST(i AS INTEGER), 2) AS pair, w.n
+        FROM words w, LATERAL unnest(range(1, length(w.tok))) AS t(i)
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 50
+    """,
+    doc="One BPE-training iteration: corpus-weighted counts of adjacent "
+    "character pairs, the argmax of which is the next merge rule "
+    "(Sennrich et al., 'Neural Machine Translation of Rare Words with "
+    "Subword Units'). The 100 TB shape aggregates the corpus to its "
+    "DISTINCT words first (one token-keyed shuffle, the same map-side-"
+    "combined aggregate vocab_topk uses), so the character-pair explode "
+    "and second aggregate run over the vocabulary — millions of short "
+    "strings — never the corpus. Pure JVM expressions (sequence + "
+    "transform + substring); top-50 with a deterministic tiebreak.",
+    tags=("extension", "llm", "text"),
+)
+def _bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(50)
+    )

@@ -88,13 +88,13 @@ _LOADED = False
 # exact_jaccard_pairs' no-op max_df default but later ceded it to the
 # stream-stream join's first row — the transitive callers
 # (dedup_cluster_cc, dedup_survivors, corpus_pipeline) keep their
-# standing rows either way), (b) 13 of the 17 queries whose newest
+# standing rows either way), (b) 12 of the 17 queries whose newest
 # green row was still
 # CORRECTNESS_r01 (the r4-verdict item-1 list; cube_counts later ceded
 # its slot to the new layout family's first row, and count_distinct,
-# rollup_counts and cte_self_join ceded theirs to the three late-round
-# first rows heavy_hitters_tokens / runtime_filtered_join /
-# compact_small_files — see the window entries
+# rollup_counts, cte_self_join and sample_hash ceded theirs to the
+# late-round first rows heavy_hitters_tokens / runtime_filtered_join /
+# compact_small_files / bpe_pair_counts — see the window entries
 # below), (c) the four beyond-brief round-5
 # streaming parity queries (tumbling, sliding, stateful dedup, stateful
 # EMA), and (d) the two in-round oracle-checked additions with no row
@@ -116,7 +116,8 @@ _LOADED = False
 # window_rank_topn; knn_pq, knn_ivfpq (rows-only, recall
 # pytest-asserted at all three SFs), hard_negative_mining,
 # snapshot_diff, token_budget_sample, embedding_kmeans, cube_counts,
-# count_distinct, rollup_counts, cte_self_join (still r1-attested)
+# count_distinct, rollup_counts, cte_self_join, sample_hash (still
+# r1-attested)
 # and dedup_ngram_jaccard head the r6 window for first/refreshed rows.
 # knn_ivf's builder changed in-round (map-only assignment) after its r4
 # row; it is rows-only, so the driver row carries only a row count —
@@ -176,7 +177,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "json_extract",
     "train_val_test_split",
     "pii_redact",
-    "sample_hash",
+    # sample_hash ceded its refresh slot to bpe_pair_counts' first row
+    # (sampling keeps stratified_sample + train_val_test_split in-window).
+    "bpe_pair_counts",
     # count_distinct and rollup_counts ceded their refresh slots to the
     # late-round-5 first rows below (heavy_hitters_tokens,
     # runtime_filtered_join, compact_small_files) — first rows outrank
