@@ -1159,3 +1159,98 @@ def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         cents = kmeans_refine(emb, kmeans_assign(emb, cents))
     return kmeans_assign(emb, cents)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA — the whitening/projection step SemDeDup-style semantic
+# pipelines run before clustering, as a one-pass map-only operator
+# ---------------------------------------------------------------------------
+
+PCA_K = 8  # retained components
+
+
+def gram_partials(emb: DataFrame, vec_col: str = "e") -> DataFrame:
+    """One map-only pass that reduces n x d embeddings to per-partition
+    sufficient statistics for PCA: row count, d-dim feature sum, and the
+    d x d Gram matrix (flattened) — the same sketch-then-merge shape as
+    heavy_hitter_candidates. For d=64 each partition emits one row of
+    4096+64+1 doubles regardless of row count, so the driver-side merge
+    is O(partitions · d²) and NOTHING data-sized ever leaves the
+    executors. numpy does the per-batch accumulation (one BLAS gemm per
+    Arrow batch)."""
+    import pandas as pd
+
+    def summarize(batches):
+        import numpy as np
+
+        n, s, g = 0, None, None
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            gg = m.T @ m
+            g = gg if g is None else g + gg
+        if n == 0:
+            return
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    return emb.select(vec_col).mapInPandas(
+        summarize, "n long, s array<double>, g array<double>"
+    )
+
+
+def pca_components(emb: DataFrame, k: int = PCA_K, vec_col: str = "e"):
+    """Top-k principal components from the merged Gram partials: covariance
+    C = G/n − mean·meanᵀ, then a driver-side d x d eigendecomposition
+    (d=64 — microseconds; the DATA never leaves the cluster, only the
+    d² sufficient statistics do). Components are sign-canonicalized
+    (largest-|coefficient| entry made positive) so the projection is
+    deterministic despite eigenvector sign ambiguity. Returns
+    (components ndarray k x d, eigenvalues ndarray k, mean ndarray d)."""
+    import numpy as np
+
+    parts = gram_partials(emb, vec_col).collect()
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    g = np.sum([np.asarray(r.g) for r in parts], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return comps, evals[order], mean
+
+
+@register(
+    "embedding_pca_project",
+    None,  # rows-only: eigendecomposition is not SQL-expressible; the
+    # projection's optimality/orthonormality/parity with numpy PCA is
+    # asserted in tests/test_operators.py::TestEmbeddingPCA
+    doc="PCA projection of the embedding corpus onto its top-8 principal "
+    "components — the dimensionality-reduction/whitening stage semantic "
+    "dedup and IVF train on. Two passes: a map-only sufficient-statistics "
+    "sketch (per-partition count/sum/Gram, O(d²) rows out), a driver-side "
+    "64 x 64 eigh, then the projection as k JVM fold expressions over "
+    "the broadcast (literal) mean-centered components — no shuffle "
+    "anywhere, so the 100 TB cost is exactly two corpus scans.",
+    tags=("llm", "vector", "approx"),
+)
+def _embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    comps, _evals, mean = pca_components(emb)
+    mean_col = F.array(*[F.lit(float(x)) for x in mean])
+    centered = emb.select(
+        "vec_id", F.zip_with("e", mean_col, lambda a, b: a - b).alias("c")
+    )
+    proj_cols = [
+        F.round(
+            dot(F.col("c"), F.array(*[F.lit(float(x)) for x in comp])), 4
+        ).alias(f"pc{i}")
+        for i, comp in enumerate(comps)
+    ]
+    return centered.select("vec_id", *proj_cols).orderBy("vec_id")

@@ -820,3 +820,57 @@ class TestHeavyHitters:
 
         with pytest.raises(ValueError, match="Misra-Gries"):
             heavy_hitters(zipf_keys, "key", support_num=1, support_den=1000, k=99)
+
+
+class TestEmbeddingPCA:
+    """Distributed PCA: the map-only sufficient-statistics sketch must
+    reproduce numpy PCA on the same data exactly (up to the shared sign
+    canonicalization), with orthonormal components and descending
+    explained variance."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+
+    def test_components_match_numpy_pca(self, spark, sf_dir, emb):
+        import numpy as np
+
+        from full_data_infrastructure_spark.operators.similarity import (
+            PCA_K,
+            pca_components,
+        )
+
+        comps, evals, mean = pca_components(emb)
+        x = np.vstack([r.e for r in emb.collect()]).astype(np.float64)
+        want_mean = x.mean(axis=0)
+        assert np.allclose(mean, want_mean, atol=1e-9)
+        cov = np.cov(x, rowvar=False, bias=True)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:PCA_K]
+        want = v[:, order].T
+        flip = np.sign(want[np.arange(PCA_K), np.abs(want).argmax(axis=1)])
+        want = want * flip[:, None]
+        assert np.allclose(evals, w[order], atol=1e-8)
+        assert np.allclose(comps, want, atol=1e-6)
+        # orthonormal, variance descending
+        assert np.allclose(comps @ comps.T, np.eye(PCA_K), atol=1e-8)
+        assert all(evals[i] >= evals[i + 1] - 1e-12 for i in range(PCA_K - 1))
+
+    def test_projection_captures_top_variance(self, spark, sf_dir, emb):
+        """The k retained coordinates' total variance must equal the top-k
+        eigenvalue sum (the optimal k-dim linear compression) — asserted
+        against the driver query output itself."""
+        import numpy as np
+
+        from full_data_infrastructure_spark.operators.similarity import (
+            _embedding_pca_project,
+            pca_components,
+        )
+
+        _comps, evals, _mean = pca_components(emb)
+        rows = _embedding_pca_project(spark, sf_dir).collect()
+        coords = np.array([[r[f"pc{i}"] for i in range(len(evals))] for r in rows])
+        got_var = coords.var(axis=0, ddof=0)
+        assert np.allclose(got_var, evals, atol=1e-3)  # pc values rounded to 4dp
