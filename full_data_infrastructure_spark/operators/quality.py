@@ -270,3 +270,53 @@ def _schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "props": "string",
         },
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str | Column], k: int
+) -> DataFrame:
+    """Quasi-identifier combinations shared by FEWER than ``k`` rows — the
+    re-identifiable groups a k-anonymity audit must suppress or
+    generalize before a table is released (Sweeney, "k-anonymity: a
+    model for protecting privacy"). Complements the column-level PII
+    REDACTION in curation.py with the row-level LINKAGE check: redacted
+    text is still re-identifiable when its metadata combination is
+    near-unique.
+
+    One map-side-combined hash aggregate over the quasi-identifier
+    tuple; only the violating tail (and one count per group, never rows)
+    comes back, so the 100 TB cost is a single shuffle of (tuple,
+    partial-count) pairs.
+    """
+    counted = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    return counted.where(F.col("cnt") < k)
+
+
+@register(
+    "k_anonymity_violations",
+    """
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           COUNT(*) AS cnt
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+    HAVING COUNT(*) < 5
+    ORDER BY cnt DESC, c_nationkey, c_mktsegment, bal_band
+    """,
+    doc="k-anonymity audit (k=5) over the customer quasi-identifiers "
+    "(nation, market segment, account-balance band): every combination "
+    "carried by fewer than 5 customers is a linkage risk the release "
+    "pipeline must generalize away. Band boundaries are exact-integer "
+    "multiples of 1000 (IEEE-identical division in both engines), so "
+    "the audit is oracle-checked bit-for-bit.",
+    tags=("extension", "quality", "curation"),
+)
+def _k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    banded = customer.withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    return k_anonymity_violations(
+        banded, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    ).orderBy(F.desc("cnt"), "c_nationkey", "c_mktsegment", "bal_band")

@@ -88,13 +88,14 @@ _LOADED = False
 # exact_jaccard_pairs' no-op max_df default but later ceded it to the
 # stream-stream join's first row — the transitive callers
 # (dedup_cluster_cc, dedup_survivors, corpus_pipeline) keep their
-# standing rows either way), (b) 12 of the 17 queries whose newest
+# standing rows either way), (b) 11 of the 17 queries whose newest
 # green row was still
 # CORRECTNESS_r01 (the r4-verdict item-1 list; cube_counts later ceded
 # its slot to the new layout family's first row, and count_distinct,
-# rollup_counts, cte_self_join and sample_hash ceded theirs to the
-# late-round first rows heavy_hitters_tokens / runtime_filtered_join /
-# compact_small_files / bpe_pair_counts — see the window entries
+# rollup_counts, cte_self_join, sample_hash and multimodal_frame_sample
+# ceded theirs to the late-round first rows heavy_hitters_tokens /
+# runtime_filtered_join / compact_small_files / bpe_pair_counts /
+# k_anonymity_violations — see the window entries
 # below), (c) the four beyond-brief round-5
 # streaming parity queries (tumbling, sliding, stateful dedup, stateful
 # EMA), and (d) the two in-round oracle-checked additions with no row
@@ -117,8 +118,8 @@ _LOADED = False
 # pytest-asserted at all three SFs), embedding_pca_project (rows-only,
 # exact numpy parity pytest-asserted), hard_negative_mining,
 # snapshot_diff, token_budget_sample, embedding_kmeans, cube_counts,
-# count_distinct, rollup_counts, cte_self_join, sample_hash (still
-# r1-attested)
+# count_distinct, rollup_counts, cte_self_join, sample_hash,
+# multimodal_frame_sample (still r1-attested)
 # and dedup_ngram_jaccard head the r6 window for first/refreshed rows.
 # knn_ivf's builder changed in-round (map-only assignment) after its r4
 # row; it is rows-only, so the driver row carries only a row count —
@@ -172,7 +173,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # family keeps seven in-window reps incl. runtime_filtered_join).
     "multimodal_join",
     "multimodal_resize",
-    "multimodal_frame_sample",
+    # multimodal_frame_sample ceded its refresh slot to the privacy
+    # audit's first row (multimodal keeps two in-window reps).
+    "k_anonymity_violations",
     "validation_schema_check",
     "threshold_validation",
     "json_extract",
