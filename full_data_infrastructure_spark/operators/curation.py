@@ -425,3 +425,41 @@ def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.coalesce("o_id", "n_id").alias("doc_id"), status.alias("status")
     )
+
+
+def contaminated_ids_sql(source: str = "documents") -> str:
+    """Parenthesized subquery of the train-split doc_ids whose eval-shingle
+    overlap crosses CONTAM_THRESHOLD — the reusable oracle fragment
+    corpus_pipeline_full subtracts before dedup. Mirrors the
+    decontaminate_overlap oracle exactly, minus the score projection."""
+    return f"""(
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM {source}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(toks) - 1)) AS r(i)
+        WHERE len(toks) >= 3
+    ),
+    eval_sh AS (
+        SELECT DISTINCT sh FROM sh
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{EVAL_BUCKET_MAX}'
+    ),
+    train_sh AS (
+        SELECT * FROM sh
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) > '{EVAL_BUCKET_MAX}'
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared
+        FROM train_sh t LEFT JOIN eval_sh e ON t.sh = e.sh
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id FROM scored
+    WHERE CAST(n_shared AS DOUBLE) / n_shingles >= {CONTAM_THRESHOLD})"""

@@ -455,13 +455,15 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_jaccard_sql(threshold: float) -> str:
+def _ngram_jaccard_sql(threshold: float, source: str = "documents") -> str:
+    """``source`` lets pipeline oracles run the identical pair SQL over a
+    pre-filtered CTE instead of the base table (corpus_pipeline_full)."""
     return f"""
     WITH toks AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'),
                            t -> length(t) > 0) AS toks
-        FROM documents
+        FROM {source}
     ),
     sh AS (
         SELECT DISTINCT doc_id,

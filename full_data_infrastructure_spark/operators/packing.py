@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from full_data_infrastructure_spark.cache import tracked_persist
 from full_data_infrastructure_spark.operators.curation import hash_bucket
 from full_data_infrastructure_spark.operators.text import tokens
 from full_data_infrastructure_spark.queries import register
@@ -601,3 +602,208 @@ def _token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_tokens_before"),
     )
     return c.filter(F.col("cum_tokens_before") < TOKEN_BUDGET)
+
+
+def _corpus_pipeline_full_oracle() -> str:
+    """The production corpus build end to end: quality-classifier keep ->
+    eval-split withholding + decontamination -> near-dup removal ->
+    mixture -> packing, every fragment the one its standalone query's
+    oracle uses (qc_keep_sql / contaminated_ids_sql / _ngram_jaccard_sql
+    parameterized over the cleaned CTE)."""
+    from full_data_infrastructure_spark.operators.curation import (
+        EVAL_BUCKET_MAX,
+        contaminated_ids_sql,
+    )
+    from full_data_infrastructure_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _ngram_jaccard_sql,
+    )
+    from full_data_infrastructure_spark.operators.text import qc_keep_sql
+
+    return f"""
+    WITH RECURSIVE quality_keep AS {qc_keep_sql()},
+    contaminated AS {contaminated_ids_sql()},
+    clean AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM documents d
+        JOIN quality_keep q ON d.doc_id = q.doc_id
+        LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) > '{EVAL_BUCKET_MAX}'
+          AND c.doc_id IS NULL
+    ),
+    pairs AS ({_ngram_jaccard_sql(JACCARD_THRESHOLD, source="clean")}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    losers AS (
+        SELECT s AS doc_id FROM reach GROUP BY s HAVING LEAST(s, MIN(d)) <> s
+    ),
+    survivors AS (
+        SELECT d.doc_id, d.lang, d.text
+        FROM clean d LEFT JOIN losers l ON d.doc_id = l.doc_id
+        WHERE l.doc_id IS NULL
+    ),
+    w AS (SELECT * FROM {_mixture_weights_sql()}),
+    n AS (
+        SELECT s.lang, CAST(COUNT(*) AS DOUBLE) AS n_l, ANY_VALUE(w.wt) AS wt
+        FROM survivors s JOIN w ON s.lang = w.lang
+        GROUP BY s.lang
+    ),
+    t AS (SELECT MIN(n_l / wt) AS t_max FROM n),
+    rates AS (
+        SELECT n.lang,
+               CAST(FLOOR(LEAST(n.wt * t.t_max / n.n_l, 1.0) * 256)
+                    AS BIGINT) AS k
+        FROM n CROSS JOIN t
+    ),
+    sampled AS (
+        SELECT s.doc_id, s.lang, s.text
+        FROM survivors s JOIN rates r ON s.lang = r.lang
+        WHERE r.k >= 256
+           OR substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.k)
+    ),
+    sized AS (
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+               md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+               CAST({_TOK_SQL} AS BIGINT) AS n_tok
+        FROM sampled
+    ),
+    packed AS (
+        SELECT doc_id, lang, bucket, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY bucket ORDER BY ord_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM sized
+    )
+    SELECT doc_id, lang, bucket, n_tok,
+           CAST(FLOOR(cum_before / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id,
+           cum_before % {CONTEXT_TOKENS} AS bin_offset
+    FROM packed
+    """
+
+
+@register(
+    "corpus_pipeline_full",
+    _corpus_pipeline_full_oracle(),
+    doc="The PRODUCTION corpus build, end to end and oracle-checked: "
+    "model-based quality filtering (hashed-ngram classifier keep), "
+    "eval-split withholding plus 3-gram decontamination, exact-Jaccard "
+    "near-dup removal via connected components, language-mixture "
+    "sampling over the survivors, and 2048-token packing — one chain of "
+    "the five already-verified operators, proving they compose without "
+    "semantic drift (the oracle chains the identical five SQL "
+    "fragments). The sketch twin of every stage (classifier unchanged, "
+    "LSH pairs, two-star CC) is what runs at 100 TB; this exact chain "
+    "is the DuckDB-verifiable baseline the twins are tested against.",
+    tags=("llm", "dedup", "curation", "packing", "text"),
+)
+def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.operators.curation import (
+        EVAL_BUCKET_MAX,
+        _decontaminate,
+        hash_bucket,
+    )
+    from full_data_infrastructure_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        connected_components,
+        exact_jaccard_pairs,
+    )
+    from full_data_infrastructure_spark.operators.text import (
+        quality_classifier_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_classifier_scores(docs).filter(F.col("keep") == 1).select(
+        "doc_id"
+    )
+    contaminated = (
+        _decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")
+    )
+    # The cleaned corpus feeds every downstream stage (shingling, the
+    # survivor anti-join, mixture counting, packing) — without a persist,
+    # each consumer re-runs the classifier+decontamination subtree. At
+    # production scale this intermediate is WRITTEN to the lake as the
+    # clean snapshot (every real pipeline materializes it); here the
+    # tracked in-memory persist is its test-scale stand-in.
+    clean = tracked_persist(
+        docs.join(kept, "doc_id")
+        .where(hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "text")
+    )
+    pairs = exact_jaccard_pairs(clean, JACCARD_THRESHOLD)
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = clean.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "text"
+    )
+    sampled = mixture_keep(spark, survivors)
+    return pack_assign(sampled, carry=("lang",))
+
+
+@register(
+    "corpus_pipeline_full_lsh",
+    None,  # xxhash64 sketches are engine-specific; agreement with the
+    # oracle-checked exact full pipeline is asserted in
+    # tests/test_operators.py::test_corpus_pipeline_full_lsh_agrees_with_exact
+    doc="The 100 TB shape of corpus_pipeline_full: identical quality-"
+    "classifier keep and decontamination stages (both already scale — "
+    "broadcast weight table, broadcast eval shingles), then MinHash+LSH "
+    "pairs -> two-star connected components -> anti-join survivors -> "
+    "mixture -> packing. This is the chain a 1000-executor production "
+    "corpus build runs; the exact chain above is its DuckDB-verifiable "
+    "baseline, and the two are held to >=95% packed-doc agreement.",
+    tags=("llm", "dedup", "curation", "packing", "text", "approx"),
+    bench=True,  # the full production pipeline is the headline workload
+)
+def _corpus_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.operators.curation import (
+        EVAL_BUCKET_MAX,
+        _decontaminate,
+        hash_bucket,
+    )
+    from full_data_infrastructure_spark.operators.dedup import (
+        connected_components_twostar,
+        minhash_dedup_pairs,
+    )
+    from full_data_infrastructure_spark.operators.text import (
+        quality_classifier_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_classifier_scores(docs).filter(F.col("keep") == 1).select(
+        "doc_id"
+    )
+    contaminated = (
+        _decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")
+    )
+    # Same persist rationale as corpus_pipeline_full: the cleaned corpus
+    # is the many-consumer intermediate a production build writes to the
+    # lake as its clean snapshot.
+    clean = tracked_persist(
+        docs.join(kept, "doc_id")
+        .where(hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "text")
+    )
+    pairs = minhash_dedup_pairs(clean)
+    labels = connected_components_twostar(pairs)
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = clean.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "text"
+    )
+    sampled = mixture_keep(spark, survivors)
+    return pack_assign(sampled, carry=("lang",))

@@ -608,3 +608,35 @@ def _bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(50)
     )
+
+
+def qc_keep_sql(source: str = "documents") -> str:
+    """Parenthesized subquery of the doc_ids the quality classifier KEEPS
+    (positive integer weight sum) — the reusable oracle fragment
+    corpus_pipeline_full chains in front of dedup. Mirrors the
+    quality_classifier oracle exactly, minus the score projection."""
+    return f"""(
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM {source}
+    ),
+    nonempty AS (SELECT * FROM toks WHERE len(toks) > 0),
+    grams AS (
+        SELECT doc_id, g FROM nonempty, UNNEST(toks) AS u(g)
+        UNION ALL
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        FROM nonempty, UNNEST(range(1, len(toks))) AS r(i)
+    ),
+    w AS (
+        SELECT printf('%02x', i) AS bucket,
+               (1103515245 * i + 12345) % {QC_SCALE} - {QC_SCALE // 2} AS w_int
+        FROM range({QC_BUCKETS}) t(i)
+    ),
+    scored AS (
+        SELECT doc_id, SUM(w.w_int) AS sw
+        FROM grams JOIN w ON substr(md5(grams.g), 1, 2) = w.bucket
+        GROUP BY doc_id
+    )
+    SELECT doc_id FROM scored WHERE sw > 0)"""

@@ -92,11 +92,12 @@ _LOADED = False
 # green row was still
 # CORRECTNESS_r01 (the r4-verdict item-1 list; cube_counts later ceded
 # its slot to the new layout family's first row, and count_distinct,
-# rollup_counts, cte_self_join, sample_hash and multimodal_frame_sample
-# ceded theirs to the late-round first rows heavy_hitters_tokens /
-# runtime_filtered_join / compact_small_files / bpe_pair_counts /
-# k_anonymity_violations — see the window entries
-# below), (c) the four beyond-brief round-5
+# rollup_counts, cte_self_join, sample_hash, multimodal_frame_sample,
+# repetition_signals and semi_join ceded theirs to the late-round first
+# rows heavy_hitters_tokens / runtime_filtered_join /
+# compact_small_files / bpe_pair_counts / k_anonymity_violations /
+# corpus_pipeline_full / corpus_pipeline_full_lsh — see the window
+# entries below), (c) the four beyond-brief round-5
 # streaming parity queries (tumbling, sliding, stateful dedup, stateful
 # EMA), and (d) the two in-round oracle-checked additions with no row
 # yet, dedup_semantic and quality_classifier (first rows outrank
@@ -119,7 +120,8 @@ _LOADED = False
 # exact numpy parity pytest-asserted), hard_negative_mining,
 # snapshot_diff, token_budget_sample, embedding_kmeans, cube_counts,
 # count_distinct, rollup_counts, cte_self_join, sample_hash,
-# multimodal_frame_sample (still r1-attested)
+# multimodal_frame_sample, repetition_signals, semi_join (still
+# r1-attested)
 # and dedup_ngram_jaccard head the r6 window for first/refreshed rows.
 # knn_ivf's builder changed in-round (map-only assignment) after its r4
 # row; it is rows-only, so the driver row carries only a row count —
@@ -166,8 +168,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Re-attestation payload: every query whose newest green row was
     # CORRECTNESS_r01.
     "stratified_sample",
-    "repetition_signals",
-    "semi_join",
+    # repetition_signals and semi_join ceded their refresh slots to the
+    # end-to-end production-pipeline first rows (corpus_pipeline_full +
+    # its benched LSH twin); text/curation and join families keep ample
+    # in-window reps.
+    "corpus_pipeline_full",
+    "corpus_pipeline_full_lsh",
     "anti_join",
     # cte_self_join ceded its refresh slot too (r1 row stands; the join
     # family keeps seven in-window reps incl. runtime_filtered_join).

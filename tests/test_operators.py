@@ -874,3 +874,29 @@ class TestEmbeddingPCA:
         coords = np.array([[r[f"pc{i}"] for i in range(len(evals))] for r in rows])
         got_var = coords.var(axis=0, ddof=0)
         assert np.allclose(got_var, evals, atol=1e-3)  # pc values rounded to 4dp
+
+
+def test_corpus_pipeline_full_lsh_agrees_with_exact(spark):
+    """corpus_pipeline_full_lsh vs corpus_pipeline_full at the driver's
+    sf0.01 — the same membership-agreement contract as the plain
+    pipeline pair: the quality/decontamination stages are IDENTICAL
+    (deterministic, shared code), so any divergence comes from the LSH
+    survivor superset shifting mixture granules."""
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {
+        r["doc_id"]
+        for r in REGISTRY["corpus_pipeline_full"].build(spark, sf_dir).collect()
+    }
+    lsh = {
+        r["doc_id"]
+        for r in REGISTRY["corpus_pipeline_full_lsh"].build(spark, sf_dir).collect()
+    }
+    missing = len(exact - lsh)
+    assert missing <= max(2, 0.02 * len(exact)), (
+        f"{missing} exact-pipeline docs missing from LSH pipeline"
+    )
+    jaccard = len(exact & lsh) / len(exact | lsh)
+    assert jaccard >= 0.95, f"packed-doc agreement {jaccard:.3f} < 0.95"

@@ -231,6 +231,8 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "dedup_survivors_lsh",
         "corpus_pipeline",
         "corpus_pipeline_lsh",
+        "corpus_pipeline_full",
+        "corpus_pipeline_full_lsh",
         # run a real availableNow streaming fold, then read its snapshot
         "streaming_rollup_snapshot",
         "streaming_upsert_snapshot",

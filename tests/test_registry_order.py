@@ -55,6 +55,7 @@ def test_window_queries_are_oracle_checked_where_possible():
         "dedup_simhash",
         "dedup_incremental_lsh",
         "corpus_pipeline_lsh",
+        "corpus_pipeline_full_lsh",
         "approx_count_distinct",  # HLL sketch values are engine-specific
         "knn_lsh",
         "knn_ivf",
