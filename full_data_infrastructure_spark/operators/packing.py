@@ -717,26 +717,24 @@ def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         exact_jaccard_pairs,
     )
-    from full_data_infrastructure_spark.operators.text import (
-        quality_classifier_scores,
-    )
+    from full_data_infrastructure_spark.operators.text import qc_keep_col
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = quality_classifier_scores(docs).filter(F.col("keep") == 1).select(
-        "doc_id"
-    )
     contaminated = (
         _decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")
     )
     # The cleaned corpus feeds every downstream stage (shingling, the
     # survivor anti-join, mixture counting, packing) — without a persist,
-    # each consumer re-runs the classifier+decontamination subtree. At
+    # each consumer re-runs the scan-local classifier filter and the
+    # decontamination anti-join subtree. At
     # production scale this intermediate is WRITTEN to the lake as the
     # clean snapshot (every real pipeline materializes it); here the
     # tracked in-memory persist is its test-scale stand-in.
     clean = tracked_persist(
-        docs.join(kept, "doc_id")
-        .where(hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
+        docs.where(
+            qc_keep_col(F.col("text"))
+            & (hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
+        )
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "text")
     )
@@ -777,14 +775,9 @@ def _corpus_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_twostar,
         minhash_dedup_pairs,
     )
-    from full_data_infrastructure_spark.operators.text import (
-        quality_classifier_scores,
-    )
+    from full_data_infrastructure_spark.operators.text import qc_keep_col
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = quality_classifier_scores(docs).filter(F.col("keep") == 1).select(
-        "doc_id"
-    )
     contaminated = (
         _decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")
     )
@@ -792,8 +785,10 @@ def _corpus_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the many-consumer intermediate a production build writes to the
     # lake as its clean snapshot.
     clean = tracked_persist(
-        docs.join(kept, "doc_id")
-        .where(hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
+        docs.where(
+            qc_keep_col(F.col("text"))
+            & (hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
+        )
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "text")
     )

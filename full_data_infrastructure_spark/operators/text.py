@@ -640,3 +640,37 @@ def qc_keep_sql(source: str = "documents") -> str:
         GROUP BY doc_id
     )
     SELECT doc_id FROM scored WHERE sw > 0)"""
+
+
+def qc_keep_col(text_col: Column | str) -> Column:
+    """Scan-local twin of the classifier's keep decision: the same
+    unigram+bigram features, md5 bucket, and integer weight sum as
+    :func:`quality_classifier_scores`, but with the weight DERIVED
+    arithmetically from the bucket inside a JVM ``aggregate`` fold — no
+    explode, no weight-table join, no shuffle. This is what lets
+    corpus_pipeline_full filter the corpus at the scan instead of
+    shuffling document text through a keep-id join: at 100 TB the filter
+    costs zero extra data movement. (With a trained model the 256-bucket
+    weight table inlines the same way as a CASE/map literal; only the
+    arithmetic shortcut is specific to the LCG stand-in.)
+
+    ``keep`` requires at least one token, matching the scores builder's
+    ``size(toks) > 0`` filter.
+    """
+    toks = tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(toks, bigrams)
+
+    def add_weight(acc: Column, g: Column) -> Column:
+        bucket = F.conv(F.substring(F.md5(g), 1, 2), 16, 10).cast("long")
+        w = (F.lit(1103515245) * bucket + F.lit(12345)) % F.lit(
+            QC_SCALE
+        ) - F.lit(QC_SCALE // 2)
+        return acc + w
+
+    total = F.aggregate(grams, F.lit(0).cast("long"), add_weight)
+    return (F.size(toks) > 0) & (total > 0)

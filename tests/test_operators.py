@@ -900,3 +900,27 @@ def test_corpus_pipeline_full_lsh_agrees_with_exact(spark):
     )
     jaccard = len(exact & lsh) / len(exact | lsh)
     assert jaccard >= 0.95, f"packed-doc agreement {jaccard:.3f} < 0.95"
+
+
+def test_qc_keep_col_matches_classifier_scores(spark, sf_dir):
+    """The scan-local keep predicate (JVM aggregate fold, no shuffle) must
+    select EXACTLY the doc_ids the oracle-checked classifier keeps — the
+    equivalence corpus_pipeline_full's zero-shuffle filter rests on."""
+    from full_data_infrastructure_spark.operators.text import (
+        qc_keep_col,
+        quality_classifier_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_scores = {
+        r.doc_id
+        for r in quality_classifier_scores(docs)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+        .collect()
+    }
+    via_col = {
+        r.doc_id
+        for r in docs.filter(qc_keep_col(F.col("text"))).select("doc_id").collect()
+    }
+    assert via_col == via_scores
