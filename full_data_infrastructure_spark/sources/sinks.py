@@ -135,6 +135,7 @@ def compact(
     fmt: str | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: tuple[str, ...] = (),
+    shuffle: bool = True,
 ) -> int:
     """Small-file compaction — the OSS-Delta stand-in for ``OPTIMIZE``
     (SURVEY.md §4: streaming sinks accrete one small file per micro-batch
@@ -145,6 +146,17 @@ def compact(
     path Spark is lazily reading from corrupts the read; Delta's
     transactional overwrite doesn't need the swap. Returns the new file
     count. Run periodically (the reference has no compaction at all).
+
+    ``shuffle=True`` (default) repartitions for maximally even output
+    files — one full pass of the data over the network.
+    ``shuffle=False`` coalesces instead: input splits are concatenated
+    locally with ZERO data movement (the plan has no Exchange — asserted
+    in tests), at the cost of output sizes tracking whatever the input
+    split distribution was. For pure small-file cleanup — the common
+    maintenance case, where inputs are uniformly tiny — coalesce is the
+    100 TB default Delta's OPTIMIZE bin-packing also uses; reach for the
+    shuffle only when the input is skewed enough that even files matter
+    more than a corpus-sized shuffle.
     """
     import math
     import os
@@ -161,9 +173,14 @@ def compact(
         )
     n_files = max(math.ceil(total / target_file_bytes), 1)
     df = spark.read.format(fmt).load(path)
-    compacted = (
-        df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
-    )
+    if shuffle:
+        compacted = (
+            df.repartition(n_files, *partition_by)
+            if partition_by
+            else df.repartition(n_files)
+        )
+    else:
+        compacted = df.coalesce(n_files)
     tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
     writer = compacted.write.format(fmt).mode("overwrite")
     if partition_by:

@@ -397,3 +397,35 @@ def _blocked_import(name, real_import):
         return real_import(mod, *args, **kwargs)
 
     return imp
+
+
+def test_compact_coalesce_mode_moves_no_data(spark, sf_dir, tmp_path):
+    """shuffle=False compaction must concatenate input splits locally:
+    same rows, fewer files, and NO Exchange anywhere in the rewrite plan
+    (the corpus never crosses the network)."""
+    import contextlib
+    import io
+    import os
+
+    from full_data_infrastructure_spark.sources.sinks import compact
+
+    path = str(tmp_path / "fragmented_nc")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(40).write.mode("overwrite").parquet(path)
+    before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert before >= 40
+
+    # plan proof on the equivalent coalesce rewrite
+    df = spark.read.parquet(path).coalesce(1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+    n_after = compact(
+        spark, path, fmt="parquet",
+        target_file_bytes=64 * 1024 * 1024, shuffle=False,
+    )
+    assert n_after < before
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
