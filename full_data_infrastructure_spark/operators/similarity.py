@@ -1185,6 +1185,8 @@ def gram_partials(emb: DataFrame, vec_col: str = "e") -> DataFrame:
 
         n, s, g = 0, None, None
         for pdf in batches:
+            if pdf.empty:  # Arrow may deliver empty batches
+                continue
             m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             n += m.shape[0]
             s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
