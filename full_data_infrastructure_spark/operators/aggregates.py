@@ -427,6 +427,11 @@ def heavy_hitter_candidates(
     """
     import pandas as pd
 
+    if key_col == "w":
+        raise ValueError(
+            'key column may not be named "w" (reserved for the counter '
+            "weight in the summary schema)"
+        )
     key_field = keys.schema[key_col]
 
     def summarize(batches):

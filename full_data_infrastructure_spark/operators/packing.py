@@ -424,6 +424,50 @@ def _corpus_pipeline_oracle() -> str:
     """
 
 
+def _survivors_mixture_pack(
+    spark: SparkSession, base: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Shared tail of all four corpus pipelines: drop the non-keeper of
+    every dedup cluster, mixture-sample the survivors, pack. The exact
+    and LSH chains differ ONLY in how ``labels`` was produced, so keeping
+    this tail in one place keeps them provably identical past dedup."""
+    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = base.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "text"
+    )
+    return pack_assign(mixture_keep(spark, survivors), carry=("lang",))
+
+
+def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared head of the two FULL pipelines: scan-local classifier keep,
+    eval-split withholding, decontamination anti-join. The cleaned corpus
+    feeds every downstream stage (shingling, the survivor anti-join,
+    mixture counting, packing) — without a persist, each consumer would
+    re-run this subtree. At production scale this intermediate is WRITTEN
+    to the lake as the clean snapshot (every real pipeline materializes
+    it); the tracked in-memory persist is its test-scale stand-in."""
+    from full_data_infrastructure_spark.operators.curation import (
+        EVAL_BUCKET_MAX,
+        _decontaminate,
+    )
+    from full_data_infrastructure_spark.operators.text import qc_keep_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    contaminated = (
+        _decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")
+    )
+    return tracked_persist(
+        docs.where(
+            qc_keep_col(F.col("text"))
+            & (hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
+        )
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "text")
+    )
+
+
 @register(
     "corpus_pipeline",
     _corpus_pipeline_oracle(),
@@ -446,16 +490,8 @@ def _corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
-    labels = connected_components(pairs)
-    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
-        F.col("id").alias("doc_id")
-    )
-    survivors = docs.join(losers, "doc_id", "left_anti").select(
-        "doc_id", "lang", "text"
-    )
-    sampled = mixture_keep(spark, survivors)
-    return pack_assign(sampled, carry=("lang",))
+    labels = connected_components(exact_jaccard_pairs(docs, JACCARD_THRESHOLD))
+    return _survivors_mixture_pack(spark, docs, labels)
 
 
 @register(
@@ -482,16 +518,8 @@ def _corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs)
-    labels = connected_components_twostar(pairs)
-    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
-        F.col("id").alias("doc_id")
-    )
-    survivors = docs.join(losers, "doc_id", "left_anti").select(
-        "doc_id", "lang", "text"
-    )
-    sampled = mixture_keep(spark, survivors)
-    return pack_assign(sampled, carry=("lang",))
+    labels = connected_components_twostar(minhash_dedup_pairs(docs))
+    return _survivors_mixture_pack(spark, docs, labels)
 
 
 
@@ -707,47 +735,15 @@ def _corpus_pipeline_full_oracle() -> str:
     tags=("llm", "dedup", "curation", "packing", "text"),
 )
 def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from full_data_infrastructure_spark.operators.curation import (
-        EVAL_BUCKET_MAX,
-        _decontaminate,
-        hash_bucket,
-    )
     from full_data_infrastructure_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         connected_components,
         exact_jaccard_pairs,
     )
-    from full_data_infrastructure_spark.operators.text import qc_keep_col
 
-    docs = load_table(spark, sf_dir, "documents")
-    contaminated = (
-        _decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")
-    )
-    # The cleaned corpus feeds every downstream stage (shingling, the
-    # survivor anti-join, mixture counting, packing) — without a persist,
-    # each consumer re-runs the scan-local classifier filter and the
-    # decontamination anti-join subtree. At
-    # production scale this intermediate is WRITTEN to the lake as the
-    # clean snapshot (every real pipeline materializes it); here the
-    # tracked in-memory persist is its test-scale stand-in.
-    clean = tracked_persist(
-        docs.where(
-            qc_keep_col(F.col("text"))
-            & (hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
-        )
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang", "text")
-    )
-    pairs = exact_jaccard_pairs(clean, JACCARD_THRESHOLD)
-    labels = connected_components(pairs)
-    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
-        F.col("id").alias("doc_id")
-    )
-    survivors = clean.join(losers, "doc_id", "left_anti").select(
-        "doc_id", "lang", "text"
-    )
-    sampled = mixture_keep(spark, survivors)
-    return pack_assign(sampled, carry=("lang",))
+    clean = _clean_corpus(spark, sf_dir)
+    labels = connected_components(exact_jaccard_pairs(clean, JACCARD_THRESHOLD))
+    return _survivors_mixture_pack(spark, clean, labels)
 
 
 @register(
@@ -766,39 +762,11 @@ def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,  # the full production pipeline is the headline workload
 )
 def _corpus_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from full_data_infrastructure_spark.operators.curation import (
-        EVAL_BUCKET_MAX,
-        _decontaminate,
-        hash_bucket,
-    )
     from full_data_infrastructure_spark.operators.dedup import (
         connected_components_twostar,
         minhash_dedup_pairs,
     )
-    from full_data_infrastructure_spark.operators.text import qc_keep_col
 
-    docs = load_table(spark, sf_dir, "documents")
-    contaminated = (
-        _decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")
-    )
-    # Same persist rationale as corpus_pipeline_full: the cleaned corpus
-    # is the many-consumer intermediate a production build writes to the
-    # lake as its clean snapshot.
-    clean = tracked_persist(
-        docs.where(
-            qc_keep_col(F.col("text"))
-            & (hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
-        )
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "lang", "text")
-    )
-    pairs = minhash_dedup_pairs(clean)
-    labels = connected_components_twostar(pairs)
-    losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
-        F.col("id").alias("doc_id")
-    )
-    survivors = clean.join(losers, "doc_id", "left_anti").select(
-        "doc_id", "lang", "text"
-    )
-    sampled = mixture_keep(spark, survivors)
-    return pack_assign(sampled, carry=("lang",))
+    clean = _clean_corpus(spark, sf_dir)
+    labels = connected_components_twostar(minhash_dedup_pairs(clean))
+    return _survivors_mixture_pack(spark, clean, labels)

@@ -1212,6 +1212,8 @@ def pca_components(emb: DataFrame, k: int = PCA_K, vec_col: str = "e"):
     import numpy as np
 
     parts = gram_partials(emb, vec_col).collect()
+    if not parts:
+        raise ValueError("PCA needs a non-empty embedding corpus")
     n = sum(r.n for r in parts)
     s = np.sum([np.asarray(r.s) for r in parts], axis=0)
     g = np.sum([np.asarray(r.g) for r in parts], axis=0)
@@ -1236,8 +1238,8 @@ def pca_components(emb: DataFrame, k: int = PCA_K, vec_col: str = "e"):
     "dedup and IVF train on. Two passes: a map-only sufficient-statistics "
     "sketch (per-partition count/sum/Gram, O(d²) rows out), a driver-side "
     "64 x 64 eigh, then the projection as k JVM fold expressions over "
-    "the broadcast (literal) mean-centered components — no shuffle "
-    "anywhere, so the 100 TB cost is exactly two corpus scans.",
+    "the broadcast (literal) mean-centered components — no shuffle and "
+    "no sort anywhere, so the 100 TB cost is exactly two corpus scans.",
     tags=("llm", "vector", "approx"),
 )
 def _embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,4 +1257,4 @@ def _embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"pc{i}")
         for i, comp in enumerate(comps)
     ]
-    return centered.select("vec_id", *proj_cols).orderBy("vec_id")
+    return centered.select("vec_id", *proj_cols)

@@ -156,7 +156,9 @@ def compact(
     maintenance case, where inputs are uniformly tiny — coalesce is the
     100 TB default Delta's OPTIMIZE bin-packing also uses; reach for the
     shuffle only when the input is skewed enough that even files matter
-    more than a corpus-sized shuffle.
+    more than a corpus-sized shuffle. ``shuffle=False`` is only valid
+    for unpartitioned tables (coalesce cannot cluster ``partition_by``
+    values into their directories — asserted).
     """
     import math
     import os
@@ -180,6 +182,15 @@ def compact(
             else df.repartition(n_files)
         )
     else:
+        if partition_by:
+            # coalesce concatenates splits WITHOUT clustering, so a
+            # partitionBy writer would fan every task across every
+            # partition value — per-directory fragmentation survives,
+            # defeating the compaction. Refuse rather than degrade.
+            raise ValueError(
+                "shuffle=False cannot cluster partition_by columns; "
+                "use shuffle=True for partitioned tables"
+            )
         compacted = df.coalesce(n_files)
     tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
     writer = compacted.write.format(fmt).mode("overwrite")
