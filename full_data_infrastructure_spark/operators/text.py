@@ -674,3 +674,87 @@ def qc_keep_col(text_col: Column | str) -> Column:
 
     total = F.aggregate(grams, F.lit(0).cast("long"), add_weight)
     return (F.size(toks) > 0) & (total > 0)
+
+
+BPE_MERGES = 8  # merges learned by the bpe_learn surface
+BPE_TOP_WORDS = 4096  # driver-side vocabulary cap for the merge loop
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = BPE_MERGES, top_words: int = BPE_TOP_WORDS
+):
+    """Learn ``n_merges`` BPE merge rules from the corpus (Sennrich et al.):
+    Spark does the CORPUS-sized work — one token-keyed count aggregate and
+    a deterministic top-``top_words`` truncation (count desc, token asc) —
+    and the driver runs the merge loop over the resulting word-frequency
+    list, which is vocabulary-sized regardless of corpus size. This is the
+    architecture production BPE trainers use (train on word counts, not
+    raw text); the top-words cap is the standard rare-word prune that
+    bounds driver memory at any scale.
+
+    Ties break deterministically: highest pair count, then lexicographic
+    (left, right) — so the learned merges are identical across runs,
+    partitionings, and engines. Returns a list of
+    (rank, left, right, pair_count) tuples.
+    """
+    words = [
+        (r.tok, r.n)
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(top_words)
+        .collect()
+    ]
+    symbolized = [(tuple(tok), n) for tok, n in words]
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for syms, n in symbolized:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        out = []
+        for syms, n in symbolized:
+            new_syms, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    new_syms.append(merged)
+                    i += 2
+                else:
+                    new_syms.append(syms[i])
+                    i += 1
+            out.append((tuple(new_syms), n))
+        symbolized = out
+    return merges
+
+
+@register(
+    "bpe_learn",
+    None,  # the merge loop is iterative (not SQL-expressible); rank-0
+    # equality with the oracle-checked bpe_pair_counts argmax, greedy
+    # monotonicity, and partitioning-invariance are pytest-asserted
+    doc="BPE tokenizer TRAINING: the greedy merge loop over corpus word "
+    "frequencies, 8 ranked merge rules out. Spark reduces the corpus to "
+    "its word-count list (the same single token-keyed aggregate "
+    "vocab_topk pays) truncated to a deterministic top-4096; the "
+    "vocabulary-sized merge loop runs on the driver, as production BPE "
+    "trainers do. Rank-0 must equal the argmax of the oracle-checked "
+    "bpe_pair_counts (asserted), each merge's count is non-increasing "
+    "in rank over a fixed-point corpus (greedy invariant), and the "
+    "rules are bit-identical under any input partitioning.",
+    tags=("extension", "llm", "text"),
+)
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

@@ -924,3 +924,34 @@ def test_qc_keep_col_matches_classifier_scores(spark, sf_dir):
         for r in docs.filter(qc_keep_col(F.col("text"))).select("doc_id").collect()
     }
     assert via_col == via_scores
+
+
+class TestBpeLearn:
+    def test_rank0_equals_pair_counts_argmax(self, spark, sf_dir):
+        """The first learned merge must be exactly the argmax of the
+        oracle-checked bpe_pair_counts (same tiebreak; the top-4096 word
+        truncation is a no-op on the synthetic corpus, so the two
+        surfaces see identical pair counts)."""
+        from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+        _ensure_loaded()
+        top = REGISTRY["bpe_pair_counts"].build(spark, sf_dir).first()
+        merges = REGISTRY["bpe_learn"].build(spark, sf_dir).orderBy("rank").collect()
+        assert merges[0]["left"] + merges[0]["right"] == top["pair"]
+        assert merges[0]["pair_count"] == top["cnt"]
+
+    def test_greedy_counts_non_increasing_and_deterministic(self, spark, sf_dir):
+        """Greedy invariant: each merge is the global pair-count argmax of
+        its round, and merging can only create pairs bounded by the
+        merged pair's own count — so counts are non-increasing in rank.
+        And the rules must be bit-identical under any partitioning."""
+        from full_data_infrastructure_spark.operators.text import bpe_learn_merges
+        from full_data_infrastructure_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = bpe_learn_merges(docs)
+        assert len(merges) >= 4
+        counts = [m[3] for m in merges]
+        assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+        again = bpe_learn_merges(docs.repartition(7))
+        assert again == merges

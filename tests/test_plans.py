@@ -247,6 +247,9 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         # two-phase by design: collects the O(partitions x d^2)
         # sufficient-statistics sketch for the driver-side eigh
         "embedding_pca_project",
+        # reduces the corpus to a vocab-sized word-count list, then runs
+        # the driver-side merge loop (how production BPE trainers work)
+        "bpe_learn",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
