@@ -758,3 +758,74 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_apply_counts(docs: DataFrame, merges) -> DataFrame:
+    """Per-document token count under a learned BPE vocabulary: whitespace
+    pre-tokenize, then apply ``merges`` (rank-ordered (left, right) rules)
+    to each word with the canonical leftmost-lowest-rank merge loop.
+
+    The merge loop is genuinely data-dependent control flow (string-level
+    ``replace`` mis-merges across symbol boundaries — 'xe r' contains
+    'e r'), so this runs in the Arrow-batched Pandas seam the engine
+    reserves for semantics built-ins can't express; the rule list rides
+    the closure (a broadcast literal, vocabulary-sized). Per-word results
+    are memoized per batch — corpora repeat words, so the loop runs once
+    per DISTINCT word per batch, not once per token. Map-only: no
+    shuffle, output is one integer per document.
+    """
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str, memo: dict) -> int:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            syms[best : best + 2] = [syms[best] + syms[best + 1]]
+        memo[word] = len(syms)
+        return len(syms)
+
+    def count_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            memo: dict = {}
+            counts = [
+                sum(encode_word(w, memo) for w in text.lower().split())
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_bpe_tokens": counts})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        count_batches, "doc_id long, n_bpe_tokens long"
+    )
+
+
+@register(
+    "bpe_tokenize_counts",
+    None,  # merges are learned at run time (data-dependent), so no static
+    # SQL oracle; parity with an independent fixpoint reference encoder is
+    # pytest-asserted in tests/test_operators.py::TestBpeLearn
+    doc="Tokenizer APPLICATION closing the train->apply loop: per-document "
+    "token counts under the 8 merges bpe_learn produced — the count a "
+    "packing/budgeting stage should use once a real tokenizer exists, "
+    "replacing the whitespace proxy. Train is two corpus-sized "
+    "aggregates; apply is one map-only Arrow-batched pass with the "
+    "rank-ordered rules broadcast in the closure and per-batch "
+    "word-level memoization.",
+    tags=("extension", "llm", "text"),
+)
+def _bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(left, right) for _rank, left, right, _cnt in bpe_learn_merges(docs)]
+    return bpe_apply_counts(docs, merges)

@@ -116,9 +116,9 @@ _LOADED = False
 # vector_norms, embedding_quantize_int8, window_lag_delta,
 # window_running_total, window_dedup_latest, scalar_subquery_filter,
 # window_rank_topn; knn_pq, knn_ivfpq (rows-only, recall
-# pytest-asserted at all three SFs), embedding_pca_project and
-# bpe_learn (rows-only, numpy-parity / greedy-invariant
-# pytest-asserted), hard_negative_mining,
+# pytest-asserted at all three SFs), embedding_pca_project, bpe_learn
+# and bpe_tokenize_counts (rows-only; numpy-parity / greedy-invariant /
+# reference-encoder-parity pytest-asserted), hard_negative_mining,
 # snapshot_diff, token_budget_sample, embedding_kmeans, cube_counts,
 # count_distinct, rollup_counts, cte_self_join, sample_hash,
 # multimodal_frame_sample, repetition_signals, semi_join (still

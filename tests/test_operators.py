@@ -955,3 +955,40 @@ class TestBpeLearn:
         assert all(a >= b for a, b in zip(counts, counts[1:])), counts
         again = bpe_learn_merges(docs.repartition(7))
         assert again == merges
+
+
+def test_bpe_apply_matches_fixpoint_reference(spark, sf_dir):
+    """bpe_tokenize_counts vs an INDEPENDENT reference encoder: the
+    reference applies each merge rule in rank order to a space-joined
+    symbol string via repeated boundary-safe replacement until fixpoint
+    (a different formulation than the operator's leftmost-lowest-rank
+    pairwise loop) — agreement across 100 docs pins the semantics, and
+    counts must be <= the whitespace+char count and >= the word count."""
+    from full_data_infrastructure_spark.operators.text import (
+        bpe_learn_merges,
+    )
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    _ensure_loaded()
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(l, r) for _k, l, r, _c in bpe_learn_merges(docs)]
+
+    def ref_encode(word: str) -> int:
+        s = " " + " ".join(word) + " "
+        for l, r in merges:  # rank order
+            pat, rep = f" {l} {r} ", f" {l}{r} "
+            while pat in s:
+                s = s.replace(pat, rep)
+        return len(s.split())
+
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in REGISTRY["bpe_tokenize_counts"].build(spark, sf_dir).collect()
+    }
+    sample = docs.select("doc_id", "text").limit(100).collect()
+    for row in sample:
+        words = row.text.lower().split()
+        want = sum(ref_encode(w) for w in words)
+        assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
+        assert len(words) <= got[row.doc_id] <= sum(len(w) for w in words)

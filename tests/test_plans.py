@@ -250,6 +250,8 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         # reduces the corpus to a vocab-sized word-count list, then runs
         # the driver-side merge loop (how production BPE trainers work)
         "bpe_learn",
+        # learns the merges first (same driver-side loop), then applies
+        "bpe_tokenize_counts",
     }
     sc = spark.sparkContext
     tracker = sc.statusTracker()
