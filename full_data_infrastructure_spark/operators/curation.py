@@ -406,8 +406,16 @@ def _proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from full_data_infrastructure_spark.operators.dedup import normalized_text
 
+    from full_data_infrastructure_spark.cache import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5(normalized_text()).alias("f"))
+    # Both diff sides consume fp with different filters, so ReusedExchange
+    # cannot deduplicate the subtrees — persist once or the corpus scan +
+    # normalize + md5 runs twice in one plan (same rationale as the
+    # shingle table in exact_jaccard_pairs).
+    fp = tracked_persist(
+        docs.select("doc_id", F.md5(normalized_text()).alias("f"))
+    )
     old = fp.filter(F.col("doc_id") % 5 != 0).select(
         "doc_id",
         F.when(F.col("doc_id") % 11 == 0, F.md5("f")).otherwise(F.col("f")).alias("f"),

@@ -1185,9 +1185,12 @@ def gram_partials(emb: DataFrame, vec_col: str = "e") -> DataFrame:
 
         n, s, g = 0, None, None
         for pdf in batches:
-            if pdf.empty:  # Arrow may deliver empty batches
+            # Arrow may deliver empty batches, and a NULL embedding would
+            # make vstack raise — drop nulls (they carry no statistics).
+            col = pdf[vec_col].dropna()
+            if col.empty:
                 continue
-            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = np.vstack(col.to_numpy()).astype(np.float64)
             n += m.shape[0]
             s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
             gg = m.T @ m

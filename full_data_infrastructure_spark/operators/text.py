@@ -800,8 +800,12 @@ def bpe_apply_counts(docs: DataFrame, merges) -> DataFrame:
             if pdf.empty:
                 continue
             memo: dict = {}
+            # NULL text null-propagates (the tokens() convention every
+            # sibling text operator inherits) instead of crashing the task.
             counts = [
-                sum(encode_word(w, memo) for w in text.lower().split())
+                None
+                if text is None
+                else sum(encode_word(w, memo) for w in text.lower().split())
                 for text in pdf["text"]
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_bpe_tokens": counts})

@@ -992,3 +992,30 @@ def test_bpe_apply_matches_fixpoint_reference(spark, sf_dir):
         want = sum(ref_encode(w) for w in words)
         assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
         assert len(words) <= got[row.doc_id] <= sum(len(w) for w in words)
+
+
+def test_bpe_apply_and_pca_null_tolerance(spark):
+    """NULL text must null-propagate through the BPE apply (not crash the
+    Python worker), and NULL embeddings must be dropped by the PCA
+    sketch (they carry no statistics)."""
+    import numpy as np
+
+    from full_data_infrastructure_spark.operators.similarity import (
+        gram_partials,
+    )
+    from full_data_infrastructure_spark.operators.text import bpe_apply_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, None), (3, "aa")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.n_bpe_tokens for r in bpe_apply_counts(docs, []).collect()}
+    assert rows[2] is None and rows[1] == 4 and rows[3] == 2
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, e array<double>",
+    )
+    parts = gram_partials(emb, "e").collect()
+    assert sum(r.n for r in parts) == 2  # nulls dropped, not counted
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    assert list(s) == [4.0, 6.0]
