@@ -1308,34 +1308,15 @@ def semantic_dedup_flags(
     Returns (vec_id, cell_id, cos_centroid, kept) for every corpus row.
     """
     from full_data_infrastructure_spark.operators.similarity import (
-        packed_centroids,
+        nearest_cell,
     )
 
-    # MAP-ONLY assignment: centroids packed into one broadcast row, every
-    # vector scores all cells in-row and takes the lexicographic min of
-    # (neg rounded cos, cell_id) — same ordering as a (cos desc, cell_id)
-    # window rank, with ZERO assignment shuffle (the window form
-    # exchanged |cells| rows per vector).
+    # MAP-ONLY assignment: similarity.nearest_cell — the one definition
+    # of the packed-broadcast rounded-cosine kernel (zero assignment
+    # shuffle; the window form exchanged |cells| rows per vector).
     cents = semantic_centroids(emb, n_cells)
-    joined = emb.join(F.broadcast(packed_centroids(cents)), F.lit(True))
-    per_cell = F.transform(
-        "_cells",
-        lambda c: F.struct(
-            (
-                -F.round(
-                    dot(F.col("e"), c["c_e"]) / (F.col("nrm") * c["c_nrm"]), 4
-                )
-            ).alias("neg_cos"),
-            c["cell_id"].alias("cell_id"),
-        ),
-    )
-    best = F.array_min(per_cell)
-    assigned = joined.select(
-        "vec_id",
-        "e",
-        "nrm",
-        best["cell_id"].alias("cell_id"),
-        (-best["neg_cos"]).alias("cos_c"),
+    assigned = nearest_cell(
+        emb, cents, carry=("e", "nrm"), cell_alias="cell_id", cos_alias="cos_c"
     )
     w_keep = Window.partitionBy("cell_id").orderBy(F.col("cos_c").asc(), "vec_id")
     ranked = assigned.withColumn("kr", F.row_number().over(w_keep))

@@ -747,6 +747,64 @@ def pq_codebook(subs: DataFrame, refine_rounds: int = 1) -> DataFrame:
     return cb
 
 
+def _pq_artifacts(emb: DataFrame):
+    """Shared PQ construction of knn_pq and knn_ivfpq: L2-normalize ->
+    subvectors (persisted once — codebook training, encoding and the
+    query LUT all read it) -> codebook -> corpus code table -> broadcast
+    query ADC lookup table. One definition so the compression path the
+    two indexes score with cannot drift."""
+    en = emb.select(
+        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en")
+    )
+    subs = tracked_persist(_subvectors(en))
+    cb = pq_codebook(subs)
+    codes = pq_encode(subs, cb)
+    q_subs = subs.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    lut = q_subs.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code", dot(F.col("sub"), F.col("c_sub")).alias("p")
+    )
+    return codes, lut
+
+
+def _exact_rerank(
+    emb: DataFrame, shortlist: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact-cosine rerank of an ANN shortlist to top-``k`` — the shared
+    final stage of knn_pq and knn_ivfpq (same rounded score and
+    deterministic tiebreak as knn_bruteforce, so recall is measured
+    against identical ranking semantics)."""
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("e_q"),
+        F.col("nrm").alias("n_q"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("e_c"),
+        F.col("nrm").alias("n_c"),
+    )
+    scored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c")),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def pq_adc_candidates(
     emb: DataFrame, rerank: int = PQ_RERANK
 ) -> DataFrame:
@@ -761,24 +819,7 @@ def pq_adc_candidates(
     float32 vector, a 42x memory cut); the scan never touches corpus
     vectors after encoding, which is the point of PQ: the ADC pass reads
     the compressed corpus only."""
-    en = emb.select(
-        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en")
-    )
-    subs = tracked_persist(_subvectors(en))
-    cb = pq_codebook(subs)
-    codes = pq_encode(subs, cb)
-    q_subs = subs.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-    lut = (
-        q_subs.join(F.broadcast(cb), "s")
-        .select(
-            "query_id",
-            "s",
-            "code",
-            dot(F.col("sub"), F.col("c_sub")).alias("p"),
-        )
-    )
+    codes, lut = _pq_artifacts(emb)
     adc = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -814,35 +855,7 @@ def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).filter(
         F.col("nrm") > 0
     )
-    cand = pq_adc_candidates(emb)
-    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("e_q"),
-        F.col("nrm").alias("n_q"),
-    )
-    cv = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("e_c"),
-        F.col("nrm").alias("n_c"),
-    )
-    scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c")),
-                4,
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos", "rnk")
-    )
+    return _exact_rerank(emb, pq_adc_candidates(emb))
 
 
 def ivfpq_shortlist(emb: DataFrame, rerank: int = PQ_RERANK) -> DataFrame:
@@ -852,18 +865,7 @@ def ivfpq_shortlist(emb: DataFrame, rerank: int = PQ_RERANK) -> DataFrame:
     IVFADC index layout (Jégou et al. §V). Public so tests can bound
     the shortlist."""
     cand = ivf_candidates(emb)
-    en = emb.select(
-        "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en")
-    )
-    subs = tracked_persist(_subvectors(en))
-    cb = pq_codebook(subs)
-    codes = pq_encode(subs, cb)
-    q_subs = subs.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-    lut = q_subs.join(F.broadcast(cb), "s").select(
-        "query_id", "s", "code", dot(F.col("sub"), F.col("c_sub")).alias("p")
-    )
+    codes, lut = _pq_artifacts(emb)
     adc = (
         cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "s", "code"])
@@ -897,35 +899,7 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).filter(
         F.col("nrm") > 0
     )
-    short = ivfpq_shortlist(emb)
-    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("e_q"),
-        F.col("nrm").alias("n_q"),
-    )
-    cv = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("e_c"),
-        F.col("nrm").alias("n_c"),
-    )
-    scored = (
-        short.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c")),
-                4,
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos", "rnk")
-    )
+    return _exact_rerank(emb, ivfpq_shortlist(emb))
 
 
 @register(
@@ -1007,13 +981,22 @@ KMEANS_ITERS = 2  # mean-refinement rounds; the emitted assignment is the
 # (KMEANS_ITERS+1)-th, against the last refined centroids
 
 
-def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cluster_id, cos): nearest centroid by ROUNDED cosine
-    (4 dp, cluster-id tiebreak) — the same map-only packed-broadcast
-    shape as ivf_assignments, but on the rounded score so every
-    assignment decision is bit-stable across engines and the whole
-    k-means chain stays oracle-checkable."""
-    scored = emb.join(F.broadcast(packed_centroids(cents)), F.lit(True))
+def nearest_cell(
+    df: DataFrame,
+    cents: DataFrame,
+    carry: tuple[str, ...] = (),
+    cell_alias: str = "cell_id",
+    cos_alias: str = "cos",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment on ROUNDED cosine (4 dp,
+    cell-id tiebreak): centroids packed into one broadcast row, every
+    vector scores all cells in-row and takes the lexicographic min of
+    (neg rounded cos, cell_id) — same ordering as a (cos desc, cell_id)
+    window rank with ZERO assignment shuffle. The single definition of
+    the bit-stability-critical kernel k-means (kmeans_assign) and
+    SemDeDup (dedup.semantic_dedup_flags) both rank with — the rounding/
+    tiebreak contract cannot drift between them."""
+    joined = df.join(F.broadcast(packed_centroids(cents)), F.lit(True))
     per_cell = F.transform(
         "_cells",
         lambda c: F.struct(
@@ -1022,15 +1005,24 @@ def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
                     dot(F.col("e"), c["c_e"]) / (F.col("nrm") * c["c_nrm"]), 4
                 )
             ).alias("neg_cos"),
-            c["cell_id"].alias("cluster_id"),
+            c["cell_id"].alias("cell_id"),
         ),
     )
     best = F.array_min(per_cell)
-    return scored.select(
+    return joined.select(
         "vec_id",
-        best["cluster_id"].alias("cluster_id"),
-        (-best["neg_cos"]).alias("cos"),
+        *carry,
+        best["cell_id"].alias(cell_alias),
+        (-best["neg_cos"]).alias(cos_alias),
     )
+
+
+def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, cos): nearest centroid by rounded cosine —
+    :func:`nearest_cell` under k-means column names, so every assignment
+    decision is bit-stable across engines and the whole k-means chain
+    stays oracle-checkable."""
+    return nearest_cell(emb, cents, cell_alias="cluster_id", cos_alias="cos")
 
 
 def kmeans_refine(emb: DataFrame, assigned: DataFrame) -> DataFrame:
@@ -1139,23 +1131,14 @@ def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).filter(
         F.col("nrm") > 0
     )
-    corpus_n = emb.agg(
-        F.greatest(
-            F.floor(F.count(F.lit(1)) / KMEANS_K), F.lit(1).cast("bigint")
-        ).alias("stride")
+    # The stride-seed block is the SAME deterministic sampler SemDeDup's
+    # coarse quantizer uses — one definition (dedup.semantic_centroids),
+    # parameterized by cell count, rather than a drift-prone copy.
+    from full_data_infrastructure_spark.operators.dedup import (
+        semantic_centroids,
     )
-    cents = (
-        emb.crossJoin(F.broadcast(corpus_n))
-        .filter(
-            (F.col("vec_id") % F.col("stride") == 0)
-            & (F.col("vec_id") / F.col("stride") < KMEANS_K)
-        )
-        .select(
-            (F.col("vec_id") / F.col("stride")).cast("int").alias("cell_id"),
-            F.col("e").alias("c_e"),
-            F.col("nrm").alias("c_nrm"),
-        )
-    )
+
+    cents = semantic_centroids(emb, n_cells=KMEANS_K)
     for _ in range(KMEANS_ITERS):
         cents = kmeans_refine(emb, kmeans_assign(emb, cents))
     return kmeans_assign(emb, cents)

@@ -711,6 +711,9 @@ def test_kmeans_refinement_improves_objective(spark, sf_dir):
     the refinement rounds is at least the seed assignment's (equality
     only possible if the seeds were already stationary)."""
     from full_data_infrastructure_spark.functions.vector import l2_norm
+    from full_data_infrastructure_spark.operators.dedup import (
+        semantic_centroids,
+    )
     from full_data_infrastructure_spark.operators.similarity import (
         KMEANS_K,
         kmeans_assign,
@@ -725,23 +728,7 @@ def test_kmeans_refinement_improves_objective(spark, sf_dir):
     emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).filter(
         F.col("nrm") > 0
     )
-    corpus_n = emb.agg(
-        F.greatest(
-            F.floor(F.count(F.lit(1)) / KMEANS_K), F.lit(1).cast("bigint")
-        ).alias("stride")
-    )
-    seeds = (
-        emb.crossJoin(F.broadcast(corpus_n))
-        .filter(
-            (F.col("vec_id") % F.col("stride") == 0)
-            & (F.col("vec_id") / F.col("stride") < KMEANS_K)
-        )
-        .select(
-            (F.col("vec_id") / F.col("stride")).cast("int").alias("cell_id"),
-            F.col("e").alias("c_e"),
-            F.col("nrm").alias("c_nrm"),
-        )
-    )
+    seeds = semantic_centroids(emb, n_cells=KMEANS_K)
     seed_obj = (
         kmeans_assign(emb, seeds).agg(F.avg("cos").alias("o")).first()["o"]
     )
