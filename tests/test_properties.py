@@ -269,3 +269,60 @@ def test_heavy_hitters_exact_for_any_stream(spark, stream, k, n_parts):
         key=lambda t: (-t[1], t[0]),
     )
     assert got == want, (stream, k, n_parts, got, want)
+
+
+@given(
+    n_vecs=st.integers(min_value=1, max_value=10),
+    n_cells=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SETTINGS
+def test_nearest_cell_equals_window_rank(spark, n_vecs, n_cells, seed):
+    """The packed-broadcast argmin kernel (similarity.nearest_cell) must
+    pick exactly the centroid a (cos desc, cell_id asc) window rank
+    would — the zero-shuffle form it replaced. LCG-generated vectors
+    (no RNG in test bodies) cover ties via the 4 dp rounding."""
+    from pyspark.sql import Window as W
+
+    from full_data_infrastructure_spark.functions.vector import dot, l2_norm
+    from full_data_infrastructure_spark.operators.similarity import nearest_cell
+
+    def lcg_vals(k, dim=4):
+        x = seed or 1
+        out = []
+        for _ in range(k):
+            row = []
+            for _ in range(dim):
+                x = (1103515245 * x + 12345) % (2**31)
+                row.append(x / 2**31 - 0.5)
+            out.append(row)
+        return out
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lcg_vals(n_vecs))],
+        "vec_id long, e array<double>",
+    ).select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lcg_vals(n_cells))],
+        "cell_id int, c_e array<double>",
+    ).select("cell_id", "c_e", l2_norm(F.col("c_e")).alias("c_nrm"))
+
+    got = {
+        r.vec_id: (r.cell_id, r.cos)
+        for r in nearest_cell(emb, cents).collect()
+    }
+    scored = emb.crossJoin(cents).select(
+        "vec_id",
+        "cell_id",
+        F.round(
+            dot(F.col("e"), F.col("c_e")) / (F.col("nrm") * F.col("c_nrm")), 4
+        ).alias("cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cell_id")
+    want = {
+        r.vec_id: (r.cell_id, r.cos)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    assert got == want
