@@ -204,3 +204,84 @@ def _streaming_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "gapfill_locf",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    obs AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   AS hour_avg
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT k.event_type,
+           g.bucket,
+           o.hour_avg IS NOT NULL AS observed,
+           last_value(o.hour_avg IGNORE NULLS) OVER (
+               PARTITION BY k.event_type ORDER BY g.bucket
+           ) AS value_locf
+    FROM keys k
+    CROSS JOIN grid g
+    LEFT JOIN obs o ON o.event_type = k.event_type AND o.bucket = g.bucket
+    """,
+    doc="Time-bucket gap filling with last-observation-carried-forward "
+    "(TimescaleDB's time_bucket_gapfill + locf, the read-side companion "
+    "of the continuous aggregate the reference's dashboards would need "
+    "for sparse series — Superset charts over `final`, README.md:141-172, "
+    "show holes wherever an hour has no events). A dense (event_type x "
+    "hour) grid spanning the table's range is derived from sequence(), "
+    "left-joined to the hourly partials, and the per-key running "
+    "last(ignorenulls) carries the previous hour's avg across gaps; "
+    "hours before a key's first observation stay NULL on both engines. "
+    "The hour_avg is derived exactly as with_avg: exact DECIMAL sum over "
+    "exact count, one cast to double — identical IEEE operands on both "
+    "engines, so the carried value hash-matches too.",
+    tags=("rollup", "events"),
+)
+def _gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    # Raw-data pass #1 (map-side combined): hourly algebraic partials,
+    # reusing the continuous-aggregate layer — at 100 TB the gapfill reads
+    # the stored partials, never raw events; recomputing here keeps the
+    # query self-contained against the parquet tables.
+    obs = rollup_partials(events, unit="hour").select(
+        "bucket",
+        "event_type",
+        (F.col("sum_value").cast("double") / F.col("n_events")).alias("hour_avg"),
+    )
+    # The dense grid is tiny by construction: (time range / bucket width)
+    # x key cardinality, independent of row count — 100 TB of events over
+    # a decade is still < 10^6 grid rows for a low-cardinality key.
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    keys = events.select("event_type").distinct()
+    dense = keys.crossJoin(grid)
+    # Same default frame both engines: RANGE UNBOUNDED PRECEDING..CURRENT
+    # ROW; bucket is unique per key, so it equals the ROWS frame.
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return dense.join(obs, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.col("hour_avg").isNotNull().alias("observed"),
+        F.last("hour_avg", ignorenulls=True).over(w).alias("value_locf"),
+    )

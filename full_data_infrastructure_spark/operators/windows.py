@@ -883,3 +883,76 @@ def ema_fold(events: DataFrame) -> DataFrame:
         rest, seed, lambda acc, s: acc * 0.5 + s.getField("value") * 0.5
     )
     return grouped.select("user_id", "n_events", ema.alias("ema_value"))
+
+
+@register(
+    "scd2_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state
+        FROM events
+    ),
+    versions AS (
+        SELECT user_id, event_type AS state, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_state IS NULL OR prev_state <> event_type
+    )
+    SELECT user_id,
+           state,
+           valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL
+               AS is_current,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) AS BIGINT)
+               AS version
+    FROM versions
+    """,
+    doc="Slowly-changing-dimension Type 2 history built from a change "
+    "stream: per user, consecutive duplicate states are compressed away "
+    "(lag != state keeps only real transitions), then each surviving "
+    "transition becomes a version row with [valid_from, valid_to) "
+    "validity, an is_current flag on the open interval, and a per-key "
+    "version number. This is the dimension-history layer the reference's "
+    "CDC pipeline feeds in a warehouse (Debezium changelog -> Delta, "
+    "spark/SaveDelta.scala:157-163): the upsert sink keeps the LATEST "
+    "row per key, SCD2 keeps ALL of them with validity intervals. One "
+    "shuffle on user_id; the compress window and the version/lead window "
+    "share the same partitioning AND sort order (valid_from IS ts on the "
+    "surviving rows), so the second window adds no exchange and no "
+    "re-sort. Spark's row_number is int32 while DuckDB's is int64 — both "
+    "sides cast to BIGINT.",
+    tags=("extension", "window", "events"),
+)
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(order_w).alias("prev_state"),
+    )
+    versions = flagged.filter(
+        F.col("prev_state").isNull()
+        | (F.col("prev_state") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    v_w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return versions.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(v_w).alias("valid_to"),
+        F.lead("valid_from").over(v_w).isNull().alias("is_current"),
+        F.row_number().over(v_w).cast("bigint").alias("version"),
+    )

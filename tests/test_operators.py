@@ -1006,3 +1006,60 @@ def test_bpe_apply_and_pca_null_tolerance(spark):
     assert sum(r.n for r in parts) == 2  # nulls dropped, not counted
     s = np.sum([np.asarray(r.s) for r in parts], axis=0)
     assert list(s) == [4.0, 6.0]
+
+
+def test_scd2_history_invariants(spark, sf_dir):
+    """SCD2 semantics beyond the oracle hash: per user the version rows
+    must tile the history — contiguous version numbers, each valid_to
+    equal to the NEXT valid_from (half-open intervals, no gap/overlap),
+    exactly one open (is_current) interval, and no two consecutive
+    versions with the same state (no-op changes compressed away)."""
+    from collections import defaultdict
+
+    from full_data_infrastructure_spark import queries as registry
+
+    registry._ensure_loaded()
+    rows = registry.REGISTRY["scd2_history"].build(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user, "no users"
+    for user, versions in by_user.items():
+        versions.sort(key=lambda r: r.version)
+        assert [r.version for r in versions] == list(range(1, len(versions) + 1))
+        assert sum(r.is_current for r in versions) == 1
+        assert versions[-1].is_current and versions[-1].valid_to is None
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev.valid_to == nxt.valid_from, f"gap/overlap for {user}"
+            assert prev.state != nxt.state, f"uncompressed no-op for {user}"
+
+
+def test_gapfill_locf_dense_grid_and_carry(spark, sf_dir):
+    """Gapfill semantics beyond the oracle hash: the output is the full
+    dense (event_type x hour) grid; within each key, value_locf is NULL
+    only before the first observation and, on every unobserved hour
+    after it, equals the most recent observed hour's value."""
+    from collections import defaultdict
+
+    from full_data_infrastructure_spark import queries as registry
+
+    registry._ensure_loaded()
+    rows = registry.REGISTRY["gapfill_locf"].build(spark, sf_dir).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.event_type].append(r)
+    hours = {len(v) for v in by_key.values()}
+    assert len(hours) == 1, "keys cover different grid sizes"
+    n_hours = hours.pop()
+    assert len(rows) == n_hours * len(by_key)
+    for key, series in by_key.items():
+        series.sort(key=lambda r: r.bucket)
+        # buckets are unique and hourly-contiguous
+        assert len({r.bucket for r in series}) == n_hours
+        carried = None
+        for r in series:
+            if r.observed:
+                assert r.value_locf is not None
+                carried = r.value_locf
+            else:
+                assert r.value_locf == carried, f"bad carry for {key} @ {r.bucket}"
