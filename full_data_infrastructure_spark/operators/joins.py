@@ -342,3 +342,102 @@ def _runtime_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def count_triangles(edges: DataFrame) -> DataFrame:
+    """One (n_edges, n_triangles) row for a canonical u < v edge set.
+
+    Degree-ordered orientation (Suri & Vassilvitskii): every edge points
+    from its lower-(degree, id) endpoint to the higher, so each triangle
+    forms exactly one wedge — at its orientation-minimal vertex — and
+    per-vertex wedge fan-out is bounded by out-degree, which orientation
+    caps at O(sqrt(edges)) regardless of hub degree.
+    """
+    from full_data_infrastructure_spark.cache import tracked_persist
+
+    edges = tracked_persist(edges)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = edges.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # One wedge per triangle at its orientation-minimal vertex; the plain
+    # id inequality on the two far endpoints dedups the {y, z} pair, and
+    # the closure probe against the canonical u < v edge set needs no
+    # direction case-split because dst1 < dst2 already.
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.dst") < F.col("w2.dst")),
+    ).select(F.col("w1.dst").alias("y"), F.col("w2.dst").alias("z"))
+    triangles = wedges.join(
+        edges, (F.col("u") == F.col("y")) & (F.col("v") == F.col("z"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(triangles)
+
+
+@register(
+    "triangle_count_parts",
+    """
+    WITH edges AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                        GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+    doc="Distributed triangle counting over the part co-purchase graph "
+    "(parts appearing in the same order are linked): the canonical "
+    "multi-way self-join graph analytic, implemented with the "
+    "degree-ordered orientation of Suri & Vassilvitskii's MR triangle "
+    "counting so it survives skew at scale. Each undirected edge is "
+    "oriented from its lower-(degree, id) endpoint to the higher; every "
+    "triangle then forms EXACTLY one wedge, at its orientation-minimal "
+    "vertex, and the wedge-generation join fans out per-vertex by "
+    "out-degree, which orientation bounds by O(sqrt(edges)) even when a "
+    "hub part appears in half the orders (an unoriented wedge join "
+    "squares the hub's full degree). The oracle counts the same "
+    "triangles without orientation — a three-way join DuckDB can afford "
+    "at sf0.01 — so the hash match proves the oriented plan loses and "
+    "invents nothing. Both engines emit one (n_edges, n_triangles) row.",
+    tags=("extension", "join", "aggregate"),
+)
+def _triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    # Co-partitioned self-join on the order key (per-order line counts are
+    # small and bounded), canonicalized u < v, deduplicated. Persisted in
+    # the kernel: it feeds the degree count, both wedge sides, and the
+    # closure probe.
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    return count_triangles(edges)

@@ -173,3 +173,37 @@ def _compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.repartition(64).write.parquet(path)
     compact(spark, path, fmt="parquet", target_file_bytes=4 * 1024 * 1024)
     return spark.read.parquet(path)
+
+
+@register(
+    "jsonl_documents_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    doc="Gzipped JSON-Lines source/sink roundtrip over the documents "
+    "corpus — jsonl.gz is the lingua franca of public text corpora (C4, "
+    "cc-net, RedPajama, Dolma all ship it), so a training-data engine "
+    "must write and re-read it losslessly: every row and every unicode "
+    "code point of text must survive the JSON escape/parse cycle, which "
+    "the oracle hash (vs the original parquet) proves. The read passes "
+    "the writer's schema explicitly — schema inference costs a full "
+    "extra scan of the corpus and silently widens types. Scale notes: "
+    "gzip members are NOT splittable, so read parallelism equals file "
+    "count — fine for ingest (corpora arrive as thousands of shards; "
+    "one task each), wrong as a working format. The engine's posture is "
+    "ingest jsonl.gz once, convert to parquet/Delta (write_overwrite), "
+    "and point every downstream operator at the columnar copy.",
+    tags=("extension", "layout"),
+)
+def _jsonl_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from full_data_infrastructure_spark.streaming.replay import replay_workdir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    work = replay_workdir("jsonl_roundtrip_")
+    path = os.path.join(work, "documents_jsonl")
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    return spark.read.schema(docs.schema).json(path)

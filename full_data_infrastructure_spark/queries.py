@@ -124,10 +124,11 @@ _LOADED = False
 # multimodal_frame_sample, repetition_signals, semi_join (still
 # r1-attested)
 # and dedup_ngram_jaccard head the r6 window for first/refreshed rows,
-# together with the post-rotation round-5 additions scd2_history and
-# gapfill_locf (registered after the window froze; both oracle-checked
-# green by the local parity suite at sf0.001 + sf0.01, first driver rows
-# due in r6).
+# together with the post-rotation round-5 additions scd2_history,
+# gapfill_locf, triangle_count_parts and jsonl_documents_roundtrip
+# (registered after the window froze; all four oracle-checked green by
+# the local parity suite at sf0.001 + sf0.01, first driver rows due in
+# r6).
 # knn_ivf's builder changed in-round (map-only assignment) after its r4
 # row; it is rows-only, so the driver row carries only a row count —
 # the actual evidence (recall floors at all three SFs) was re-run green

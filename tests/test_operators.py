@@ -1063,3 +1063,26 @@ def test_gapfill_locf_dense_grid_and_carry(spark, sf_dir):
                 carried = r.value_locf
             else:
                 assert r.value_locf == carried, f"bad carry for {key} @ {r.bucket}"
+
+
+def test_count_triangles_known_graphs(spark):
+    """The degree-oriented triangle kernel on graphs with known answers,
+    including the hub shape the orientation exists for: a star has many
+    wedges at the hub under naive orientation but zero triangles; K4 has
+    exactly 4; a hub-plus-rim wheel has exactly its rim count."""
+    from full_data_infrastructure_spark.operators.joins import count_triangles
+
+    def run(edges):
+        canon = [(min(u, v), max(u, v)) for u, v in edges]
+        df = spark.createDataFrame(sorted(set(canon)), "u long, v long")
+        row = count_triangles(df).collect()[0]
+        return row.n_edges, row.n_triangles
+
+    # star K1,5: hub 0 touches everything, no closures
+    assert run([(0, i) for i in range(1, 6)]) == (5, 0)
+    # K4: C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert run(k4) == (6, 4)
+    # wheel: hub 9 + 5-cycle rim -> one triangle per rim edge
+    rim = [(i, (i + 1) % 5) for i in range(5)]
+    assert run(rim + [(9, i) for i in range(5)]) == (10, 5)
