@@ -471,3 +471,45 @@ def contaminated_ids_sql(source: str = "documents") -> str:
     )
     SELECT doc_id FROM scored
     WHERE CAST(n_shared AS DOUBLE) / n_shingles >= {CONTAM_THRESHOLD})"""
+
+
+@register(
+    "domain_cap_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rnk
+        FROM documents
+    )
+    SELECT doc_id, source, rnk FROM ranked WHERE rnk <= 50
+    """,
+    doc="Per-domain document cap — the Gopher/C4/Dolma curation rule that "
+    "no single domain may dominate the corpus: keep at most K docs per "
+    "source, chosen by a deterministic uniform priority (md5 of the doc "
+    "id), so the kept subset is an unbiased, reproducible sample of each "
+    "domain rather than whatever K rows arrived first. Declarative "
+    "row_number <= K is the SCALE-CORRECT form on Spark 3.5+/4: Catalyst "
+    "rewrites the rank filter into WindowGroupLimit(Partial) that "
+    "truncates every map partition to its local top-K per source BEFORE "
+    "the exchange, so a hub domain with 10^9 docs ships "
+    "K x num_partitions rows through the shuffle, not 10^9 "
+    "(plan-asserted in tests/test_plans.py). Spark's int32 row_number "
+    "is cast to BIGINT to match DuckDB.",
+    tags=("llm", "curation", "sampling"),
+)
+def _domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )

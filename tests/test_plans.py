@@ -423,3 +423,14 @@ def test_runtime_bloom_filter_injection(spark, sf_dir, queries):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_domain_cap_truncates_map_side(spark, sf_dir, queries):
+    """The per-domain cap must plan as WindowGroupLimit with a PARTIAL
+    (pre-exchange) phase: each map partition truncates to its local
+    top-K per source before the shuffle, so a hub domain ships
+    K x partitions rows, never its full count."""
+    plan = queries["domain_cap_sample"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, f"no map-side partial truncation:\n{plan}"

@@ -326,3 +326,73 @@ def test_nearest_cell_equals_window_rank(spark, n_vecs, n_cells, seed):
         .collect()
     }
     assert got == want
+
+
+def test_triangle_kernel_matches_bruteforce_on_random_graphs(spark):
+    """count_triangles vs a driver-side itertools brute force on seeded
+    Erdos-Renyi graphs — the degree-orientation bookkeeping (wedge
+    uniqueness at the orientation-minimal vertex, closure against the
+    canonical edge set) must hold on arbitrary topology, not just the
+    star/K4/wheel fixtures."""
+    from itertools import combinations
+
+    from full_data_infrastructure_spark.operators.joins import count_triangles
+
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (1103515245 * x + 12345) % (2**31)
+            yield x / 2**31
+
+    for seed in (7, 41, 1999):
+        rnd = lcg(seed)
+        edges = sorted(
+            (u, v) for u, v in combinations(range(24), 2) if next(rnd) < 0.25
+        )
+        adj = set(edges)
+        want = sum(
+            1
+            for a, b, c in combinations(range(24), 3)
+            if (a, b) in adj and (a, c) in adj and (b, c) in adj
+        )
+        row = count_triangles(
+            spark.createDataFrame(edges, "u long, v long")
+        ).collect()[0]
+        assert (row.n_edges, row.n_triangles) == (len(edges), want), seed
+
+
+def test_scd2_reconstructs_state_as_of_any_time(spark, sf_dir):
+    """The SCD2 contract: probing the history with ANY timestamp t must
+    return exactly one interval (valid_from <= t < valid_to, open-ended
+    for is_current) whose state equals the last raw event at or before
+    t. Probes: every user's first event time, a mid-history time, and a
+    time after the last event."""
+    from collections import defaultdict
+
+    from full_data_infrastructure_spark import queries as registry
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    registry._ensure_loaded()
+    hist = defaultdict(list)
+    for r in registry.REGISTRY["scd2_history"].build(spark, sf_dir).collect():
+        hist[r.user_id].append(r)
+    raw = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        raw[r.user_id].append(r)
+    assert set(hist) == set(raw)
+    for user, evs in raw.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        n = len(evs)
+        for t in (evs[0].ts, evs[n // 2].ts, evs[-1].ts):
+            covering = [
+                h
+                for h in hist[user]
+                if h.valid_from <= t and (h.valid_to is None or t < h.valid_to)
+            ]
+            assert len(covering) == 1, (user, t)
+            want = [e for e in evs if e.ts <= t][-1].event_type
+            assert covering[0].state == want, (user, t)
