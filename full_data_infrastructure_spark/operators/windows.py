@@ -930,15 +930,30 @@ def ema_fold(events: DataFrame) -> DataFrame:
 )
 def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    return scd2_finalize(scd2_versions(events))
+
+
+def scd2_versions(changes: DataFrame) -> DataFrame:
+    """Compress a change stream (user_id, event_type, ts, event_id) to
+    version rows (user_id, state, valid_from, event_id): only real state
+    transitions survive (LAG != state). Idempotent — recompressing the
+    output (optionally extended with later changes) yields the same
+    versions, which is what makes incremental maintenance exact: the
+    compressed prefix preserves both the change subsequence and the
+    boundary state the suffix's first comparison needs.
+
+    event_id is retained as the deterministic tiebreaker for equal-ts
+    changes; scd2_finalize drops it.
+    """
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = events.select(
+    flagged = changes.select(
         "user_id",
         "event_type",
         "ts",
         "event_id",
         F.lag("event_type").over(order_w).alias("prev_state"),
     )
-    versions = flagged.filter(
+    return flagged.filter(
         F.col("prev_state").isNull()
         | (F.col("prev_state") != F.col("event_type"))
     ).select(
@@ -947,6 +962,11 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         "event_id",
     )
+
+
+def scd2_finalize(versions: DataFrame) -> DataFrame:
+    """Derive [valid_from, valid_to) validity, the is_current flag and a
+    per-key version number from compressed version rows."""
     v_w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return versions.select(
         "user_id",
@@ -956,3 +976,81 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(v_w).isNull().alias("is_current"),
         F.row_number().over(v_w).cast("bigint").alias("version"),
     )
+
+
+def scd2_apply_batch(standing: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a fresh change batch into a
+    standing compressed-version table touching ONLY the batch's users.
+
+    Untouched users' versions pass through an anti join unchanged; for
+    touched users the standing versions are replayed AS changes together
+    with the new batch and recompressed — exact, because compression is
+    idempotent on the already-compressed prefix (scd2_versions docstring).
+    Work scales with the batch's user set, never the full corpus: this is
+    the nightly-CDC shape where rebuilding history for 10^9 users because
+    10^5 changed is the difference between minutes and a full-corpus
+    shuffle. Requires every batch change to be at-or-after the standing
+    history's end (CDC log order); equal-ts ties keep the event_id order.
+    """
+    touched = batch.select("user_id").distinct()
+    untouched = standing.join(touched, "user_id", "left_anti")
+    replayed = (
+        standing.join(touched, "user_id", "semi")
+        .select(
+            "user_id",
+            F.col("state").alias("event_type"),
+            F.col("valid_from").alias("ts"),
+            "event_id",
+        )
+        .unionAll(batch.select("user_id", "event_type", "ts", "event_id"))
+    )
+    return untouched.unionAll(scd2_versions(replayed))
+
+
+@register(
+    "scd2_incremental",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state
+        FROM events
+    ),
+    versions AS (
+        SELECT user_id, event_type AS state, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_state IS NULL OR prev_state <> event_type
+    )
+    SELECT user_id,
+           state,
+           valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL
+               AS is_current,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) AS BIGINT)
+               AS version
+    FROM versions
+    """,
+    doc="Incremental SCD2 maintenance proven exact: events are split at a "
+    "fixed date into a standing history (compressed once) and a fresh "
+    "CDC batch, the batch is folded in via scd2_apply_batch — anti-join "
+    "pass-through for untouched users, replay-and-recompress for touched "
+    "ones — and the result must hash-match the oracle's FULL-history "
+    "rebuild. The match is the maintenance contract: fold(compress(A), "
+    "B) == compress(A ∪ B), so a 100 TB history is never recomputed; "
+    "the untouched branch (empty at this SF, where every user is active "
+    "in the batch window) is exercised against a sparse synthetic batch "
+    "in tests/test_operators.py.",
+    tags=("extension", "window", "events"),
+)
+def _scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cut = F.lit("2024-01-25").cast("timestamp")
+    standing = scd2_versions(events.filter(F.col("ts") < cut))
+    batch = events.filter(F.col("ts") >= cut)
+    return scd2_finalize(scd2_apply_batch(standing, batch))

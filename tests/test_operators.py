@@ -1086,3 +1086,59 @@ def test_count_triangles_known_graphs(spark):
     # wheel: hub 9 + 5-cycle rim -> one triangle per rim edge
     rim = [(i, (i + 1) % 5) for i in range(5)]
     assert run(rim + [(9, i) for i in range(5)]) == (10, 5)
+
+
+def test_scd2_apply_batch_sparse_and_new_users(spark):
+    """The incremental fold on a batch touching a strict user subset
+    (empty at testdata SFs where everyone is active): untouched users'
+    versions pass through bit-identical, a touched user recompresses
+    across the boundary (including a no-op boundary change that must
+    merge into the standing version), a brand-new user appears — and
+    the whole result equals the full-history rebuild."""
+    import datetime as dt
+
+    from full_data_infrastructure_spark.operators.windows import (
+        scd2_apply_batch,
+        scd2_finalize,
+        scd2_versions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, eid, hours, typ):
+        return (uid, typ, t0 + dt.timedelta(hours=hours), eid)
+
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    old = [
+        ev(1, 10, 0, "a"), ev(1, 11, 1, "b"),          # untouched
+        ev(2, 20, 0, "a"),                              # untouched
+        ev(3, 30, 0, "a"), ev(3, 31, 2, "b"),          # touched
+    ]
+    new = [
+        ev(3, 32, 5, "b"),   # no-op at the boundary: must NOT add a version
+        ev(3, 33, 6, "c"),   # real transition
+        ev(4, 40, 5, "x"),   # brand-new user
+    ]
+    standing = scd2_versions(spark.createDataFrame(old, schema))
+    batch = spark.createDataFrame(new, schema)
+    folded = scd2_finalize(scd2_apply_batch(standing, batch)).collect()
+    full = scd2_finalize(
+        scd2_versions(spark.createDataFrame(old + new, schema))
+    ).collect()
+    key = lambda r: (r.user_id, r.version)
+    assert sorted(map(tuple, folded), key=lambda t: (t[0], t[5])) == sorted(
+        map(tuple, full), key=lambda t: (t[0], t[5])
+    )
+    by_user = {}
+    for r in folded:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert [r.state for r in sorted(by_user[3], key=key)] == ["a", "b", "c"]
+    assert [r.state for r in sorted(by_user[4], key=key)] == ["x"]
+    # untouched users identical to their standing finalize
+    standing_rows = [
+        tuple(r)
+        for r in scd2_finalize(standing).collect()
+        if r.user_id in (1, 2)
+    ]
+    folded_rows = [tuple(r) for r in folded if r.user_id in (1, 2)]
+    assert sorted(standing_rows) == sorted(folded_rows)
