@@ -207,3 +207,56 @@ def _jsonl_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(work, "documents_jsonl")
     docs.write.mode("overwrite").option("compression", "gzip").json(path)
     return spark.read.schema(docs.schema).json(path)
+
+
+@register(
+    "jsonl_quarantine_ingest",
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE doc_id % 50 <> 0
+    """,
+    doc="Malformed-record quarantine on JSON-Lines ingest — the "
+    "dead-letter pattern real corpus ingest needs: web-scale jsonl "
+    "shards always contain truncated/garbled lines, and a 100 TB load "
+    "must neither abort (FAILFAST) nor silently null-fill them "
+    "(PERMISSIVE's default shape). Documents are exported as jsonl with "
+    "every doc_id % 50 == 0 line deterministically corrupted (truncated "
+    "JSON prefix); the ingest reads with mode=DROPMALFORMED and the "
+    "writer's schema, and must recover EXACTLY the uncorrupted rows — "
+    "the oracle is the modulo filter over the original table, so the "
+    "hash match proves malformed lines drop without taking neighbors "
+    "with them and clean rows survive byte-exact. The PERMISSIVE "
+    "companion path (columnNameOfCorruptRecord -> a quarantine/"
+    "dead-letter table preserving the raw line for replay, plus Spark's "
+    "cache-before-filtering-on-the-corrupt-column gotcha) is driven in "
+    "tests/test_operators.py::test_jsonl_permissive_quarantine.",
+    tags=("extension", "layout"),
+)
+def _jsonl_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from full_data_infrastructure_spark.streaming.replay import replay_workdir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    payload = F.to_json(
+        F.struct("doc_id", "text", "lang", "source", "n_chars")
+    )
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.lit('{"truncated'), F.substring(payload, 1, 20)),
+        )
+        .otherwise(payload)
+        .alias("value")
+    )
+    work = replay_workdir("jsonl_quarantine_")
+    path = os.path.join(work, "documents_jsonl")
+    lines.write.mode("overwrite").text(path)
+    return (
+        spark.read.schema(docs.schema)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )

@@ -1142,3 +1142,62 @@ def test_scd2_apply_batch_sparse_and_new_users(spark):
     ]
     folded_rows = [tuple(r) for r in folded if r.user_id in (1, 2)]
     assert sorted(standing_rows) == sorted(folded_rows)
+
+
+def test_jsonl_permissive_quarantine(spark, sf_dir):
+    """The dead-letter side of the quarantine ingest: PERMISSIVE mode
+    with columnNameOfCorruptRecord must route every corrupted line —
+    and only those — to the quarantine with its RAW line preserved for
+    replay, while clean rows parse fully. Exercises Spark's documented
+    gotcha that filtering on the corrupt column requires materializing
+    the parse first (tracked_persist here)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from full_data_infrastructure_spark.cache import (
+        release_persisted,
+        tracked_persist,
+    )
+    from full_data_infrastructure_spark.streaming.replay import replay_workdir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    payload = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.lit('{"truncated'), F.substring(payload, 1, 20)),
+        )
+        .otherwise(payload)
+        .alias("value")
+    )
+    work = replay_workdir("jsonl_quarantine_test_")
+    path = os.path.join(work, "jsonl")
+    lines.write.mode("overwrite").text(path)
+
+    schema = docs.schema.add("_corrupt", StringType())
+    parsed = tracked_persist(
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    try:
+        n_docs = docs.count()
+        n_bad_expected = docs.filter(F.col("doc_id") % 50 == 0).count()
+        quarantine = parsed.filter(F.col("_corrupt").isNotNull())
+        good = parsed.filter(F.col("_corrupt").isNull())
+        assert quarantine.count() == n_bad_expected > 0
+        assert good.count() == n_docs - n_bad_expected
+        # raw lines are preserved verbatim for replay/debugging
+        assert all(
+            r._corrupt.startswith('{"truncated')
+            for r in quarantine.select("_corrupt").collect()
+        )
+        # clean rows parse fully: no nulled-out fields
+        assert good.filter(F.col("doc_id").isNull()).count() == 0
+    finally:
+        release_persisted()

@@ -244,8 +244,9 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "streaming_funnel_snapshot",
         # layout maintenance job: scatters, compacts, reads back
         "compact_small_files",
-        # format roundtrip: writes the jsonl.gz copy, then reads it back
+        # format roundtrips: write the jsonl copy at build, then read back
         "jsonl_documents_roundtrip",
+        "jsonl_quarantine_ingest",
         # two-phase by design: collects the O(partitions x d^2)
         # sufficient-statistics sketch for the driver-side eigh
         "embedding_pca_project",
