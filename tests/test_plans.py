@@ -435,3 +435,14 @@ def test_domain_cap_truncates_map_side(spark, sf_dir, queries):
     ).executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, f"no map-side partial truncation:\n{plan}"
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir, queries):
+    """scd2_history's docstring claims the compress window and the
+    finalize window share one hash partitioning and sort order (valid_from
+    IS ts on surviving rows), so the whole query plans with a single
+    Exchange and a single Sort — pin it."""
+    plan = queries["scd2_history"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("+- Sort") == 1, plan
