@@ -770,3 +770,53 @@ def _corpus_pipeline_full_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean_corpus(spark, sf_dir)
     labels = connected_components_twostar(minhash_dedup_pairs(clean))
     return _survivors_mixture_pack(spark, clean, labels)
+
+
+@register(
+    "conversation_assembly",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                   AS turn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           array_to_string(list(event_type ORDER BY turn), '>') AS turns_s
+    FROM ordered
+    WHERE turn <= 32
+    GROUP BY user_id
+    """,
+    doc="Conversation/SFT-example assembly: each user's event stream "
+    "becomes ONE training example — the first 32 turns in (ts, event_id) "
+    "order, serialized as a single delimited sequence — the grouping-"
+    "and-ordering shape every dialogue/SFT pipeline runs to turn a "
+    "per-message log into per-conversation training rows. The turn cap "
+    "is a rank filter, so Catalyst plans it as WindowGroupLimit("
+    "Partial): every map partition truncates to its local first-32 per "
+    "user BEFORE the shuffle, and a bot account with 10^7 events ships "
+    "32 x partitions rows, not 10^7 — the same property plan-asserted "
+    "for domain_cap_sample. The ordered serialization itself is a "
+    "JVM-side array_sort + transform + concat_ws over structs (no UDF); "
+    "per-key memory is bounded by the cap, unlike an uncapped "
+    "collect_list.",
+    tags=("llm", "packing", "text"),
+)
+def _conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).cast("bigint").alias("turn"),
+    ).filter(F.col("turn") <= 32)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn", "event_type"))),
+        lambda s: s.event_type,
+    )
+    return turns.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.concat_ws(">", ordered).alias("turns_s"),
+    )
