@@ -320,3 +320,69 @@ def _k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_violations(
         banded, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
     ).orderBy(F.desc("cnt"), "c_nationkey", "c_mktsegment", "bal_band")
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'l_quantity' AS col,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+           ROUND(AVG(CAST(l_quantity AS DOUBLE)), 2) AS avg_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE),
+           ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           CAST(MIN(l_discount) AS DOUBLE),
+           CAST(MAX(l_discount) AS DOUBLE),
+           ROUND(AVG(CAST(l_discount AS DOUBLE)), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax',
+           CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+           CAST(MIN(l_tax) AS DOUBLE),
+           CAST(MAX(l_tax) AS DOUBLE),
+           ROUND(AVG(CAST(l_tax AS DOUBLE)), 2)
+    FROM lineitem
+    """,
+    doc="One-pass multi-column profiling — the table-health summary every "
+    "quality workflow starts with (null counts, min/max, mean per "
+    "column). The scale point is the PLAN: all four columns' statistics "
+    "are computed in a SINGLE aggregate over one scan, then unpivoted "
+    "driver-free with stack() into the tall (col, stats) shape — whereas "
+    "the naive per-column loop (and the UNION-ALL oracle here) scans "
+    "the table once PER COLUMN. At 100 TB that is 1 pass vs N passes; "
+    "the oracle's N-pass form proves the one-pass answers are "
+    "identical. Doubles are rounded to 2dp on both sides (cross-engine "
+    "float-sum ulp); counts cast to BIGINT.",
+    tags=("extension", "quality"),
+)
+def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+            F.min(F.col(c).cast("double")).alias(f"{c}_min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}_max"),
+            F.round(F.avg(F.col(c).cast("double")), 2).alias(f"{c}_avg"),
+        ]
+    one_pass = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_min, {c}_max, {c}_avg" for c in cols
+    )
+    return one_pass.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (col, n_nulls, min_v, max_v, avg_v)"
+        )
+    )
