@@ -551,3 +551,90 @@ def _heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return heavy_hitters(toks, "tok", support_num=3, support_den=1000, k=999)
+
+
+@register(
+    "event_cooccurrence_lift",
+    """
+    WITH per_user AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    totals AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+               FROM per_user),
+    singles AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_single
+        FROM per_user GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM per_user a
+        JOIN per_user b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND(CAST(p.n_both * t.n_users AS DOUBLE)
+                 / CAST(sa.n_single * sb.n_single AS DOUBLE), 4) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN totals t
+    """,
+    doc="Association statistics (market-basket lift) between event types: "
+    "for every unordered pair, lift = P(a,b) / (P(a)P(b)) over the user "
+    "population — >1 means co-occurring beyond independence, the same "
+    "co-occurrence statistic corpus analysis computes for word pairs "
+    "(PMI is its log). Everything stays exact-integer until ONE double "
+    "division of exact products (identical IEEE operands on both "
+    "engines), then a 4dp round — no cross-engine log/ulp hazard, which "
+    "is why lift rather than PMI is the attested surface. Scale: the "
+    "distinct projection is one shuffle on (user, type); the per-user "
+    "pair self-join is co-partitioned on user_id with fan-out bounded "
+    "by the type cardinality squared, and singles/totals are "
+    "broadcast-sized.",
+    tags=("extension", "aggregate"),
+)
+def _event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.select("user_id", "event_type").distinct()
+    totals = per_user.agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    singles = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    a, b = per_user.alias("a"), per_user.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_single").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_single").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )

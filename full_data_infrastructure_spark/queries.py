@@ -127,9 +127,10 @@ _LOADED = False
 # together with the post-rotation round-5 additions scd2_history,
 # gapfill_locf, scd2_incremental, triangle_count_parts,
 # jsonl_documents_roundtrip, jsonl_quarantine_ingest, domain_cap_sample,
-# conversation_assembly and profile_columns (registered after the window
-# froze; all nine oracle-checked green by the local parity suite at
-# sf0.001 + sf0.01, first driver rows due in r6).
+# conversation_assembly, profile_columns and event_cooccurrence_lift
+# (registered after the window froze; all ten oracle-checked green by
+# the local parity suite at sf0.001 + sf0.01, first driver rows due in
+# r6).
 # knn_ivf's builder changed in-round (map-only assignment) after its r4
 # row; it is rows-only, so the driver row carries only a row count —
 # the actual evidence (recall floors at all three SFs) was re-run green
