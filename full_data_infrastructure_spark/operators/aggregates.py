@@ -596,8 +596,13 @@ def _heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension", "aggregate"),
 )
 def _event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.cache import tracked_persist
+
     events = load_table(spark, sf_dir, "events")
-    per_user = events.select("user_id", "event_type").distinct()
+    # Persisted: the distinct projection feeds totals, singles, and both
+    # sides of the pair self-join — without the persist that (user, type)
+    # distinct shuffle recomputes up to four times (ADVICE r5).
+    per_user = tracked_persist(events.select("user_id", "event_type").distinct())
     totals = per_user.agg(
         F.countDistinct("user_id").alias("n_users")
     )

@@ -329,28 +329,32 @@ def _k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
            CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
-           ROUND(AVG(CAST(l_quantity AS DOUBLE)), 2) AS avg_v
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(l_quantity), 2) AS avg_v
     FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice',
            CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
            CAST(MIN(l_extendedprice) AS DOUBLE),
            CAST(MAX(l_extendedprice) AS DOUBLE),
-           ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 2)
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 2)
     FROM lineitem
     UNION ALL
     SELECT 'l_discount',
            CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
            CAST(MIN(l_discount) AS DOUBLE),
            CAST(MAX(l_discount) AS DOUBLE),
-           ROUND(AVG(CAST(l_discount AS DOUBLE)), 2)
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(l_discount), 2)
     FROM lineitem
     UNION ALL
     SELECT 'l_tax',
            CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
            CAST(MIN(l_tax) AS DOUBLE),
            CAST(MAX(l_tax) AS DOUBLE),
-           ROUND(AVG(CAST(l_tax AS DOUBLE)), 2)
+           ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(l_tax), 2)
     FROM lineitem
     """,
     doc="One-pass multi-column profiling — the table-health summary every "
@@ -374,7 +378,14 @@ def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
             F.min(F.col(c).cast("double")).alias(f"{c}_min"),
             F.max(F.col(c).cast("double")).alias(f"{c}_max"),
-            F.round(F.avg(F.col(c).cast("double")), 2).alias(f"{c}_avg"),
+            # DECIMAL-exact accumulation (partition-order-insensitive),
+            # cast once to double, then round — a double F.avg could
+            # drift a near-.005 ulp across partitionings (ADVICE r5).
+            F.round(
+                F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+                / F.count(c),
+                2,
+            ).alias(f"{c}_avg"),
         ]
     one_pass = li.agg(*aggs)
     stack_args = ", ".join(

@@ -69,163 +69,84 @@ def bench_queries() -> dict[str, QueryBuilder]:
 
 _LOADED = False
 
+# Original @register order (module import order), captured by _ensure_loaded
+# BEFORE the window reorder — the rotation's deterministic tiebreaker.
+REGISTRATION_ORDER: tuple[str, ...] = ()
+
 # The external verify driver attests exactly the FIRST 50 registered queries
 # (dict insertion order), so the registry is explicitly re-ordered after
 # loading and the window ROTATES each round: queries that already hold a
 # green correctness row from an earlier round move past the cap (their rows
-# persist as evidence) to make room for queries that have none yet.  The
-# window always keeps: the flagship queries first, every query whose
-# builder or oracle changed since its last attestation, every benched
-# query (the graded perf set should stay value-attested), and at least one
-# representative per operator-family tag (enforced by
-# tests/test_registry_order.py).
+# persist as evidence) to make room for queries that have none yet.
 #
-# Round-5 rotation: in come (a) the new streaming_sessionize_snapshot
-# (first row needed) and the builders touched this round
-# (streaming_rollup_snapshot ts-normalization + replay refactor,
-# streaming_upsert_snapshot replay refactor + now benched, ema_by_user
-# fold extraction; dedup_ngram_jaccard briefly held a prudence slot for
-# exact_jaccard_pairs' no-op max_df default but later ceded it to the
-# stream-stream join's first row — the transitive callers
-# (dedup_cluster_cc, dedup_survivors, corpus_pipeline) keep their
-# standing rows either way), (b) 11 of the 17 queries whose newest
-# green row was still
-# CORRECTNESS_r01 (the r4-verdict item-1 list; cube_counts later ceded
-# its slot to the new layout family's first row, and count_distinct,
-# rollup_counts, cte_self_join, sample_hash, multimodal_frame_sample,
-# repetition_signals and semi_join ceded theirs to the late-round first
-# rows heavy_hitters_tokens / runtime_filtered_join /
-# compact_small_files / bpe_pair_counts / k_anonymity_violations /
-# corpus_pipeline_full / corpus_pipeline_full_lsh — see the window
-# entries below), (c) the four beyond-brief round-5
-# streaming parity queries (tumbling, sliding, stateful dedup, stateful
-# EMA), and (d) the two in-round oracle-checked additions with no row
-# yet, dedup_semantic and quality_classifier (first rows outrank
-# standing refreshes, so the two stalest-r2 slots they took rejoin the
-# r6 payload); out go
-# the r4-attested rotation payload
-# (aggregates singles, dedup singles, knn_lsh/knn_ivf, debezium_roundtrip
-# and relational reps...), which keep their CORRECTNESS_r04 rows. Family
-# reps prefer the stalest sibling (not_exists_subquery r2 over
-# in_subquery r4, case_flag_arithmetic r3 over date_format_concat r4,
-# ntile_price_quartiles r3 over unpivot_lineitem r4); single-member
-# families (enrichment, security, distinct, setop, range, generator)
-# keep their only representative. Still r2-attested after this round
-# (round-6 payload): fingerprint_md5, lang_id, lang_id_trigram,
-# quality_score, rolling_hash_fingerprint, tfidf_top_token, vocab_topk,
-# vector_norms, embedding_quantize_int8, window_lag_delta,
-# window_running_total, window_dedup_latest, scalar_subquery_filter,
-# window_rank_topn; knn_pq, knn_ivfpq (rows-only, recall
-# pytest-asserted at all three SFs), embedding_pca_project, bpe_learn
-# and bpe_tokenize_counts (rows-only; numpy-parity / greedy-invariant /
-# reference-encoder-parity pytest-asserted), hard_negative_mining,
-# snapshot_diff, token_budget_sample, embedding_kmeans, cube_counts,
-# count_distinct, rollup_counts, cte_self_join, sample_hash,
-# multimodal_frame_sample, repetition_signals, semi_join (still
-# r1-attested)
-# and dedup_ngram_jaccard head the r6 window for first/refreshed rows,
-# together with the post-rotation round-5 additions scd2_history,
-# gapfill_locf, scd2_incremental, triangle_count_parts,
-# jsonl_documents_roundtrip, jsonl_quarantine_ingest, domain_cap_sample,
-# conversation_assembly, profile_columns and event_cooccurrence_lift
-# (registered after the window froze; all ten oracle-checked green by
-# the local parity suite at sf0.001 + sf0.01, first driver rows due in
-# r6).
-# knn_ivf's builder changed in-round (map-only assignment) after its r4
-# row; it is rows-only, so the driver row carries only a row count —
-# the actual evidence (recall floors at all three SFs) was re-run green
-# on the new builder, and it joins the r6 head for a fresh row rather
-# than displacing an oracle-checked first-row from the full window.
+# The rotation is COMPUTED, not hand-curated (VERDICT r5 item 2): the
+# policy lives in full_data_infrastructure_spark/rotation.py — flagship
+# queries first, every bench=True query pinned, then never-attested /
+# force-refreshed / stalest-first by the committed CORRECTNESS_r*.json
+# history, with a final repair pass guaranteeing every operator-family tag
+# one window representative.  Regenerate this literal after each round's
+# CORRECTNESS file lands with:
+#
+#     python -m full_data_infrastructure_spark.rotation
+#
+# tests/test_registry_order.py asserts the committed tuple equals the
+# computed one, so the literal cannot silently drift from the policy.
+# (Round 6 note: the cap admits 22 of the 27 stale/never-attested
+# candidates; the 12 tag-repair slots are forced by families whose every
+# member is freshly attested, so the 6 remaining r1-stale queries —
+# cte_self_join, cube_counts, repetition_signals, rollup_counts,
+# sample_hash, semi_join — mechanically lead the round-7 fill.)
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Flagship re-expressions of the reference's two headline jobs
-    # (airflow/config/read_delta.py:234-294, README.md:141-164).
     "flagship_benefits",
     "bu_salary_dashboard",
-    # New in round 5 + builders changed this round.
-    "streaming_sessionize_snapshot",
-    "streaming_rollup_snapshot",
-    "streaming_upsert_snapshot",
-    "ema_by_user",
-    # dedup_ngram_jaccard ceded its prudence slot (its builder change was
-    # a no-op default; its r4 row stands and the local oracle suite
-    # re-checks it) to the in-round stream-stream join's first row.
-    "streaming_funnel_snapshot",
-    # Benched queries: the graded perf set stays value-attested.
-    "dedup_survivors_lsh",
-    "corpus_pipeline_lsh",
-    "knn_bruteforce",
-    "text_stats",
-    "window_moving_avg",
+    "event_cooccurrence_lift",
+    "snapshot_diff",
+    "domain_cap_sample",
+    "triangle_count_parts",
+    "jsonl_documents_roundtrip",
+    "jsonl_quarantine_ingest",
+    "bpe_learn",
+    "bpe_tokenize_counts",
+    "token_budget_sample",
+    "conversation_assembly",
+    "profile_columns",
+    "gapfill_locf",
+    "knn_pq",
+    "knn_ivfpq",
+    "hard_negative_mining",
+    "embedding_kmeans",
+    "embedding_pca_project",
+    "scd2_history",
+    "scd2_incremental",
+    "count_distinct",
+    "multimodal_frame_sample",
+    "scalar_subquery_filter",
+    "membership_validation",
+    "pivot_event_counts",
+    "date_format_concat",
+    "sessionize_batch",
+    "debezium_roundtrip",
     "topk_group_count",
-    "asof_join",
-    "dedup_minhash_lsh",
-    "decontaminate_overlap",
     "multi_aggregate",
-    "join_dim_snowflake",
-    # Family-tag representatives (stalest sibling preferred; siblings
-    # past the cap keep their r3/r4 green rows).
-    "enrichment_distance",
-    "masked_projection",
-    "distinct_projection",
-    "set_union_except_intersect",
-    "range_join",
-    "generator_activities",
-    "not_exists_subquery",
-    "case_flag_arithmetic",
-    "ntile_price_quartiles",
-    # Re-attestation payload: every query whose newest green row was
-    # CORRECTNESS_r01.
-    "stratified_sample",
-    # repetition_signals and semi_join ceded their refresh slots to the
-    # end-to-end production-pipeline first rows (corpus_pipeline_full +
-    # its benched LSH twin); text/curation and join families keep ample
-    # in-window reps.
-    "corpus_pipeline_full",
-    "corpus_pipeline_full_lsh",
-    "anti_join",
-    # cte_self_join ceded its refresh slot too (r1 row stands; the join
-    # family keeps seven in-window reps incl. runtime_filtered_join).
-    "multimodal_join",
-    "multimodal_resize",
-    # multimodal_frame_sample ceded its refresh slot to the privacy
-    # audit's first row (multimodal keeps two in-window reps).
-    "k_anonymity_violations",
-    "validation_schema_check",
-    "threshold_validation",
-    "json_extract",
-    "train_val_test_split",
-    "pii_redact",
-    # sample_hash ceded its refresh slot to bpe_pair_counts' first row
-    # (sampling keeps stratified_sample + train_val_test_split in-window).
-    "bpe_pair_counts",
-    # count_distinct and rollup_counts ceded their refresh slots to the
-    # late-round-5 first rows below (heavy_hitters_tokens,
-    # runtime_filtered_join, compact_small_files) — first rows outrank
-    # standing refreshes; their r1 rows stand, the aggregate family keeps
-    # five in-window reps, and both head the r6 payload.
-    "heavy_hitters_tokens",
-    "runtime_filtered_join",
-    # cube_counts ceded its slot to the new layout family (its r1 row
-    # stands and the local oracle suite re-checks it every run; rollup/
-    # grouping-set coverage stays attested via rollup_counts) — it joins
-    # knn_pq/knn_ivfpq at the head of the r6 payload.
-    "zorder_key_lineitem",
-    "compact_small_files",
-    # Round-5 additions beyond the brief: tumbling-window, stateful-dedup
-    # and applyInPandasWithState-EMA streaming parity (first rows needed —
-    # new queries outrank standing-green refreshes, so vector_norms,
-    # embedding_quantize_int8 and lang_id moved to the r6 payload).
-    "streaming_tumbling_snapshot",
-    "streaming_sliding_snapshot",
-    "streaming_dedup_snapshot",
-    "streaming_ema_snapshot",
-    # Round-5 in-round additions with no driver row yet (first rows
-    # outrank standing refreshes, so the two stalest-r2 refreshes that
-    # briefly held these slots — scalar_subquery_filter, window_rank_topn
-    # — rejoin the r6 payload; their families keep in-window reps via
-    # not_exists_subquery and the windowed streaming queries).
+    "dedup_minhash_lsh",
+    "dedup_survivors_lsh",
     "dedup_semantic",
+    "decontaminate_overlap",
+    "enrichment_distance",
+    "generator_activities",
+    "join_dim_snowflake",
+    "asof_join",
+    "range_join",
+    "text_stats",
     "quality_classifier",
+    "corpus_pipeline_lsh",
+    "corpus_pipeline_full_lsh",
+    "masked_projection",
+    "set_union_except_intersect",
+    "distinct_projection",
+    "knn_bruteforce",
+    "window_moving_avg",
+    "streaming_upsert_snapshot",
 )
 
 
@@ -273,5 +194,7 @@ def _ensure_loaded() -> None:
     from full_data_infrastructure_spark.functions import debezium  # noqa: F401
     from full_data_infrastructure_spark.plans import flagship_queries  # noqa: F401
 
+    global REGISTRATION_ORDER
+    REGISTRATION_ORDER = tuple(REGISTRY)
     _reorder_for_driver_window()
     _LOADED = True

@@ -446,3 +446,29 @@ def test_scd2_windows_share_one_exchange(spark, sf_dir, queries):
     ).executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert plan.count("+- Sort") == 1, plan
+
+
+def test_profile_columns_single_scan(spark, sf_dir, queries):
+    """profile_columns' whole point is ONE pass for N columns: all four
+    columns' statistics must compute in a single aggregate over a single
+    lineitem scan (the oracle's UNION ALL is the N-pass naive form). A
+    second FileScan would mean the stack() unpivot or the agg re-read
+    the table — the 1-pass-vs-N-passes claim would be false at 100 TB."""
+    plan = plan_of(queries["profile_columns"](spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    # One partial + one final HashAggregate pair, nothing per-column.
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_cooccurrence_reuses_distinct_projection(spark, sf_dir, queries):
+    """event_cooccurrence_lift persists the (user, type) distinct
+    projection that feeds totals, singles, and both sides of the pair
+    self-join — the executed plan must show InMemoryTableScan reuse
+    instead of recomputing the distinct shuffle up to four times."""
+    df = queries["event_cooccurrence_lift"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # totals, singles (x2 aliases), and both self-join sides read the cache.
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    # Every FileScan string is the cached relation describing itself —
+    # no consumer reads the raw events parquet directly.
+    assert plan.count("FileScan") == plan.count("InMemoryRelation"), plan

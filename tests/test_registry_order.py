@@ -59,13 +59,92 @@ def test_window_queries_are_oracle_checked_where_possible():
         "approx_count_distinct",  # HLL sketch values are engine-specific
         "knn_lsh",
         "knn_ivf",
+        "knn_pq",  # PQ codes are engine-specific; recall pytest-asserted
+        "knn_ivfpq",
         "rolling_hash_fingerprint",
         "validation_schema_check",  # V5 schema introspection: engine-specific
+        "bpe_learn",  # merge table is trainer-specific; parity pytest-asserted
+        "bpe_tokenize_counts",
+        "embedding_pca_project",  # eigenvector sign/order; numpy-parity pytest
     }
     for name in registry.DRIVER_WINDOW:
         q = registry.REGISTRY[name]
         if q.oracle is None:
             assert name in rows_only_by_design, f"{name} lost its oracle"
+
+
+def test_window_matches_computed_rotation():
+    """The committed DRIVER_WINDOW literal must equal the window computed
+    from the CORRECTNESS_r*.json history by the rotation policy — the
+    hand-maintained rotation comment was the likeliest silent-mistake site
+    (VERDICT r5 item 2), so the tuple is now generated, and this test
+    keeps it from drifting.  Regenerate with:
+
+        python -m full_data_infrastructure_spark.rotation
+    """
+    from full_data_infrastructure_spark import rotation
+
+    computed = rotation.compute_from_repo()
+    assert computed == registry.DRIVER_WINDOW, (
+        "DRIVER_WINDOW is stale — regenerate with "
+        "`python -m full_data_infrastructure_spark.rotation`"
+    )
+
+
+def test_rotation_prefers_never_attested_then_stalest():
+    """Unit-check the pure policy on a synthetic registry: never-attested
+    first, stalest next, bench pinned, tag repair evicts the freshest."""
+    from full_data_infrastructure_spark.rotation import compute_driver_window
+
+    order = [
+        "flagship_benefits",
+        "bu_salary_dashboard",
+        "benched_fresh",
+        "never_seen",
+        "stale_r1",
+        "fresh_r5",
+        "lonely_family_r5",
+    ]
+    tags = {
+        "flagship_benefits": ("dashboard",),
+        "bu_salary_dashboard": ("dashboard",),
+        "benched_fresh": ("agg",),
+        "never_seen": ("agg",),
+        "stale_r1": ("agg",),
+        "fresh_r5": ("agg",),
+        "lonely_family_r5": ("lonely",),
+    }
+    latest = {
+        "flagship_benefits": 5,
+        "bu_salary_dashboard": 5,
+        "benched_fresh": 5,
+        "stale_r1": 1,
+        "fresh_r5": 5,
+        "lonely_family_r5": 5,
+    }
+    window = compute_driver_window(
+        registration_order=order,
+        bench_names=["benched_fresh"],
+        tags_by_name=tags,
+        latest_green=latest,
+        cap=6,
+        force_refresh=frozenset(),
+    )
+    # Flagship leads; the benched query is pinned; never_seen outranks
+    # stale_r1 outranks fresh_r5; the lonely family's only member swaps
+    # in by evicting the freshest non-pinned member (fresh_r5).
+    assert window[:2] == ("flagship_benefits", "bu_salary_dashboard")
+    assert set(window) == {
+        "flagship_benefits",
+        "bu_salary_dashboard",
+        "benched_fresh",
+        "never_seen",
+        "stale_r1",
+        "lonely_family_r5",
+    }
+    # Order after the flagship head: never-attested, then stalest-first.
+    assert window[2] == "never_seen"
+    assert window[3] == "stale_r1"
 
 
 def test_surface_counts_match_coverage_doc():
