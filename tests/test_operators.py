@@ -678,6 +678,29 @@ def test_knn_ivfpq_recall(spark, sf_dir):
     assert all(v <= TOP_K for v in per_q.values())
     assert PQ_RERANK <= 80
 
+    # Candidate-fraction ceiling (the knn_lsh/knn_ivf gate, applied to the
+    # composition — the 100 TB layout should carry the tightest bound):
+    # the probed-cell candidate set the ADC stage scores must stay under
+    # 0.70 of all query x corpus pairs, so recall is never bought with a
+    # near-full compressed scan.
+    from full_data_infrastructure_spark.functions.vector import l2_norm
+    from full_data_infrastructure_spark.operators.similarity import (
+        N_QUERIES,
+        ivf_candidates,
+    )
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    n_corpus = emb.count()
+    n_cand = ivf_candidates(emb).count()
+    frac = n_cand / (N_QUERIES * (n_corpus - 1))
+    assert frac <= 0.70, f"IVFPQ probed-cell fraction {frac:.2f} > 0.70"
+
 
 def test_lsh_survivors_invariant_to_exact_collapse(spark, near_dup_docs):
     """collapse_exact=True must not change the survivor set, only the

@@ -396,3 +396,66 @@ def test_scd2_reconstructs_state_as_of_any_time(spark, sf_dir):
             assert len(covering) == 1, (user, t)
             want = [e for e in evs if e.ts <= t][-1].event_type
             assert covering[0].state == want, (user, t)
+
+
+@given(
+    events=st.lists(
+        st.tuples(keys, st.sampled_from(["a", "b", "c"]), ts_vals),
+        min_size=1,
+        max_size=12,
+    ),
+    cuts=st.lists(st.integers(1, 11), max_size=3, unique=True),
+)
+@SETTINGS
+def test_scd2_fold_invariant_to_batch_boundaries(spark, events, cuts):
+    """scd2_apply_batch's maintenance contract — fold(compress(A), B) ==
+    compress(A ∪ B) — must hold for ANY split of the time-ordered change
+    log, not just scd2_incremental's one fixed cut date: random change
+    streams (duplicate states, equal timestamps, single-user bursts) are
+    split at random cut points and folded batch-by-batch through a
+    materialized standing table, exactly the nightly-CDC shape. Mirrors
+    test_cdc_fold_invariant_to_batch_boundaries."""
+    from full_data_infrastructure_spark.operators.windows import (
+        scd2_apply_batch,
+        scd2_finalize,
+        scd2_versions,
+    )
+
+    # CDC log order: sort by ts (stable), then event_id = log position so
+    # the (ts, event_id) tiebreak agrees with the order batches arrive in.
+    log = [
+        (u, t, ts, i)
+        for i, (u, t, ts) in enumerate(sorted(events, key=lambda e: e[2]))
+    ]
+    ev_schema = "user_id bigint, event_type string, ts bigint, event_id bigint"
+    ver_schema = "user_id bigint, state string, valid_from bigint, event_id bigint"
+
+    full = sorted(
+        map(
+            tuple,
+            scd2_finalize(
+                scd2_versions(spark.createDataFrame(log, ev_schema))
+            ).collect(),
+        )
+    )
+
+    bounds = sorted(c for c in cuts if c < len(log))
+    pieces, prev = [], 0
+    for c in bounds + [len(log)]:
+        pieces.append(log[prev:c])
+        prev = c
+
+    standing = scd2_versions(
+        spark.createDataFrame(pieces[0], ev_schema)
+    )
+    for piece in pieces[1:]:
+        if not piece:
+            continue
+        batch = spark.createDataFrame(piece, ev_schema)
+        folded = scd2_apply_batch(standing, batch)
+        # Materialize like a real warehouse write: the next fold reads the
+        # stored version table, not a growing lazy plan.
+        standing = spark.createDataFrame(
+            [tuple(r) for r in folded.collect()] or [], ver_schema
+        )
+    assert sorted(map(tuple, scd2_finalize(standing).collect())) == full
