@@ -1224,3 +1224,85 @@ def test_jsonl_permissive_quarantine(spark, sf_dir):
         assert good.filter(F.col("doc_id").isNull()).count() == 0
     finally:
         release_persisted()
+
+
+def test_jsonl_dead_letter_replay_reconstructs_corpus(spark, sf_dir):
+    """The other half of the quarantine pattern a real user needs (the
+    reference's V4 fail-on-invalid semantics, but with RECOVERY instead
+    of failure): after ingest quarantines schema-drifted lines (upstream
+    started writing doc_id as a JSON string), a schema-fixed re-parse of
+    the preserved raw lines must recover them byte-exact, and
+    good UNION replayed must reconstruct the original corpus exactly —
+    the dead-letter table is a recovery queue, not a graveyard."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from full_data_infrastructure_spark.cache import (
+        release_persisted,
+        tracked_persist,
+    )
+    from full_data_infrastructure_spark.streaming.replay import replay_workdir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # Upstream schema drift on every doc_id % 50 == 0 line: doc_id
+    # serialized as a JSON string. Still valid JSON — just not OUR schema.
+    drifted = F.to_json(
+        F.struct(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    clean = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    lines = docs.select(
+        F.when(F.col("doc_id") % 50 == 0, drifted).otherwise(clean).alias("value")
+    )
+    work = replay_workdir("jsonl_replay_")
+    path = os.path.join(work, "jsonl")
+    lines.write.mode("overwrite").text(path)
+
+    schema = docs.schema.add("_corrupt", StringType())
+    parsed = tracked_persist(
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    try:
+        good = parsed.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+        dead_letter = parsed.filter(F.col("_corrupt").isNotNull()).select(
+            F.col("_corrupt").alias("raw")
+        )
+        n_bad = dead_letter.count()
+        assert n_bad == docs.filter(F.col("doc_id") % 50 == 0).count() > 0
+
+        # The schema fix: re-parse the preserved raw lines with the
+        # drifted schema, then cast back to the warehouse types.
+        fixed_schema = (
+            "doc_id string, text string, lang string, "
+            "source string, n_chars bigint"
+        )
+        replayed = (
+            dead_letter.select(
+                F.from_json("raw", fixed_schema).alias("r")
+            )
+            .select("r.*")
+            .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+            .select("doc_id", "text", "lang", "source", "n_chars")
+        )
+        assert replayed.filter(F.col("doc_id").isNull()).count() == 0
+
+        recovered = good.unionByName(replayed)
+        # Exact reconstruction: symmetric difference with the original
+        # corpus is empty (duplicates included — exceptAll both ways).
+        assert recovered.count() == docs.count()
+        assert recovered.exceptAll(docs).count() == 0
+        assert docs.exceptAll(recovered).count() == 0
+    finally:
+        release_persisted()
