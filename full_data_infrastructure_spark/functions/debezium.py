@@ -232,6 +232,9 @@ def _streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     q.awaitTermination()
+    from full_data_infrastructure_spark.streaming.replay import record_fold_cost
+
+    record_fold_cost("streaming_upsert_snapshot", q)
     return spark.read.parquet(os.path.join(work, "snapshot")).select(
         "user_id", "ts_s", "event_type", "value"
     )
