@@ -513,3 +513,56 @@ def _domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 50)
     )
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH pri AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(((doc_id % 1000003) * 2654435761) % 4294967296 AS DOUBLE)
+                   / CAST(n_chars AS DOUBLE) AS priority
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY priority, doc_id) AS rnk
+        FROM pri
+    )
+    WHERE rnk <= 20
+    """,
+    doc="Deterministic weighted sampling per stratum (Efraimidis-"
+    "Spirakis A-ES shape): each document draws a pseudo-random priority "
+    "hash(doc_id)/weight with weight = n_chars, and the 20 lowest "
+    "priorities per language win — longer documents are proportionally "
+    "likelier, which is how token-weighted corpus subsampling selects "
+    "shards. The 'random' draw is an explicit integer LCG hash (exact "
+    "in both engines; F11's engine-owned-randomness pattern), and the "
+    "priority is ONE double division of exact integer operands, so "
+    "ranking is IEEE-identical cross-engine — no RNG, no re-run drift. "
+    "Scale: per-key top-K plans as WindowGroupLimit with a map-side "
+    "Partial phase (the domain_cap_sample plan gate covers the shape): "
+    "each partition truncates to its local top-20 per lang before the "
+    "shuffle, so the exchange carries K x partitions rows per stratum, "
+    "never the corpus.",
+    tags=("extension", "sampling", "curation"),
+)
+def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    priority = (
+        ((F.col("doc_id") % 1000003) * 2654435761) % 4294967296
+    ).cast("double") / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "lang", "n_chars", priority.alias("_p"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("_p").asc(), "doc_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -1418,3 +1418,86 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
     return semantic_dedup_flags(emb)
+
+
+def paragraph_dedup(docs: DataFrame, sep: str = ". ") -> DataFrame:
+    """Corpus-wide chunk-level dedup with document reassembly (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    ExactSubstr operates on suffixes; this is the chunk-granular form
+    production corpora actually ship): split every document into
+    ``sep``-delimited chunks, keep each distinct chunk ONLY at its first
+    occurrence (lowest (doc_id, position)), and reassemble documents from
+    their surviving chunks in original order.
+
+    Scale design: the survivor per chunk is ``min(struct(doc_id, pos))``
+    — a partial-aggregatable groupBy, so a boilerplate chunk repeated
+    10^9 times collapses map-side and never concentrates on one reducer
+    (a row_number window over the chunk partition would sort the hot
+    chunk's full copy set on a single task). Two shuffles total: one on
+    chunk for the min, one on doc_id for reassembly.
+    """
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("pos", "chunk"),
+    )
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = firsts.select(
+        F.col("first.doc_id").alias("doc_id"),
+        F.col("first.pos").alias("pos"),
+        "chunk",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            sep,
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).alias("kept_chunks"),
+    )
+
+
+@register(
+    "paragraph_dedup",
+    """
+    WITH chunks AS (
+        SELECT doc_id,
+               unnest(string_split(text, '. ')) AS chunk,
+               unnest(range(1, len(string_split(text, '. ')) + 1)) AS pos
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, chunk, pos,
+               ROW_NUMBER() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, pos) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           string_agg(chunk, '. ' ORDER BY pos) AS dedup_text,
+           CAST(COUNT(*) AS BIGINT) AS kept_chunks
+    FROM ranked
+    WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    doc="Chunk-level (sentence-granular) exact dedup across the whole "
+    "corpus with in-place document reassembly — the sub-document twin of "
+    "exact_dedup: boilerplate sentences (headers, licenses, navigation) "
+    "repeat across millions of pages and survive document-level dedup "
+    "untouched. Each distinct chunk survives only at its first "
+    "(doc_id, pos) occurrence; documents are rebuilt from surviving "
+    "chunks in original order (docs losing every chunk drop out). The "
+    "oracle recomputes the survivor set with the naive row_number form, "
+    "so the hash match proves the map-side min(struct) aggregation "
+    "(chosen because it partial-aggregates: a 10^9-copy hot chunk "
+    "collapses before the shuffle) selects identical survivors. "
+    "bench=True: explode + two shuffles over the full corpus text is a "
+    "real corpus-pass cost worth tracking round-over-round.",
+    tags=("llm", "dedup", "text"),
+    bench=True,
+)
+def _paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(docs)

@@ -1054,3 +1054,42 @@ def _scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = scd2_versions(events.filter(F.col("ts") < cut))
     batch = events.filter(F.col("ts") >= cut)
     return scd2_finalize(scd2_apply_batch(standing, batch))
+
+
+@register(
+    "window_range_hour_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_sum
+    FROM events
+    """,
+    doc="Time-RANGE frame aggregate (§2.5's missing frame kind — every "
+    "other window here is ROWS-framed): per user, the sum of event "
+    "values in the trailing ONE HOUR of event time, however many rows "
+    "that spans. ROWS frames answer 'last 7 events', RANGE frames answer "
+    "'last hour' — the shape rate limiting, rolling spend caps and "
+    "sliding SLO windows need, and at 100 TB it is one shuffle + one "
+    "sort exactly like a ROWS frame (the frame bound is evaluated on "
+    "the already-sorted run). Event time is compared in integer "
+    "microseconds on both engines (unix_micros / epoch_us — no "
+    "timezone or double-epoch hazard), equal-ts peers are in-frame per "
+    "the SQL standard in both, and the summand is the repo's exact "
+    "DECIMAL cast so the frame sum is association-order-free.",
+    tags=("extension", "window", "events"),
+)
+def _window_range_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev = events.withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(money("value")).over(w).cast("double").alias("hour_sum"),
+    )

