@@ -643,3 +643,66 @@ def _event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "trend_by_event_type",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1700000000
+                             AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1700000000
+                             AS DECIMAL(18,0))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1700000000
+                             AS DECIMAL(18,0))
+                        * CAST(epoch_us(ts) // 1000000 - 1700000000
+                               AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 86400.0, 6)
+               AS slope_per_day
+    FROM s
+    """,
+    doc="Per-key OLS trend: the least-squares slope of event value over "
+    "event time for every event type, reported per day — the drift "
+    "detector monitoring pipelines run over every metric. Exactly the "
+    "correlation_matrix recipe applied group-wise: sufficient statistics "
+    "(n, sum x, sum y, sum xy, sum x^2 with x = integer epoch seconds) "
+    "accumulate as EXACT DECIMALs in one map-side-combined groupBy over "
+    "one scan, cast to double once, and the closed-form slope runs the "
+    "same IEEE operation sequence in both engines on those identical "
+    "operands. ONE pass however many keys; the per-key regression loop "
+    "it replaces is a scan per key.",
+    tags=("extension", "aggregate", "events"),
+)
+def _trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # Integer division, not /: a float quotient's nearest-double rounding
+    # can land across the integer boundary the floor semantics demand.
+    # The fixed epoch shift keeps x small enough for exact DECIMAL
+    # products in BOTH engines (DuckDB errors on DECIMAL(18) overflow);
+    # an OLS slope is translation-invariant in x.
+    x = F.expr("unix_micros(ts) div 1000000 - 1700000000").cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_events"),
+        F.round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 86400.0, 6).alias(
+            "slope_per_day"
+        ),
+    )

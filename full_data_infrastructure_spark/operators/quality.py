@@ -397,3 +397,92 @@ def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (col, n_nulls, min_v, max_v, avg_v)"
         )
     )
+
+
+@register(
+    "correlation_matrix",
+    """
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ss_q,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ss_e,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS ss_d,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp_q_e,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sp_q_d,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sp_e_d
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           ROUND((n * sp_q_e - s_q * s_e)
+                 / SQRT((n * ss_q - s_q * s_q) * (n * ss_e - s_e * s_e)), 4)
+               AS corr
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND((n * sp_q_d - s_q * s_d)
+                 / SQRT((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 4)
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND((n * sp_e_d - s_e * s_d)
+                 / SQRT((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)), 4)
+    FROM s
+    """,
+    doc="One-pass Pearson correlation matrix over lineitem's numeric "
+    "columns — profile_columns' bivariate sibling: all sufficient "
+    "statistics (count, per-column sums and square sums, pairwise "
+    "product sums) accumulate as EXACT DECIMALs in a single aggregate "
+    "over a single scan, cast to double once, and the textbook raw-sum "
+    "formula runs the SAME IEEE operation sequence in both engines on "
+    "those identical operands — so the 4dp round is deterministic "
+    "cross-engine even where the formula cancels. At 100 TB this is "
+    "one map-side-combined pass producing a 3-row result; the "
+    "pandas-style per-pair corr() loop it replaces is C(N,2) scans.",
+    tags=("extension", "quality", "aggregate"),
+)
+def _correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_extendedprice", "l_discount")
+    short = {"l_quantity": "q", "l_extendedprice": "e", "l_discount": "d"}
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        k = short[c]
+        aggs.append(F.sum(dec[c]).cast("double").alias(f"s_{k}"))
+        aggs.append(F.sum(dec[c] * dec[c]).cast("double").alias(f"ss_{k}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(dec[a] * dec[b])
+                .cast("double")
+                .alias(f"sp_{short[a]}_{short[b]}")
+            )
+    s = li.agg(*aggs)
+
+    def corr(a: str, b: str) -> Column:
+        ka, kb = short[a], short[b]
+        n = F.col("n")
+        num = n * F.col(f"sp_{ka}_{kb}") - F.col(f"s_{ka}") * F.col(f"s_{kb}")
+        den = F.sqrt(
+            (n * F.col(f"ss_{ka}") - F.col(f"s_{ka}") * F.col(f"s_{ka}"))
+            * (n * F.col(f"ss_{kb}") - F.col(f"s_{kb}") * F.col(f"s_{kb}"))
+        )
+        return F.round(num / den, 4)
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    out = None
+    for a, b in pairs:
+        row = s.select(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr(a, b).alias("corr")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -833,3 +833,80 @@ def _bpe_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = [(left, right) for _rank, left, right, _cnt in bpe_learn_merges(docs)]
     return bpe_apply_counts(docs, merges)
+
+
+@register(
+    "rare_bigram_quality",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> len(t) > 0) AS tk
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks
+    ),
+    bi AS (
+        SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram FROM idx
+    ),
+    occ AS (
+        SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS k
+        FROM bi GROUP BY doc_id, bigram
+    ),
+    gcnt AS (
+        SELECT bigram, CAST(SUM(k) AS BIGINT) AS g FROM occ GROUP BY bigram
+    )
+    SELECT o.doc_id,
+           CAST(SUM(o.k) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CASE WHEN gl.g <= 2 THEN o.k ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(o.k) AS DOUBLE), 4) AS rare_frac
+    FROM occ o JOIN gcnt gl ON gl.bigram = o.bigram
+    GROUP BY o.doc_id
+    """,
+    doc="Cross-document rare-bigram fraction — the corpus-statistics "
+    "quality signal the per-doc Gopher repetition rules can't see: a "
+    "document whose word pairs almost never recur anywhere in the corpus "
+    "is gibberish/OCR noise (the cheap integer-count proxy for the KenLM "
+    "perplexity filter CCNet uses, with no cross-engine log/float "
+    "hazard — counts stay integers until ONE double division and a 4dp "
+    "round). Scale: per-doc bigram counts partial-aggregate map-side; "
+    "the global-frequency join is on the bigram key with the per-doc "
+    "count table (already collapsed, never the raw occurrence stream) "
+    "on both sides, and the persisted occ table feeds both the global "
+    "counts and the join, so the explode runs once.",
+    tags=("llm", "text", "quality"),
+)
+def _rare_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.cache import tracked_persist
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = tokens("text")
+    with_tk = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    bigram = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat(
+                F.element_at("tk", i), F.lit(" "), F.element_at("tk", i + 1)
+            ),
+        )
+    )
+    occ = tracked_persist(
+        with_tk.select("doc_id", bigram.alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    glob = occ.groupBy("bigram").agg(F.sum("k").alias("g"))
+    return (
+        occ.join(glob, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.when(F.col("g") <= 2, F.col("k")).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum("k").cast("double"),
+                4,
+            ).alias("rare_frac"),
+        )
+    )

@@ -69,10 +69,6 @@ def bench_queries() -> dict[str, QueryBuilder]:
 
 _LOADED = False
 
-# Original @register order (module import order), captured by _ensure_loaded
-# BEFORE the window reorder — the rotation's deterministic tiebreaker.
-REGISTRATION_ORDER: tuple[str, ...] = ()
-
 # The external verify driver attests exactly the FIRST 50 registered queries
 # (dict insertion order), so the registry is explicitly re-ordered after
 # loading and the window ROTATES each round: queries that already hold a
@@ -101,54 +97,54 @@ REGISTRATION_ORDER: tuple[str, ...] = ()
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "event_cooccurrence_lift",
-    "paragraph_dedup",
-    "snapshot_diff",
-    "domain_cap_sample",
-    "triangle_count_parts",
-    "jsonl_documents_roundtrip",
-    "jsonl_quarantine_ingest",
     "bpe_learn",
     "bpe_tokenize_counts",
-    "token_budget_sample",
     "conversation_assembly",
-    "profile_columns",
-    "gapfill_locf",
-    "knn_pq",
-    "knn_ivfpq",
-    "hard_negative_mining",
+    "domain_cap_sample",
     "embedding_kmeans",
     "embedding_pca_project",
+    "event_cooccurrence_lift",
+    "gapfill_locf",
+    "hard_negative_mining",
+    "jsonl_documents_roundtrip",
+    "jsonl_quarantine_ingest",
+    "knn_ivfpq",
+    "knn_pq",
+    "paragraph_dedup",
+    "profile_columns",
     "scd2_history",
     "scd2_incremental",
+    "snapshot_diff",
+    "token_budget_sample",
+    "triangle_count_parts",
     "multimodal_frame_sample",
     "scalar_subquery_filter",
     "membership_validation",
     "pivot_event_counts",
     "date_format_concat",
-    "sessionize_batch",
     "debezium_roundtrip",
-    "topk_group_count",
-    "multi_aggregate",
-    "dedup_minhash_lsh",
-    "dedup_survivors_lsh",
-    "dedup_semantic",
+    "sessionize_batch",
+    "asof_join",
+    "corpus_pipeline_full_lsh",
+    "corpus_pipeline_lsh",
     "decontaminate_overlap",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "dedup_survivors_lsh",
+    "distinct_projection",
     "enrichment_distance",
     "generator_activities",
     "join_dim_snowflake",
-    "asof_join",
-    "range_join",
-    "text_stats",
-    "quality_classifier",
-    "corpus_pipeline_lsh",
-    "corpus_pipeline_full_lsh",
-    "masked_projection",
-    "set_union_except_intersect",
-    "distinct_projection",
     "knn_bruteforce",
-    "window_moving_avg",
+    "masked_projection",
+    "multi_aggregate",
+    "quality_classifier",
+    "range_join",
+    "set_union_except_intersect",
     "streaming_upsert_snapshot",
+    "text_stats",
+    "topk_group_count",
+    "window_moving_avg",
 )
 
 
@@ -196,7 +192,5 @@ def _ensure_loaded() -> None:
     from full_data_infrastructure_spark.functions import debezium  # noqa: F401
     from full_data_infrastructure_spark.plans import flagship_queries  # noqa: F401
 
-    global REGISTRATION_ORDER
-    REGISTRATION_ORDER = tuple(REGISTRY)
     _reorder_for_driver_window()
     _LOADED = True

@@ -16,9 +16,11 @@ makes the rotation mechanical:
   order) and every ``bench=True`` query (the graded perf set must stay
   value-attested).
 * **Priority** for the remaining slots: never-attested queries first
-  (latest green round 0), then stalest-first; ties break on registration
-  order.  Queries named in ``FORCE_REFRESH`` (builder or oracle changed
-  since their last green row) are treated as never-attested.
+  (latest green round 0), then stalest-first; ties break alphabetically
+  on the query name (registration order is module-IMPORT order, which
+  test collection can permute — a name is import-order-proof).  Queries
+  named in ``FORCE_REFRESH`` (builder or oracle changed since their last
+  green row) are treated as never-attested.
 * **Tag repair**: every operator-family tag must keep at least one window
   representative.  If the priority fill leaves a family uncovered, its
   stalest member swaps in and the *freshest* evictable window member whose
@@ -61,6 +63,9 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "fuzzy_match_suppliers",
         "weighted_sample_docs",
         "window_range_hour_sum",
+        "correlation_matrix",
+        "trend_by_event_type",
+        "rare_bigram_quality",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round
@@ -95,7 +100,7 @@ def load_latest_green(root: str | os.PathLike[str]) -> dict[str, int]:
 
 
 def compute_driver_window(
-    registration_order: Iterable[str],
+    names: Iterable[str],
     bench_names: Iterable[str],
     tags_by_name: Mapping[str, tuple[str, ...]],
     latest_green: Mapping[str, int],
@@ -103,18 +108,17 @@ def compute_driver_window(
     force_refresh: frozenset[str] = FORCE_REFRESH,
 ) -> tuple[str, ...]:
     """Pure window computation (no IO) — see the module docstring for policy."""
-    order = list(registration_order)
-    reg_index = {n: i for i, n in enumerate(order)}
+    order = sorted(names)
     bench = set(bench_names)
 
-    def staleness(name: str) -> tuple[int, int]:
+    def staleness(name: str) -> tuple[int, str]:
         if name in force_refresh:
             rnd = 0
         elif name in DEFER_TO_NEXT_ROUND:
             rnd = _DEFER_ROUND
         else:
             rnd = latest_green.get(name, 0)
-        return (rnd, reg_index[name])
+        return (rnd, name)
 
     pinned = set(FLAGSHIP) | bench
     if len(pinned) > cap:
@@ -175,7 +179,7 @@ def compute_from_repo() -> tuple[str, ...]:
     registry._ensure_loaded()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return compute_driver_window(
-        registration_order=registry.REGISTRATION_ORDER,
+        names=registry.REGISTRY,
         bench_names=[n for n, q in registry.REGISTRY.items() if q.bench],
         tags_by_name={n: q.tags for n, q in registry.REGISTRY.items()},
         latest_green=load_latest_green(root),

@@ -1386,3 +1386,70 @@ def test_weighted_sample_prefers_heavier_docs(spark):
         if sum(r["n_chars"] for r in rows) / len(rows) > means[lang]
     )
     assert heavier >= len(by_lang) * 0.7, "weighted sample shows no weight bias"
+
+
+def test_correlation_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in REGISTRY["correlation_matrix"].build(spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    for (a, b), v in got.items():
+        want = float(np.corrcoef(pdf[a], pdf[b])[0, 1])
+        assert abs(v - want) < 1e-3, (a, b, v, want)
+
+
+def test_trend_matches_numpy_polyfit(spark, sf_dir):
+    import numpy as np
+
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        r["event_type"]: r["slope_per_day"]
+        for r in REGISTRY["trend_by_event_type"].build(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 1000000").alias("x"), "event_type", "value"
+    )
+    pdf = events.toPandas()
+    for et, slope in got.items():
+        sub = pdf[pdf.event_type == et]
+        want = float(np.polyfit(sub.x.to_numpy(), sub.value.to_numpy(), 1)[0]) * 86400
+        assert abs(slope - want) < max(1e-3, abs(want) * 1e-3), (et, slope, want)
+
+
+def test_rare_bigram_flags_gibberish(spark):
+    from full_data_infrastructure_spark.cache import release_persisted
+    from full_data_infrastructure_spark.operators.text import _rare_bigram_quality
+
+    # Build a tiny corpus directly through the builder's internals by
+    # writing a temp parquet 'documents' table.
+    import os
+    import tempfile
+
+    common = "the cat sat on the mat and looked at the dog"
+    rows = [(i, common) for i in range(5)] + [
+        (99, "zq wv xk jh qp mz vt lw kd rb ny")
+    ]
+    d = tempfile.mkdtemp(prefix="raretest_")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    try:
+        out = {r["doc_id"]: r["rare_frac"] for r in _rare_bigram_quality(spark, d).collect()}
+        # every bigram of the repeated doc occurs 5x (> 2) => frac 0
+        assert all(out[i] == 0.0 for i in range(5)), out
+        # the gibberish doc's bigrams occur once each => frac 1
+        assert out[99] == 1.0, out
+    finally:
+        release_persisted()

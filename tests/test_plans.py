@@ -465,13 +465,32 @@ def test_cooccurrence_reuses_distinct_projection(spark, sf_dir, queries):
     projection that feeds totals, singles, and both sides of the pair
     self-join — the executed plan must show InMemoryTableScan reuse
     instead of recomputing the distinct shuffle up to four times."""
+    from full_data_infrastructure_spark.cache import release_persisted
+
+    # Ambient caches from earlier tests nest InMemoryRelation descriptions
+    # (CacheManager reuses the identical cached plan), skewing the textual
+    # counts below — assert from a clean cache state.
+    release_persisted()
     df = queries["event_cooccurrence_lift"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # totals, singles (x2 aliases), and both self-join sides read the cache.
     assert plan.count("InMemoryTableScan") >= 4, plan
-    # Every FileScan string is the cached relation describing itself —
+    # Every FileScan must be the cached relation describing its own child
+    # plan (printed deeper than an InMemoryRelation line above it; a
+    # materialized AQE cache prints final+initial plans, so counts vary) —
     # no consumer reads the raw events parquet directly.
-    assert plan.count("FileScan") == plan.count("InMemoryRelation"), plan
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "FileScan" not in line:
+            continue
+        covered = any(
+            "InMemoryRelation" in prev and indent(prev) < indent(line)
+            for prev in lines[:i]
+        )
+        assert covered, f"uncached FileScan:\n{line}\n\n{plan}"
 
 
 def test_fuzzy_match_blocks_no_cartesian(spark, sf_dir, queries):

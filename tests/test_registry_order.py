@@ -123,7 +123,7 @@ def test_rotation_prefers_never_attested_then_stalest():
         "lonely_family_r5": 5,
     }
     window = compute_driver_window(
-        registration_order=order,
+        names=order,
         bench_names=["benched_fresh"],
         tags_by_name=tags,
         latest_green=latest,
