@@ -536,3 +536,119 @@ def _fuzzy_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match(
         supplier, corrupted, key="s_suppkey", dirty_key="dirty_key", name="s_name"
     )
+
+SQL_REVENUE = (
+    "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+    "AS DOUBLE), 2)"
+)
+
+
+def revenue_sum() -> "F.Column":
+    """Exact-decimal discounted revenue: SUM(price * (1 - discount)) with
+    both operands cast to DECIMAL(18,2) first, so the product and the sum
+    are exact and the one double cast + 2dp round is cross-engine
+    deterministic (functions/money.py rationale)."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    return F.round(F.sum(price * disc).cast("double"), 2)
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {SQL_REVENUE} AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 (shipping priority) adapted to the synthetic schema: "
+    "segment-filtered customer x orders x lineitem, discounted-revenue "
+    "top-10 of unshipped-as-of-date orders. The canonical selective "
+    "fact-to-fact join: both date filters push to the parquet scans, the "
+    "segment filter prunes customer BEFORE the join, revenue is the "
+    "exact-decimal money pattern, and the top-10 compiles to "
+    "TakeOrderedAndProject (per-partition heaps), never a global sort.",
+    tags=("extension", "join", "aggregate"),
+)
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_sum().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_volume",
+    f"""
+    SELECT n_name,
+           {SQL_REVENUE} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 (local supplier volume) adapted to the synthetic schema: "
+    "the six-way join — customer x orders x lineitem x supplier x nation "
+    "x region with the local-supplier correlation (c_nationkey = "
+    "s_nationkey) — that exercises join ORDER at scale: region/nation/"
+    "supplier broadcast, the date range prunes orders at the scan, and "
+    "the only shuffles left are the two fact joins. Catalyst derives all "
+    "of that from the declarative plan; the correlated equality arrives "
+    "as a join condition, not a post-filter.",
+    tags=("extension", "join", "aggregate"),
+)
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revenue_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

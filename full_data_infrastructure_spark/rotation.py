@@ -66,6 +66,8 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "correlation_matrix",
         "trend_by_event_type",
         "rare_bigram_quality",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_region_volume",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round

@@ -510,3 +510,22 @@ def test_weighted_sample_truncates_map_side(spark, sf_dir, queries):
     ).executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, f"no map-side partial truncation:\n{plan}"
+
+
+def test_tpch_q3_take_ordered_pushed_filters(spark, sf_dir, queries):
+    """Q3's top-10 must compile to TakeOrderedAndProject (per-partition
+    heaps, never a global sort) and both date predicates must reach the
+    parquet scans as pushed filters."""
+    plan = plan_of(queries["tpch_q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "LessThan" in l for l in pushed), plan
+    assert any("l_shipdate" in l and "GreaterThan" in l for l in pushed), plan
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir, queries):
+    """The six-way join must broadcast supplier/nation/region — only the
+    two fact joins may shuffle — and never degrade to a cartesian plan."""
+    plan = plan_of(queries["tpch_q5_region_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan

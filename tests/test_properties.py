@@ -459,3 +459,58 @@ def test_scd2_fold_invariant_to_batch_boundaries(spark, events, cuts):
             [tuple(r) for r in folded.collect()] or [], ver_schema
         )
     assert sorted(map(tuple, scd2_finalize(standing).collect())) == full
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=4),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SETTINGS
+def test_paragraph_dedup_idempotent_and_globally_unique(spark, texts):
+    """paragraph_dedup must be a projection onto its own fixed point:
+    running it on its own output changes nothing (every surviving chunk
+    is already globally unique), for any corpus including duplicate
+    chunks within one document and across documents."""
+    from full_data_infrastructure_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, ". ".join(chunks)) for i, chunks in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+    once = paragraph_dedup(docs).collect()
+    # global uniqueness of surviving chunks
+    seen = set()
+    for r in once:
+        for c in r["dedup_text"].split(". "):
+            assert c not in seen, (c, once)
+            seen.add(c)
+    assert once  # the globally-first chunk always survives somewhere
+    again = paragraph_dedup(
+        spark.createDataFrame(
+            [(r["doc_id"], r["dedup_text"]) for r in once],
+            "doc_id bigint, text string",
+        )
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, once))
+
+
+@given(
+    base=st.text(alphabet="abcd", min_size=1, max_size=6),
+    pos=st.integers(0, 5),
+)
+@SETTINGS
+def test_fuzzy_match_mask_blocking_is_lossless(spark, base, pos):
+    """For ANY string and ANY single-position substitution, the masked
+    neighborhood join must surface the pair — the exactness claim behind
+    the oracle match, probed beyond the fixture corpus."""
+    from full_data_infrastructure_spark.operators.joins import fuzzy_match
+
+    pos = pos % len(base)
+    corrupted = base[:pos] + ("z" if base[pos] != "z" else "y") + base[pos + 1 :]
+    clean = spark.createDataFrame([(1, base)], "k bigint, nm string")
+    dirty = spark.createDataFrame([(2, corrupted)], "k bigint, nm string")
+    out = fuzzy_match(clean, dirty, key="k", dirty_key="k", name="nm").collect()
+    assert [(r["clean_key"], r["dirty_key"], r["lev"]) for r in out] == [(1, 2, 1)]
