@@ -361,3 +361,49 @@ def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+def pseudonymize(df: DataFrame, cols: list[str], key: str) -> DataFrame:
+    """Keyed, join-consistent pseudonymization: each listed column is
+    replaced by a token derived from md5(key || value) — the SAME value
+    always maps to the SAME token (joins and GROUP BYs on the column keep
+    working across tables and runs), while the value itself never leaves
+    the cluster. The other half of the privacy surface next to
+    masked_projection (which nulls) and pii_redact (which strips): masking
+    destroys analytics, pseudonymization preserves them. Rotating ``key``
+    re-keys the corpus — the GDPR re-identification control. Pure
+    projection: no shuffle, stays in whole-stage codegen."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.concat(
+                F.lit("tok_"),
+                F.substring(F.md5(F.concat(F.lit(key + ":"), F.col(c))), 1, 16),
+            ),
+        )
+    return out
+
+
+@register(
+    "pseudonymize_customers",
+    """
+    SELECT c_custkey,
+           'tok_' || substr(md5('k2026:' || c_name), 1, 16) AS c_name,
+           c_mktsegment
+    FROM customer
+    """,
+    doc="Keyed join-consistent pseudonymization of customer names (P6's "
+    "analytics-preserving sibling): token = md5(secret_key || value) "
+    "prefix, so equal names tokenize equally across every table and run "
+    "(joinability/grouping preserved) while the raw value never appears "
+    "downstream; rotating the key re-keys the corpus. Both engines "
+    "compute identical lowercase-hex md5, so the projection is "
+    "oracle-checked bit-for-bit. Zero-shuffle projection.",
+    tags=("extension", "projection", "security"),
+)
+def _pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return pseudonymize(customer, ["c_name"], key="k2026")

@@ -1453,3 +1453,28 @@ def test_rare_bigram_flags_gibberish(spark):
         assert out[99] == 1.0, out
     finally:
         release_persisted()
+
+
+def test_pseudonymize_preserves_joinability(spark, sf_dir):
+    """Pseudonymized columns must keep equality semantics: joining two
+    independently tokenized projections of the same table on the token
+    recovers exactly the key-join pairs, and distinct names get distinct
+    tokens (16 hex chars of md5 — collisions would break grouping)."""
+    from full_data_infrastructure_spark.operators.relational import pseudonymize
+
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = pseudonymize(customer, ["c_name"], key="k2026").alias("a")
+    b = pseudonymize(customer, ["c_name"], key="k2026").alias("b")
+    n_tok = a.join(b, F.col("a.c_name") == F.col("b.c_name")).count()
+    n_key = customer.alias("x").join(
+        customer.alias("y"), F.col("x.c_custkey") == F.col("y.c_custkey")
+    ).count()
+    # names are unique in TPC-H => token join == key join cardinality
+    assert n_tok == n_key
+    n_names = customer.select("c_name").distinct().count()
+    n_tokens = a.select("c_name").distinct().count()
+    assert n_tokens == n_names
+    # a different key re-keys every token
+    c = pseudonymize(customer, ["c_name"], key="other")
+    overlap = a.select("c_name").intersect(c.select("c_name")).count()
+    assert overlap == 0
