@@ -69,6 +69,7 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",
         "pseudonymize_customers",
+        "streaming_scd2_snapshot",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round

@@ -268,3 +268,64 @@ def start_rollup_sink(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_scd2_sink(
+    changes: DataFrame,
+    versions_path: str,
+    checkpoint_path: str,
+    fmt: str = "parquet",
+    available_now: bool = False,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """SCD Type-2 warehouse sink: per micro-batch, fold the change batch
+    into the standing compressed-version table via
+    :func:`~full_data_infrastructure_spark.operators.windows.scd2_apply_batch`
+    — the dimension-HISTORY consumer of a CDC stream, where
+    :func:`start_upsert_sink` keeps only the latest row per key.
+
+    Work per batch scales with the batch's user set (anti-join
+    pass-through for untouched users), never the accumulated history.
+    The fold is idempotent under batch replay: re-applied change rows
+    land adjacent to their own version rows in the (ts, event_id) order
+    and compress away as no-op transitions, so checkpointed at-least-once
+    redelivery converges (the same argument as the upsert sink, proven
+    at the operator level by
+    tests/test_properties.py::test_scd2_fold_invariant_to_batch_boundaries
+    and the idempotence unit test). Requires batches ordered by the
+    change time — the per-partition ordering a keyed topic (or the
+    ts-ordered replay harness) provides. The snapshot is swapped through
+    a temp directory per batch so concurrent readers never see a
+    half-written table.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from full_data_infrastructure_spark.operators.windows import (
+        scd2_apply_batch,
+        scd2_versions,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("user_id", "event_type", "ts", "event_id")
+        if os.path.exists(versions_path):
+            standing = spark.read.format(fmt).load(versions_path)
+            merged = scd2_apply_batch(standing, batch)
+        else:
+            merged = scd2_versions(batch)
+        tmp = f"{versions_path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
+        merged.write.format(fmt).mode("overwrite").save(tmp)
+        if os.path.exists(versions_path):
+            shutil.rmtree(versions_path)
+        os.rename(tmp, versions_path)
+
+    writer = changes.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

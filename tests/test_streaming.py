@@ -1115,3 +1115,29 @@ def test_stream_static_dim_join_matches_batch(spark, sf_dir, tmp_path):
         for r in events.join(dim, "user_id", "left").collect()
     }
     assert got == want and len(got) == 500
+
+
+def test_scd2_sink_fold_is_idempotent(spark):
+    """At-least-once redelivery: folding the SAME batch twice must equal
+    folding it once — replayed change rows compress away as no-op
+    transitions next to their own version rows."""
+    from full_data_infrastructure_spark.operators.windows import (
+        scd2_apply_batch,
+        scd2_finalize,
+        scd2_versions,
+    )
+
+    schema = "user_id bigint, event_type string, ts bigint, event_id bigint"
+    old = [(1, "a", 1, 1), (1, "b", 2, 2), (2, "a", 2, 3)]
+    new = [(1, "a", 3, 4), (2, "a", 4, 5), (3, "c", 5, 6)]
+    standing = scd2_versions(spark.createDataFrame(old, schema))
+    batch = spark.createDataFrame(new, schema)
+    once = scd2_apply_batch(standing, batch)
+    ver_schema = "user_id bigint, state string, valid_from bigint, event_id bigint"
+    materialized = spark.createDataFrame(
+        [tuple(r) for r in once.collect()], ver_schema
+    )
+    twice = scd2_apply_batch(materialized, batch)
+    assert sorted(map(tuple, scd2_finalize(twice).collect())) == sorted(
+        map(tuple, scd2_finalize(once).collect())
+    )
