@@ -652,3 +652,122 @@ def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
+    """Distributed PageRank (damping 0.85) over a canonical u < v edge set,
+    cross-engine deterministic: per-edge contributions rank/degree are
+    rounded to 12dp and cast to DECIMAL(20,12) BEFORE the per-node sum, so
+    the only float-order-sensitive reduction in the algorithm is exact
+    (the embedding_kmeans rounded-cosine/DECIMAL-mean technique applied to
+    graph propagation). Symmetrizing the edges leaves no dangling nodes.
+
+    Scale design: one persisted edge table feeds the degree count and
+    every iteration; each iteration is one edge-keyed equi-join plus a
+    map-side-combinable sum — rank state is node-sized, the shuffle is
+    edge-keyed, and the plan repeats linearly per iteration (no driver
+    actions; production runs just raise ``iterations``)."""
+    from full_data_infrastructure_spark.cache import tracked_persist
+
+    pairs = edges_undirected
+    edges = tracked_persist(
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_df = deg.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(n_df))
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("r") / F.col("d"), 12)
+                .cast("decimal(20,12)")
+                .alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    0.15 / F.col("n_nodes") + 0.85 * F.col("s").cast("double"),
+                    12,
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("node").alias("part"), F.col("r").alias("pagerank"))
+
+
+@register(
+    "pagerank_parts",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                        GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / n.n_nodes AS r FROM deg CROSS JOIN n),
+    it1 AS (
+        SELECT dst AS node, ROUND(0.15 / n.n_nodes + 0.85 * CAST(s AS DOUBLE), 12) AS r
+        FROM (SELECT e.dst, SUM(CAST(ROUND(p.r / d.d, 12) AS DECIMAL(20,12))) AS s
+              FROM edges e JOIN r0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+              GROUP BY e.dst) CROSS JOIN n
+    ),
+    it2 AS (
+        SELECT dst AS node, ROUND(0.15 / n.n_nodes + 0.85 * CAST(s AS DOUBLE), 12) AS r
+        FROM (SELECT e.dst, SUM(CAST(ROUND(p.r / d.d, 12) AS DECIMAL(20,12))) AS s
+              FROM edges e JOIN it1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+              GROUP BY e.dst) CROSS JOIN n
+    ),
+    it3 AS (
+        SELECT dst AS node, ROUND(0.15 / n.n_nodes + 0.85 * CAST(s AS DOUBLE), 12) AS r
+        FROM (SELECT e.dst, SUM(CAST(ROUND(p.r / d.d, 12) AS DECIMAL(20,12))) AS s
+              FROM edges e JOIN it2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+              GROUP BY e.dst) CROSS JOIN n
+    )
+    SELECT node AS part, r AS pagerank FROM it3
+    """,
+    doc="PageRank over the part co-purchase graph (3 damped iterations, "
+    "completing the graph-analytics trio with two-star connected "
+    "components and degree-oriented triangles): rank propagation as "
+    "edge-keyed joins + map-side-combinable per-node sums, with every "
+    "contribution rounded to 12dp and summed as DECIMAL(20,12) so the "
+    "one order-sensitive float reduction is exact — both engines run "
+    "the identical IEEE expression sequence and the hash must match "
+    "bit-for-bit. The oracle unrolls the same three iterations as CTEs "
+    "(the embedding_kmeans oracle pattern). At 100 TB: edges persist "
+    "once, rank state is node-sized, per-iteration cost is one shuffle.",
+    tags=("extension", "join", "aggregate"),
+)
+def _pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return pagerank(pairs, iterations=3)

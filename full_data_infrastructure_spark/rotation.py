@@ -70,6 +70,7 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "tpch_q5_region_volume",
         "pseudonymize_customers",
         "streaming_scd2_snapshot",
+        "pagerank_parts",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round

@@ -1478,3 +1478,22 @@ def test_pseudonymize_preserves_joinability(spark, sf_dir):
     c = pseudonymize(customer, ["c_name"], key="other")
     overlap = a.select("c_name").intersect(c.select("c_name")).count()
     assert overlap == 0
+
+
+def test_pagerank_mass_conservation_and_hub_dominance(spark):
+    """PageRank invariants on a crafted graph: total rank mass stays ~1
+    (damped propagation conserves mass on a dangling-free graph), and the
+    hub of a star graph outranks every leaf."""
+    from full_data_infrastructure_spark.cache import release_persisted
+    from full_data_infrastructure_spark.operators.joins import pagerank
+
+    # star: 0 is the hub of 1..6, plus one distant edge 7-8
+    pairs = [(0, i) for i in range(1, 7)] + [(7, 8)]
+    edges = spark.createDataFrame(pairs, "u bigint, v bigint")
+    try:
+        rows = {r["part"]: r["pagerank"] for r in pagerank(edges, 3).collect()}
+    finally:
+        release_persisted()
+    assert abs(sum(rows.values()) - 1.0) < 1e-6, rows
+    hub = rows[0]
+    assert all(hub > rows[i] for i in range(1, 7)), rows
