@@ -771,3 +771,103 @@ def _pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(pairs, iterations=3)
+
+
+@register(
+    "session_overlap_pairs",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS seq,
+               ts
+        FROM flagged
+    ),
+    bounds AS (
+        SELECT user_id, seq, MIN(ts) AS s, MAX(ts) AS e
+        FROM sess GROUP BY user_id, seq
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_concurrent
+    FROM bounds a
+    JOIN bounds b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id, b.user_id
+    """,
+    doc="Interval-OVERLAP join (the join kind range_join's point-in-range "
+    "doesn't cover): which users' 30-minute-gap sessions were concurrent, "
+    "and how often — co-presence detection. The engine bins each session "
+    "to its covered day buckets (sessions are short, so 1-2 buckets each) "
+    "and equi-joins on the bucket before the exact overlap verify "
+    "(a.s <= b.e AND b.s <= a.e), deduplicating pairs that share two "
+    "buckets — candidate volume is per-bin-bounded where the naive "
+    "interval theta join the ORACLE runs is O(n^2): the hash match "
+    "proves banding loses no pair (overlapping intervals always share "
+    "the day bucket of any common instant).",
+    tags=("extension", "join", "session", "events"),
+)
+def _session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from full_data_infrastructure_spark.cache import tracked_persist
+
+    events = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order_w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.select(
+        "user_id", "ts", F.sum(new_session).over(run_w).alias("seq")
+    )
+    bounds = sess.groupBy("user_id", "seq").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    binned = tracked_persist(
+        bounds.select(
+            "user_id",
+            "seq",
+            "s",
+            "e",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", "s"),
+                    F.date_trunc("day", "e"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("bin"),
+        )
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.seq").alias("seq_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.seq").alias("seq_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )

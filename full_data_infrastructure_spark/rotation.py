@@ -71,6 +71,7 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "pseudonymize_customers",
         "streaming_scd2_snapshot",
         "pagerank_parts",
+        "session_overlap_pairs",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round

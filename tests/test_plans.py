@@ -530,3 +530,15 @@ def test_tpch_q5_broadcasts_dims(spark, sf_dir, queries):
     plan = plan_of(queries["tpch_q5_region_volume"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_session_overlap_join_is_banded_equi(spark, sf_dir, queries):
+    """The interval-overlap join must execute as an equi-join on the day
+    bucket (with the overlap predicate as a post-condition) — never the
+    O(n^2) nested-loop the oracle runs."""
+    from full_data_infrastructure_spark.cache import release_persisted
+
+    release_persisted()
+    plan = plan_of(queries["session_overlap_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
