@@ -566,3 +566,32 @@ def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "group_split_events",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM events
+    """,
+    doc="GROUP-aware train/val/test split: the split key is the USER, not "
+    "the row, so every event of a user lands in one split — the leakage "
+    "control train_val_test_split's row-level form cannot give "
+    "(row-level splitting puts half a user's behavior in train and half "
+    "in test, and the model grades itself on users it memorized). Same "
+    "md5 hex-bucket mechanics: disjoint, exhaustive, stable as the "
+    "corpus grows, identical in both engines. Pure projection — the "
+    "group key is on the row, so group integrity costs NO join and NO "
+    "shuffle; group-disjointness is pytest-asserted.",
+    tags=("llm", "curation", "sampling", "events"),
+)
+def _group_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = hash_bucket(F.col("user_id"))
+    split = F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    return events.select("event_id", "user_id", split.alias("split"))

@@ -72,6 +72,7 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "streaming_scd2_snapshot",
         "pagerank_parts",
         "session_overlap_pairs",
+        "group_split_events",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round

@@ -1497,3 +1497,23 @@ def test_pagerank_mass_conservation_and_hub_dominance(spark):
     assert abs(sum(rows.values()) - 1.0) < 1e-6, rows
     hub = rows[0]
     assert all(hub > rows[i] for i in range(1, 7)), rows
+
+
+def test_group_split_has_no_user_leakage(spark, sf_dir):
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["group_split_events"].build(spark, sf_dir)
+    # every user maps to exactly one split
+    multi = (
+        out.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+    # all three splits are populated and exhaustive
+    splits = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(splits) == {"train", "val", "test"}
+    assert sum(splits.values()) == out.count()
