@@ -168,3 +168,37 @@ def test_surface_counts_match_coverage_doc():
         f"COVERAGE.md says {m.groups()}, registry has "
         f"({total}, {with_oracle}, {rows_only})"
     )
+
+
+def test_load_latest_green_skips_errored_rows(tmp_path):
+    """A query whose newest driver row ERRORED must re-enter the window as
+    stale: only hash-green (err null) or completed rows-only
+    (err == 'no_oracle' with a count) rows attest."""
+    import json
+
+    from full_data_infrastructure_spark.rotation import load_latest_green
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "good": {"err": None, "spark_rows": 5},
+                "broke_later": {"err": None, "spark_rows": 5},
+                "rows_only": {"err": "no_oracle", "spark_rows": 3},
+                "never_ran": {"err": "AnalysisException: boom", "spark_rows": None},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "good": {"err": None, "spark_rows": 5},
+                "broke_later": {"err": "timeout", "spark_rows": None},
+            }
+        )
+    )
+    latest = load_latest_green(tmp_path)
+    assert latest["good"] == 2
+    # the r2 error does not erase the r1 green row, but doesn't refresh it
+    assert latest["broke_later"] == 1
+    assert latest["rows_only"] == 1
+    assert "never_ran" not in latest
