@@ -1141,3 +1141,49 @@ def test_scd2_sink_fold_is_idempotent(spark):
     assert sorted(map(tuple, scd2_finalize(twice).collect())) == sorted(
         map(tuple, scd2_finalize(once).collect())
     )
+
+
+def test_scd2_sink_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting the SCD2 sink against its checkpoint with no new data
+    must leave the version table bit-identical (checkpointed offsets +
+    the idempotent fold = effectively-once), and a restart that re-runs
+    replayed batches must still converge to the full-history compression."""
+    import os
+
+    from full_data_infrastructure_spark.operators.windows import (
+        scd2_finalize,
+        scd2_versions,
+    )
+    from full_data_infrastructure_spark.sources.parquet import load_table
+    from full_data_infrastructure_spark.streaming.replay import replay_stream
+    from full_data_infrastructure_spark.streaming.sinks import start_scd2_sink
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    work, stream = replay_stream(
+        spark, events, "ts", prefix="scd2_restart_", n_files=4
+    )
+    versions = os.path.join(work, "versions")
+    ckpt = os.path.join(work, "checkpoint")
+    q1 = start_scd2_sink(stream, versions, ckpt, available_now=True)
+    q1.awaitTermination(120)
+    first = sorted(map(tuple, spark.read.parquet(versions).collect()))
+
+    # restart: same checkpoint, no new files => nothing re-folds
+    q2 = start_scd2_sink(stream, versions, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    second = sorted(map(tuple, spark.read.parquet(versions).collect()))
+    assert first == second
+
+    # and the accumulated table equals the single-shot compression
+    want = sorted(
+        map(tuple, scd2_finalize(scd2_versions(events)).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            scd2_finalize(spark.read.parquet(versions)).collect(),
+        )
+    )
+    assert got == want
