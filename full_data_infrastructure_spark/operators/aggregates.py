@@ -706,3 +706,58 @@ def _trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_per_day"
         ),
     )
+
+
+@register(
+    "rolling_active_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+        SELECT user_id,
+               unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS w
+        FROM ud
+    )
+    SELECT c.w AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c
+    JOIN days ON days.d = c.w
+    GROUP BY c.w
+    """,
+    doc="Rolling 7-day active users per day (WAU) — the sliding DISTINCT "
+    "aggregate window frames cannot express (COUNT(DISTINCT) OVER RANGE "
+    "is unsupported, and summing daily distincts double-counts "
+    "multi-day users). Exact via contribution explode: dedup to "
+    "(user, day) pairs FIRST (the only corpus-sized reduction), then "
+    "each user-day fans out to the 7 window-ends it makes active — a "
+    "bounded x7 explode over the deduped pairs, never the raw events — "
+    "and a distinct count per day finishes it. The naive per-day "
+    "correlated subquery the formula replaces is O(days x events). "
+    "Window-ends are restricted to days present in the data (semi-join "
+    "on the tiny day set).",
+    tags=("extension", "aggregate", "events"),
+)
+def _rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("w"),
+    )
+    return (
+        contrib.join(F.broadcast(days), contrib["w"] == days["d"], "left_semi")
+        .groupBy("w")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(F.col("w").alias("day"), "wau")
+    )

@@ -486,3 +486,81 @@ def _correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# log10(1 + 1/d) to 10dp — ONE literal table drives both engines' queries,
+# so no runtime log() (cross-engine transcendental ulp hazard) ever runs.
+BENFORD = {
+    "1": 0.3010299957,
+    "2": 0.1760912591,
+    "3": 0.1249387366,
+    "4": 0.0969100130,
+    "5": 0.0791812460,
+    "6": 0.0669467896,
+    "7": 0.0579919470,
+    "8": 0.0511525224,
+    "9": 0.0457574906,
+}
+
+
+def _benford_sql_case() -> str:
+    arms = " ".join(
+        f"WHEN '{d}' THEN {p}" for d, p in BENFORD.items()
+    )
+    return f"CASE digit {arms} END"
+
+
+@register(
+    "benford_first_digit",
+    f"""
+    WITH digits AS (
+        SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit
+        FROM orders
+        WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    total AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / t, 4) AS frac,
+           {_benford_sql_case()} AS benford,
+           ROUND(CAST(n AS DOUBLE) / t - {_benford_sql_case()}, 4) AS deviation
+    FROM counts CROSS JOIN total
+    """,
+    doc="Benford first-digit audit over order amounts — the classic "
+    "fabricated-data screen (synthetic or tampered monetary columns "
+    "drift from the log-law digit distribution): observed count and "
+    "fraction per leading digit against the Benford expectation, with "
+    "the deviation each auditor eyeballs. The expected fractions are a "
+    "10dp LITERAL table shared by both engines' queries, so no runtime "
+    "log() (a cross-engine transcendental ulp hazard) is evaluated; the "
+    "fraction and deviation are single IEEE divisions/subtractions of "
+    "identical operands. One map-side-combined aggregate, 9-row result, "
+    "any scale.",
+    tags=("extension", "quality", "aggregate"),
+)
+def _benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    )
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("t"))
+    benford_col = F.lit(None).cast("double")
+    for d, p in reversed(BENFORD.items()):
+        benford_col = F.when(F.col("digit") == d, F.lit(p)).otherwise(benford_col)
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 4).alias("frac"),
+        benford_col.alias("benford"),
+        F.round(
+            F.col("n").cast("double") / F.col("t") - benford_col, 4
+        ).alias("deviation"),
+    )

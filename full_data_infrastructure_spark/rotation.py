@@ -73,6 +73,8 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "pagerank_parts",
         "session_overlap_pairs",
         "group_split_events",
+        "benford_first_digit",
+        "rolling_active_users",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round
