@@ -479,13 +479,22 @@ def _correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(num / den, 4)
 
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
-    out = None
-    for a, b in pairs:
-        row = s.select(
-            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr(a, b).alias("corr")
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    # Explode the pairs out of the ONE aggregate row — a UNION of per-pair
+    # selects re-plans the shared aggregate per branch and scans the table
+    # once per pair (caught by the single-scan plan gate).
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return s.select(F.explode(rows).alias("r")).select(
+        "r.col_a", "r.col_b", "r.corr"
+    )
 
 
 # log10(1 + 1/d) to 10dp — ONE literal table drives both engines' queries,

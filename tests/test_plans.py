@@ -542,3 +542,30 @@ def test_session_overlap_join_is_banded_equi(spark, sf_dir, queries):
     plan = plan_of(queries["session_overlap_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_correlation_matrix_single_scan(spark, sf_dir, queries):
+    """All sufficient statistics for every column pair must come from ONE
+    aggregate over ONE lineitem scan — the 1-pass-vs-C(N,2)-passes claim."""
+    plan = plan_of(queries["correlation_matrix"](spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_trend_single_scan_single_aggregate(spark, sf_dir, queries):
+    """Per-key OLS sufficient statistics: one scan, one partial+final
+    aggregate pair — never a pass per key."""
+    plan = plan_of(queries["trend_by_event_type"](spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_rare_bigram_reuses_persisted_counts(spark, sf_dir, queries):
+    """The per-doc bigram count table feeds both the global frequencies
+    and the join side — the executed plan must read the cache twice, so
+    the corpus explode runs once."""
+    from full_data_infrastructure_spark.cache import release_persisted
+
+    release_persisted()
+    df = queries["rare_bigram_quality"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
