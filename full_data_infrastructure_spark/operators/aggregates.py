@@ -761,3 +761,53 @@ def _rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
         .select(F.col("w").alias("day"), "wau")
     )
+
+
+@register(
+    "fulfillment_latency_sla",
+    """
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(MEDIAN(days), 4) AS p50_days,
+           ROUND(quantile_cont(days, 0.9), 4) AS p90_days,
+           ROUND(quantile_cont(days, 0.99), 4) AS p99_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat
+    GROUP BY o_orderpriority
+    """,
+    doc="Fulfillment-latency SLA percentiles: order-date to ship-date in "
+    "whole days, p50/p90/p99/max per order priority — the latency "
+    "distribution every operations dashboard tracks, and the shape "
+    "where means lie (a fat p99 hides behind a healthy average). "
+    "Integer day diffs + the percentile_stats interpolation recipe "
+    "(both engines interpolate linearly; 4dp round sits below the "
+    "integer inputs' precision). One fact-fact equi-join and one "
+    "map-side-combined aggregate.",
+    tags=("extension", "aggregate", "join"),
+)
+def _fulfillment_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.median("days"), 4).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
+        F.round(F.percentile("days", F.lit(0.99)), 4).alias("p99_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

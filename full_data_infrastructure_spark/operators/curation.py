@@ -595,3 +595,55 @@ def _group_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hash_bucket(F.col("user_id"))
     split = F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
     return events.select("event_id", "user_id", split.alias("split"))
+
+
+@register(
+    "corpus_datacard",
+    """
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(n_chars), 2) AS avg_chars
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS t FROM per)
+    SELECT source, n_docs, total_chars, n_langs, avg_chars,
+           ROUND(CAST(n_docs AS DOUBLE) / t, 4) AS corpus_frac
+    FROM per CROSS JOIN tot
+    """,
+    doc="Per-source corpus data card — the 'datasheets for datasets' "
+    "summary table (doc count, character volume, language spread, mean "
+    "length, corpus share) a training-data release publishes per source "
+    "and a mixture designer reads before setting sampling rates. One "
+    "map-side-combined groupBy plus a broadcast total; mean via the "
+    "DECIMAL-exact profile_columns recipe. Sources are bounded "
+    "cardinality, so the result is dashboard-sized at any corpus scale.",
+    tags=("llm", "curation", "quality"),
+)
+def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+            / F.count("n_chars"),
+            2,
+        ).alias("avg_chars"),
+    )
+    tot = per.agg(F.sum("n_docs").cast("double").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        "avg_chars",
+        F.round(F.col("n_docs").cast("double") / F.col("t"), 4).alias(
+            "corpus_frac"
+        ),
+    )

@@ -1501,3 +1501,66 @@ def paragraph_dedup(docs: DataFrame, sep: str = ". ") -> DataFrame:
 def _paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return paragraph_dedup(docs)
+
+
+@register(
+    "cosine_threshold_histogram",
+    f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    scored AS (
+        SELECT CAST(FLOOR(ROUND({cosine_sql('a.e', 'b.e')}, 4) * 20)
+                    AS BIGINT) AS bucket
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ROUND({cosine_sql('a.e', 'b.e')}, 4) >= 0.5
+    )
+    SELECT bucket,
+           ROUND(CAST(bucket AS DOUBLE) / 20, 2) AS bucket_low,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored
+    GROUP BY bucket
+    """,
+    doc="Dedup-threshold calibration: the pair-cosine histogram (0.05 "
+    "buckets above 0.5) every near-dup rollout reads before choosing its "
+    "threshold — pick 0.99 blind and you either miss paraphrase dups or "
+    "delete topical neighbors; the histogram's knee makes the tradeoff "
+    "visible. Exact over the brute-force pair kernel at test SF (the "
+    "oracle recomputes it); at scale the same histogram runs over the "
+    "LSH/SemDeDup candidate pairs, whose scores are already computed — "
+    "the histogram adds ONE map-side-combined aggregate, no new "
+    "shuffles. Bucket edges come from identical IEEE round/floor on "
+    "both engines, so the hash matches bit-for-bit.",
+    tags=("llm", "dedup", "vector", "quality"),
+)
+def _cosine_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    withn = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    cos = F.round(
+        dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(cos.alias("cos"))
+        .filter(F.col("cos") >= 0.5)
+        .select(F.floor(F.col("cos") * 20).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket").cast("double") / 20, 2).alias("bucket_low"),
+            "n_pairs",
+        )
+    )

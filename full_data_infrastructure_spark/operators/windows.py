@@ -1152,3 +1152,72 @@ def _streaming_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return scd2_finalize(spark.read.parquet(os.path.join(work, "versions")))
+
+
+@register(
+    "funnel_three_step",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS cts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts >= v.vts AND e.ts <= v.vts + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pts
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= c.cts AND e.ts <= c.cts + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+           CAST(COUNT(*) AS BIGINT) AS n_purchase
+    FROM p
+    """,
+    doc="Three-step sequential funnel (view -> click within 1h -> purchase "
+    "within 1h of the click): the ORDERED multi-stage conversion shape "
+    "funnel_conversion's single click->purchase edge doesn't cover — "
+    "each stage anchors on the PREVIOUS stage's first qualifying event, "
+    "so out-of-order occurrences (purchase before click) never count. "
+    "Three co-keyed user_id joins against per-stage MIN anchors (each a "
+    "map-side-combined aggregate), output one funnel row; timestamps "
+    "compare exactly in both engines so the stage counts hash-match.",
+    tags=("extension", "window", "session", "events"),
+)
+def _funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("vts"))
+            & (F.col("ts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("cts"))
+            & (F.col("ts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return nv.crossJoin(nc).crossJoin(np_)

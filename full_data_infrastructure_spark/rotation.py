@@ -75,6 +75,10 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "group_split_events",
         "benford_first_digit",
         "rolling_active_users",
+        "cosine_threshold_histogram",
+        "fulfillment_latency_sla",
+        "corpus_datacard",
+        "funnel_three_step",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round
