@@ -1564,3 +1564,50 @@ def _cosine_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE pairs AS ({_ngram_jaccard_sql(JACCARD_THRESHOLD)}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    cc AS (
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+        FROM reach GROUP BY s
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY cluster_id
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="Duplicate-cluster size distribution — the dedup-ops report read "
+    "before pulling the trigger: a histogram dominated by pairs means "
+    "near-dup noise (safe to collapse), a few giant clusters mean "
+    "template/boilerplate families that deserve inspection, and the "
+    "histogram's mass bounds exactly how many documents dedup will "
+    "remove (sum (size-1) x n_clusters). Two tiny aggregates over the "
+    "connected-components labels (cluster count is corpus-bounded); "
+    "the recursive-CTE oracle recomputes the same clusters.",
+    tags=("llm", "dedup", "quality"),
+)
+def _dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    labels = connected_components_twostar(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

@@ -573,3 +573,40 @@ def _benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("t") - benford_col, 4
         ).alias("deviation"),
     )
+
+
+@register(
+    "profile_by_key",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_nulls,
+           CAST(MIN(value) AS DOUBLE) AS min_v,
+           CAST(MAX(value) AS DOUBLE) AS max_v,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(value), 2) AS avg_v
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Segmented profiling — profile_columns answers 'is the TABLE "
+    "healthy', this answers 'WHICH segment is broken': the same null/"
+    "min/max/DECIMAL-exact-mean statistics grouped by event type, the "
+    "first query run when a pipeline alert fires (one upstream producer "
+    "emitting nulls hides inside a global profile). One map-side-"
+    "combined groupBy; key cardinality is bounded, so the result stays "
+    "dashboard-sized at any scale.",
+    tags=("extension", "quality", "aggregate", "events"),
+)
+def _profile_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
+        F.min(F.col("value").cast("double")).alias("min_v"),
+        F.max(F.col("value").cast("double")).alias("max_v"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("value"),
+            2,
+        ).alias("avg_v"),
+    )

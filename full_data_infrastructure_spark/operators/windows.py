@@ -1221,3 +1221,85 @@ def _funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).alias("n_click"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
     return nv.crossJoin(nc).crossJoin(np_)
+
+
+@register(
+    "window_percent_rank",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(percent_rank() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 6)
+               AS pct_rank,
+           ROUND(cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey), 6)
+               AS cum_dist
+    FROM customer
+    """,
+    doc="percent_rank + cume_dist (the last §2.5 ranking functions not yet "
+    "on the surface after rank/dense-rank/ntile): every customer's "
+    "relative standing within its market segment — the normalized-rank "
+    "shape scorecards and percentile-based alerting use. The unique "
+    "(value, key) ordering removes peer groups, so both functions reduce "
+    "to integer ratios ((rank-1)/(n-1), rank/n) — identical IEEE "
+    "divisions in both engines, rounded at 6dp. One shuffle per "
+    "segment partition, same cost class as any ranking window.",
+    tags=("extension", "window"),
+)
+def _window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@register(
+    "event_gap_histogram",
+    """
+    WITH gaps AS (
+        SELECT epoch_us(ts) // 1000000
+               - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) // 1000000
+                   AS gap_s
+        FROM events
+    )
+    SELECT CASE WHEN gap_s < 60 THEN 'a_under_1m'
+                WHEN gap_s < 3600 THEN 'b_under_1h'
+                WHEN gap_s < 86400 THEN 'c_under_1d'
+                WHEN gap_s < 604800 THEN 'd_under_1w'
+                ELSE 'e_longer' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Inter-event cadence histogram: the distribution of gaps between "
+    "a user's consecutive events, bucketed at minute/hour/day/week "
+    "boundaries — the engagement-rhythm shape that picks session "
+    "timeouts (the 30-minute sessionize gap should sit in a valley) and "
+    "exposes bot traffic (a spike in the sub-minute bucket). Gap "
+    "seconds are integer (epoch-microsecond integer division), bucket "
+    "edges are literals, so counts are exact in both engines. One "
+    "window shuffle keyed on the user, one map-side-combined count.",
+    tags=("extension", "window", "aggregate", "events"),
+)
+def _event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("unix_micros(ts) div 1000000") - F.expr(
+        "unix_micros(lag(ts) over (partition by user_id order by ts, event_id)) div 1000000"
+    )
+    gaps = events.select(gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    bucket = (
+        F.when(F.col("gap_s") < 60, "a_under_1m")
+        .when(F.col("gap_s") < 3600, "b_under_1h")
+        .when(F.col("gap_s") < 86400, "c_under_1d")
+        .when(F.col("gap_s") < 604800, "d_under_1w")
+        .otherwise("e_longer")
+    )
+    return gaps.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -79,6 +79,10 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "fulfillment_latency_sla",
         "corpus_datacard",
         "funnel_three_step",
+        "window_percent_rank",
+        "event_gap_histogram",
+        "profile_by_key",
+        "dup_cluster_size_histogram",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round
