@@ -811,3 +811,95 @@ def _fulfillment_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("days", F.lit(0.99)), 4).alias("p99_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "repeat_customer_rate",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+           ROUND(CAST(SUM(CASE WHEN p.n_orders >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS repeat_rate
+    FROM per_cust p
+    JOIN customer c ON c.c_custkey = p.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Repeat-purchase rate per market segment — the retention KPI a "
+    "revenue dashboard leads with: customers with >= 2 orders over "
+    "ordering customers. Per-customer order counts partial-aggregate "
+    "map-side, the segment lookup is a dimension join, and the final "
+    "ratio is one exact integer division — a two-aggregate pipeline "
+    "whose shuffles carry (key, count) pairs only.",
+    tags=("extension", "aggregate", "join"),
+)
+def _repeat_customer_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    joined = per_cust.join(
+        customer, per_cust["o_custkey"] == customer["c_custkey"]
+    )
+    repeat = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        repeat.alias("n_repeat"),
+        F.round(repeat.cast("double") / F.count(F.lit(1)), 4).alias(
+            "repeat_rate"
+        ),
+    )
+
+
+@register(
+    "max_staleness_by_user",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               epoch_us(ts) // 1000000
+               - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) // 1000000
+                   AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           MAX(ts) AS last_seen
+    FROM gaps
+    GROUP BY user_id
+    HAVING MAX(gap_s) IS NOT NULL
+    """,
+    doc="Per-key staleness report: each user's longest silence (max "
+    "inter-event gap, integer seconds) and last-seen timestamp — the "
+    "went-dark detector device-fleet and account-health monitoring run "
+    "(a sensor whose max gap dwarfs its cadence has been dropping "
+    "data). Single-event users have no gap and drop out (HAVING). One "
+    "window shuffle on the key, then a map-side-combined max — the "
+    "gap histogram's per-key drill-down over the same numbers.",
+    tags=("extension", "window", "aggregate", "events"),
+)
+def _max_staleness_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("unix_micros(ts) div 1000000") - F.expr(
+        "unix_micros(lag(ts) over (partition by user_id order by ts, event_id)) div 1000000"
+    )
+    gaps = events.select("user_id", "ts", gap.alias("gap_s"))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+            F.max("ts").alias("last_seen"),
+        )
+        .filter(F.col("max_gap_s").isNotNull())
+    )

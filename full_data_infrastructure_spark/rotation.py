@@ -83,6 +83,8 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "event_gap_histogram",
         "profile_by_key",
         "dup_cluster_size_histogram",
+        "repeat_customer_rate",
+        "max_staleness_by_user",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round
