@@ -227,6 +227,7 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
     """
     iterative_by_design = {
         "dedup_cluster_cc",
+        "dup_cluster_size_histogram",  # same two-star CC kernel as above
         "dedup_survivors",
         "dedup_survivors_lsh",
         "corpus_pipeline",
