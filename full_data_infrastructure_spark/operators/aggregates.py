@@ -903,3 +903,49 @@ def _max_staleness_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_gap_s").isNotNull())
     )
+
+
+@register(
+    "discount_band_quantity",
+    """
+    SELECT CASE WHEN l_discount < 0.02 THEN 'a_low'
+                WHEN l_discount < 0.05 THEN 'b_mid'
+                WHEN l_discount < 0.08 THEN 'c_high'
+                ELSE 'd_deep' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(l_quantity), 2) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Discount-band mix: line counts and DECIMAL-exact mean quantity/"
+    "price per literal discount band — the does-discounting-move-volume "
+    "table a pricing review starts from (avg_qty flat across bands means "
+    "the discount buys nothing). Literal band edges on a 2dp column "
+    "never tie ambiguously; one map-side-combined aggregate, four rows "
+    "at any scale.",
+    tags=("extension", "aggregate"),
+)
+def _discount_band_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") < 0.02, "a_low")
+        .when(F.col("l_discount") < 0.05, "b_mid")
+        .when(F.col("l_discount") < 0.08, "c_high")
+        .otherwise("d_deep")
+    )
+    return lineitem.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("l_quantity"),
+            2,
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count("l_extendedprice"),
+            2,
+        ).alias("avg_price"),
+    )

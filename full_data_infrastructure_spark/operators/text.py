@@ -910,3 +910,31 @@ def _rare_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+@register(
+    "lang_confusion_matrix",
+    f"""
+    SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({_lang_id_sql()}) p
+    JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.lang_pred
+    """,
+    doc="Classifier-QA confusion matrix: the lang_id heuristic's "
+    "predictions cross-tabulated against the corpus's stored language "
+    "labels — the agreement report every classifier rollout publishes "
+    "before its output gates a filter (which languages does the "
+    "heuristic systematically miss, and how much lands in 'und'). "
+    "Composes the oracled lang_id kernel with a label join + one "
+    "map-side-combined count; the matrix is |langs|^2-bounded at any "
+    "corpus scale.",
+    tags=("llm", "text", "quality"),
+)
+def _lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = _lang_id(spark, sf_dir)
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

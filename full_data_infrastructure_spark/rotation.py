@@ -85,6 +85,8 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
         "dup_cluster_size_histogram",
         "repeat_customer_rate",
         "max_staleness_by_user",
+        "lang_confusion_matrix",
+        "discount_band_quantity",
     }
 )
 _DEFER_ROUND = 10**6  # sorts after every real round
