@@ -87,64 +87,65 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 6 note: the cap admits 21 of the 27 stale/never-attested
-# candidates plus the new benched paragraph_dedup; the 13 tag-repair
-# slots are forced by families whose every member is freshly attested,
-# so the 7 remaining r1-stale queries — count_distinct, cte_self_join,
-# cube_counts, repetition_signals, rollup_counts, sample_hash,
-# semi_join — and the three round-6 additions held in
-# rotation.DEFER_TO_NEXT_ROUND mechanically lead the round-7 fill.)
+# (Round 7 note: zero bench pins this round — all 17 benched queries hold
+# r6 green rows, within rotation.EVIDENCE_STALE_AFTER — and tag repair
+# forces nothing because every family has fresh standing evidence, so the
+# 48 free slots drain the ENTIRE backlog: the 27 never-attested round-6
+# queries, all 7 r1-stale, all 13 r2-stale, plus the stalest r3
+# (activity_heatmap).  After this round's CORRECTNESS lands, no query's
+# newest green row predates round 3 — the staleness SLA
+# (tests/test_registry_order.py::test_staleness_sla) holds.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "bpe_learn",
-    "bpe_tokenize_counts",
-    "conversation_assembly",
-    "domain_cap_sample",
-    "embedding_kmeans",
-    "embedding_pca_project",
-    "event_cooccurrence_lift",
-    "gapfill_locf",
-    "hard_negative_mining",
-    "jsonl_documents_roundtrip",
-    "jsonl_quarantine_ingest",
-    "knn_ivfpq",
-    "knn_pq",
-    "paragraph_dedup",
-    "profile_columns",
-    "scd2_history",
-    "scd2_incremental",
-    "snapshot_diff",
-    "token_budget_sample",
-    "triangle_count_parts",
-    "multimodal_frame_sample",
-    "scalar_subquery_filter",
-    "membership_validation",
-    "pivot_event_counts",
-    "date_format_concat",
-    "debezium_roundtrip",
-    "sessionize_batch",
-    "asof_join",
-    "corpus_pipeline_full_lsh",
-    "corpus_pipeline_lsh",
-    "decontaminate_overlap",
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "dedup_survivors_lsh",
-    "distinct_projection",
-    "enrichment_distance",
-    "generator_activities",
-    "join_dim_snowflake",
-    "knn_bruteforce",
-    "masked_projection",
-    "multi_aggregate",
-    "quality_classifier",
-    "range_join",
-    "set_union_except_intersect",
-    "streaming_upsert_snapshot",
-    "text_stats",
-    "topk_group_count",
-    "window_moving_avg",
+    "benford_first_digit",
+    "corpus_datacard",
+    "correlation_matrix",
+    "cosine_threshold_histogram",
+    "discount_band_quantity",
+    "dup_cluster_size_histogram",
+    "event_gap_histogram",
+    "fulfillment_latency_sla",
+    "funnel_three_step",
+    "fuzzy_match_suppliers",
+    "group_split_events",
+    "lang_confusion_matrix",
+    "max_staleness_by_user",
+    "pagerank_parts",
+    "profile_by_key",
+    "pseudonymize_customers",
+    "rare_bigram_quality",
+    "repeat_customer_rate",
+    "rolling_active_users",
+    "session_overlap_pairs",
+    "streaming_scd2_snapshot",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
+    "trend_by_event_type",
+    "weighted_sample_docs",
+    "window_percent_rank",
+    "window_range_hour_sum",
+    "count_distinct",
+    "cte_self_join",
+    "cube_counts",
+    "repetition_signals",
+    "rollup_counts",
+    "sample_hash",
+    "semi_join",
+    "embedding_quantize_int8",
+    "fingerprint_md5",
+    "lang_id",
+    "lang_id_trigram",
+    "quality_score",
+    "rolling_hash_fingerprint",
+    "tfidf_top_token",
+    "vector_norms",
+    "vocab_topk",
+    "window_dedup_latest",
+    "window_lag_delta",
+    "window_rank_topn",
+    "window_running_total",
+    "activity_heatmap",
 )
 
 

@@ -8,23 +8,43 @@ site in the repo (a stale query could be shadowed forever).  This module
 makes the rotation mechanical:
 
 * **Evidence** comes from the committed ``CORRECTNESS_r*.json`` files: a
-  query's *latest green round* is the newest round whose row either
-  hash-matched the DuckDB oracle (``err is null``) or, for by-design
-  rows-only queries, completed with a row count (``err == "no_oracle"``).
-  A round whose row errored does NOT count as attestation.
+  query's *latest green round* is the newest round whose row hash-matched
+  the DuckDB oracle (``err is null`` AND ``hash_match is true`` — the
+  history contains ``err: null`` rows whose hash did NOT match, e.g.
+  ``decontaminate_overlap`` r01, so ``err`` alone is not attestation) or,
+  for by-design rows-only queries, completed with a row count
+  (``err == "no_oracle"``).  A round whose row errored or hash-mismatched
+  does NOT count as attestation — such a query re-enters the window as
+  stale so the breakage is re-checked, never rotated out.
 * **Pinned** in every window: the two flagship queries (always first, in
-  order) and every ``bench=True`` query (the graded perf set must stay
-  value-attested).
+  order) and every ``bench=True`` query whose evidence is STALE (latest
+  green round ≤ newest correctness round − ``BENCH_PIN_STALE_AFTER``).
+  Benched queries attested within the last ``EVIDENCE_STALE_AFTER``
+  rounds keep their standing row and give their slot to the backlog; the
+  policy bounds graded-perf-set correctness staleness at
+  ``EVIDENCE_STALE_AFTER + 1`` rounds while letting never-attested and
+  r1-stale queries drain (round-7 arithmetic: pinning all 17 benched
+  queries left 31 free slots against a 34-query backlog; pinning only
+  stale ones leaves 48).
 * **Priority** for the remaining slots: never-attested queries first
   (latest green round 0), then stalest-first; ties break alphabetically
   on the query name (registration order is module-IMPORT order, which
   test collection can permute — a name is import-order-proof).  Queries
   named in ``FORCE_REFRESH`` (builder or oracle changed since their last
   green row) are treated as never-attested.
-* **Tag repair**: every operator-family tag must keep at least one window
-  representative.  If the priority fill leaves a family uncovered, its
-  stalest member swaps in and the *freshest* evictable window member whose
-  tags remain covered by others swaps out.
+* **Tag repair**: every operator-family tag must keep *fresh evidence* —
+  a window representative this round, or any member with a green row
+  within the last ``EVIDENCE_STALE_AFTER`` rounds.  If the priority fill
+  leaves a family with neither, its stalest member swaps in and the
+  *freshest* evictable window member whose tags remain covered swaps out.
+  (Until round 6 every tag demanded a LIVE representative every round;
+  with 100% of families green that forced 11-13 swap-ins of freshly
+  attested queries per round and starved the stale tail — VERDICT r6
+  item 2.)
+* **Staleness SLA**: the two policies above guarantee that, once the
+  round-7 backlog drained, no registered query's newest green row is more
+  than 4 rounds old; ``tests/test_registry_order.py`` enforces it
+  (every query is in the window or green within ``max_round - 3``).
 
 The committed ``DRIVER_WINDOW`` tuple in ``queries.py`` is the output of
 this computation (regenerate with ``python -m
@@ -43,6 +63,14 @@ from collections.abc import Iterable, Mapping
 DRIVER_CAP = 50
 FLAGSHIP: tuple[str, ...] = ("flagship_benefits", "bu_salary_dashboard")
 
+# Evidence freshness horizon (rounds).  A bench=True query is pinned into
+# the window only when its latest green round is at least this many rounds
+# behind the newest correctness file, and tag repair forces a family
+# representative only when the family's FRESHEST member is that stale —
+# fresher standing rows already attest the perf number / the family, and
+# the slot goes to the backlog instead (see module docstring).
+EVIDENCE_STALE_AFTER = 2
+
 # Queries whose builder or oracle changed since their last green driver row:
 # they need a re-attestation even though an old row stands.  Reset to empty
 # once the refreshed row lands.  (Round 6: profile_columns and
@@ -57,49 +85,25 @@ FORCE_REFRESH: frozenset[str] = frozenset()
 # this a new query in an early-importing module would silently evict a
 # promised first-row from a late-importing one.  Reset each round once the
 # new CORRECTNESS file lands; the listed queries then lead the next fill
-# as never-attested.  (bench=True queries are pinned regardless.)
-DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset(
-    {
-        "fuzzy_match_suppliers",
-        "weighted_sample_docs",
-        "window_range_hour_sum",
-        "correlation_matrix",
-        "trend_by_event_type",
-        "rare_bigram_quality",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_region_volume",
-        "pseudonymize_customers",
-        "streaming_scd2_snapshot",
-        "pagerank_parts",
-        "session_overlap_pairs",
-        "group_split_events",
-        "benford_first_digit",
-        "rolling_active_users",
-        "cosine_threshold_histogram",
-        "fulfillment_latency_sla",
-        "corpus_datacard",
-        "funnel_three_step",
-        "window_percent_rank",
-        "event_gap_histogram",
-        "profile_by_key",
-        "dup_cluster_size_histogram",
-        "repeat_customer_rate",
-        "max_staleness_by_user",
-        "lang_confusion_matrix",
-        "discount_band_quantity",
-    }
-)
+# as never-attested.  (Round 7: the 27 round-6 deferrals cleared when
+# CORRECTNESS_r06.json landed; they now lead the fill as never-attested.)
+DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 _DEFER_ROUND = 10**6  # sorts after every real round
 
 
 def load_latest_green(root: str | os.PathLike[str]) -> dict[str, int]:
     """Map each query ever attested to its newest green driver round.
 
-    Green = the row hash-matched (``err is null``; the driver only writes
-    ``err: null`` when the oracle comparison succeeded) or the query is
+    Green = the row VALUE-matched the oracle (``err is null`` AND
+    ``hash_match is true`` AND ``rows_match is true``) or the query is
     rows-only and the row completed (``err == "no_oracle"`` with a row
-    count).  Errored rows are skipped — a query whose newest rows all
-    errored re-enters the window as if stale.
+    count).  ``err is null`` alone is NOT green: the committed history
+    contains ``err: null, hash_match: false`` rows (``decontaminate_overlap``
+    r01, ``hypertable_rollup_hourly``/``_merge`` r02), and counting those
+    as attestation would rotate a hash-mismatching query OUT of the window
+    instead of prioritizing its re-check (ADVICE r6).  Errored and
+    mismatched rows are skipped — such a query re-enters the window as
+    stale.
     """
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(str(root), "CORRECTNESS_r*.json"))):
@@ -112,12 +116,26 @@ def load_latest_green(root: str | os.PathLike[str]) -> dict[str, int]:
             rows = json.load(fh)
         for name, row in rows.items():
             err = row.get("err")
-            green = err is None or (
-                err == "no_oracle" and row.get("spark_rows") is not None
-            )
+            green = (
+                err is None
+                and row.get("hash_match") is True
+                and row.get("rows_match") is True
+            ) or (err == "no_oracle" and row.get("spark_rows") is not None)
             if green:
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
+
+
+def load_max_round(root: str | os.PathLike[str]) -> int:
+    """Newest committed correctness round (0 if none)."""
+    rounds = []
+    for path in glob.glob(os.path.join(str(root), "CORRECTNESS_r*.json")):
+        base = os.path.basename(path)
+        try:
+            rounds.append(int(base.removeprefix("CORRECTNESS_r").removesuffix(".json")))
+        except ValueError:
+            continue
+    return max(rounds, default=0)
 
 
 def compute_driver_window(
@@ -127,10 +145,13 @@ def compute_driver_window(
     latest_green: Mapping[str, int],
     cap: int = DRIVER_CAP,
     force_refresh: frozenset[str] = FORCE_REFRESH,
+    max_round: int | None = None,
 ) -> tuple[str, ...]:
     """Pure window computation (no IO) — see the module docstring for policy."""
     order = sorted(names)
     bench = set(bench_names)
+    if max_round is None:
+        max_round = max(latest_green.values(), default=0)
 
     def staleness(name: str) -> tuple[int, str]:
         if name in force_refresh:
@@ -141,7 +162,13 @@ def compute_driver_window(
             rnd = latest_green.get(name, 0)
         return (rnd, name)
 
-    pinned = set(FLAGSHIP) | bench
+    # Bench pins: only benched queries whose evidence is stale (module
+    # docstring) — a fresh benched query's standing row already attests the
+    # graded perf number, and its slot goes to the backlog instead.
+    stale_bench = {
+        n for n in bench if staleness(n)[0] <= max_round - EVIDENCE_STALE_AFTER
+    }
+    pinned = set(FLAGSHIP) | stale_bench
     if len(pinned) > cap:
         raise ValueError(f"pinned set ({len(pinned)}) exceeds the cap ({cap})")
     selected = set(pinned)
@@ -150,7 +177,18 @@ def compute_driver_window(
             break
         selected.add(name)
 
-    # Tag repair: every family keeps a window representative.
+    # Tag repair: every family keeps FRESH evidence — a live window
+    # representative, or a standing green row newer than the staleness
+    # horizon.  Forcing a live slot for families whose every member is
+    # freshly attested cost 11-13 slots/round in rounds 5-6 and starved
+    # the r1-stale tail; the horizon supersedes per-round coverage.
+    def family_fresh(tag: str) -> bool:
+        return any(
+            latest_green.get(n, 0) > max_round - EVIDENCE_STALE_AFTER
+            for n in order
+            if tag in tags_by_name.get(n, ())
+        )
+
     def uncovered_tags() -> list[str]:
         covered: set[str] = set()
         for n in selected:
@@ -158,7 +196,7 @@ def compute_driver_window(
         all_tags: set[str] = set()
         for ts in tags_by_name.values():
             all_tags.update(ts)
-        return sorted(all_tags - covered)
+        return sorted(t for t in all_tags - covered if not family_fresh(t))
 
     for tag in uncovered_tags():
         # Re-check at swap time: an earlier repair's incoming may cover
@@ -204,6 +242,7 @@ def compute_from_repo() -> tuple[str, ...]:
         bench_names=[n for n, q in registry.REGISTRY.items() if q.bench],
         tags_by_name={n: q.tags for n, q in registry.REGISTRY.items()},
         latest_green=load_latest_green(root),
+        max_round=load_max_round(root),
     )
 
 

@@ -7,6 +7,8 @@ one representative of every operator family inside the window — otherwise
 a family silently loses its correctness attestation.
 """
 
+from pathlib import Path
+
 from full_data_infrastructure_spark import queries as registry
 
 registry._ensure_loaded()
@@ -34,16 +36,51 @@ def test_flagship_queries_lead_the_window():
     assert registry.DRIVER_WINDOW[1] == "bu_salary_dashboard"
 
 
-def test_every_family_tag_has_a_window_representative():
+def test_every_family_tag_has_fresh_evidence():
+    """Every operator family must hold FRESH correctness evidence: a live
+    window representative this round, or a member with a green driver row
+    within the last rotation.EVIDENCE_STALE_AFTER rounds.  (Until round 6
+    every tag demanded a live slot every round, which forced 11-13
+    freshly-attested swap-ins per round and starved the stale tail —
+    VERDICT r6 item 2.)"""
+    from full_data_infrastructure_spark import rotation
+
+    root = Path(__file__).resolve().parents[1]
+    latest = rotation.load_latest_green(root)
+    max_round = rotation.load_max_round(root)
     window = set(registry.DRIVER_WINDOW)
-    tags_in_window: set[str] = set()
+    fresh_tags: set[str] = set()
     all_tags: set[str] = set()
     for name, q in registry.REGISTRY.items():
         all_tags.update(q.tags)
-        if name in window:
-            tags_in_window.update(q.tags)
-    missing = all_tags - tags_in_window
-    assert not missing, f"families with no driver-attested representative: {missing}"
+        if name in window or latest.get(name, 0) > max_round - rotation.EVIDENCE_STALE_AFTER:
+            fresh_tags.update(q.tags)
+    missing = all_tags - fresh_tags
+    assert not missing, f"families with no fresh correctness evidence: {missing}"
+
+
+def test_staleness_sla():
+    """No registered query's newest green driver row may be more than 4
+    rounds old: each query is either in the current window (it gets a row
+    this round) or its latest green round is >= newest_round - 3.  This is
+    the enforcement half of the round-7 rotation policy (VERDICT r6 items
+    2-3): the bench-pin and tag-repair relaxations freed the slots that
+    drained the backlog, and this gate keeps it drained."""
+    from full_data_infrastructure_spark import rotation
+
+    root = Path(__file__).resolve().parents[1]
+    latest = rotation.load_latest_green(root)
+    max_round = rotation.load_max_round(root)
+    window = set(registry.DRIVER_WINDOW)
+    violations = {
+        name: latest.get(name, 0)
+        for name in registry.REGISTRY
+        if name not in window and latest.get(name, 0) < max_round - 3
+    }
+    assert not violations, (
+        f"queries outside the window with evidence older than "
+        f"r{max_round - 3}: {violations}"
+    )
 
 
 def test_window_queries_are_oracle_checked_where_possible():
@@ -93,58 +130,71 @@ def test_window_matches_computed_rotation():
 
 def test_rotation_prefers_never_attested_then_stalest():
     """Unit-check the pure policy on a synthetic registry: never-attested
-    first, stalest next, bench pinned, tag repair evicts the freshest."""
+    first, stalest next; a STALE benched query is pinned while a FRESH one
+    is not; tag repair fires only for a family with no fresh evidence and
+    evicts the freshest."""
     from full_data_infrastructure_spark.rotation import compute_driver_window
 
     order = [
         "flagship_benefits",
         "bu_salary_dashboard",
         "benched_fresh",
+        "benched_stale",
         "never_seen",
         "stale_r1",
         "fresh_r5",
-        "lonely_family_r5",
+        "lonely_stale_family_r1",
+        "lonely_fresh_family_r5",
     ]
     tags = {
         "flagship_benefits": ("dashboard",),
         "bu_salary_dashboard": ("dashboard",),
         "benched_fresh": ("agg",),
+        "benched_stale": ("agg",),
         "never_seen": ("agg",),
         "stale_r1": ("agg",),
         "fresh_r5": ("agg",),
-        "lonely_family_r5": ("lonely",),
+        "lonely_stale_family_r1": ("lonely_stale",),
+        "lonely_fresh_family_r5": ("lonely_fresh",),
     }
     latest = {
         "flagship_benefits": 5,
         "bu_salary_dashboard": 5,
-        "benched_fresh": 5,
+        "benched_fresh": 5,  # within the horizon -> NOT pinned
+        "benched_stale": 2,  # beyond the horizon -> pinned
         "stale_r1": 1,
         "fresh_r5": 5,
-        "lonely_family_r5": 5,
+        "lonely_stale_family_r1": 1,
+        "lonely_fresh_family_r5": 5,
     }
     window = compute_driver_window(
         names=order,
-        bench_names=["benched_fresh"],
+        bench_names=["benched_fresh", "benched_stale"],
         tags_by_name=tags,
         latest_green=latest,
         cap=6,
         force_refresh=frozenset(),
+        max_round=5,
     )
-    # Flagship leads; the benched query is pinned; never_seen outranks
-    # stale_r1 outranks fresh_r5; the lonely family's only member swaps
-    # in by evicting the freshest non-pinned member (fresh_r5).
+    # Flagship leads; benched_stale is pinned but benched_fresh is not;
+    # never_seen outranks stale_r1; lonely_stale_family_r1 enters by
+    # staleness; lonely_fresh_family_r5 needs no slot (fresh standing
+    # row), so the last slot goes to benched_fresh... which is fresher
+    # than lonely_stale_family_r1 — fill order: never_seen(0),
+    # stale_r1(1), lonely_stale_family_r1(1), benched_stale pinned.
     assert window[:2] == ("flagship_benefits", "bu_salary_dashboard")
     assert set(window) == {
         "flagship_benefits",
         "bu_salary_dashboard",
-        "benched_fresh",
+        "benched_stale",
         "never_seen",
         "stale_r1",
-        "lonely_family_r5",
+        "lonely_stale_family_r1",
     }
-    # Order after the flagship head: never-attested, then stalest-first.
+    # Order after the flagship head: never-attested, then stalest-first
+    # (name tiebreak).
     assert window[2] == "never_seen"
-    assert window[3] == "stale_r1"
+    assert window[3:5] == ("lonely_stale_family_r1", "stale_r1")
 
 
 def test_surface_counts_match_coverage_doc():
@@ -170,29 +220,46 @@ def test_surface_counts_match_coverage_doc():
     )
 
 
-def test_load_latest_green_skips_errored_rows(tmp_path):
-    """A query whose newest driver row ERRORED must re-enter the window as
-    stale: only hash-green (err null) or completed rows-only
-    (err == 'no_oracle' with a count) rows attest."""
+def test_load_latest_green_skips_errored_and_mismatched_rows(tmp_path):
+    """A query whose newest driver row ERRORED or HASH-MISMATCHED must
+    re-enter the window as stale: only value-green (err null AND
+    hash_match AND rows_match) or completed rows-only (err == 'no_oracle'
+    with a count) rows attest.  err:null alone is NOT attestation — the
+    committed history has err:null rows with hash_match:false (ADVICE r6),
+    and counting them green would rotate a broken query OUT of the window
+    instead of re-checking it."""
     import json
 
     from full_data_infrastructure_spark.rotation import load_latest_green
 
+    green = {"err": None, "hash_match": True, "rows_match": True, "spark_rows": 5}
     (tmp_path / "CORRECTNESS_r01.json").write_text(
         json.dumps(
             {
-                "good": {"err": None, "spark_rows": 5},
-                "broke_later": {"err": None, "spark_rows": 5},
+                "good": green,
+                "broke_later": green,
                 "rows_only": {"err": "no_oracle", "spark_rows": 3},
                 "never_ran": {"err": "AnalysisException: boom", "spark_rows": None},
+                "hash_mismatch": {
+                    "err": None,
+                    "hash_match": False,
+                    "rows_match": True,
+                    "spark_rows": 5,
+                },
             }
         )
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps(
             {
-                "good": {"err": None, "spark_rows": 5},
+                "good": green,
                 "broke_later": {"err": "timeout", "spark_rows": None},
+                "mismatched_later": {
+                    "err": None,
+                    "hash_match": False,
+                    "rows_match": True,
+                    "spark_rows": 5,
+                },
             }
         )
     )
@@ -202,3 +269,6 @@ def test_load_latest_green_skips_errored_rows(tmp_path):
     assert latest["broke_later"] == 1
     assert latest["rows_only"] == 1
     assert "never_ran" not in latest
+    # err:null with hash_match:false is NOT green (ADVICE r6)
+    assert "hash_mismatch" not in latest
+    assert "mismatched_later" not in latest
