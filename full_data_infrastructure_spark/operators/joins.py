@@ -470,7 +470,18 @@ def fuzzy_match(
     the exact levenshtein. At 100 TB the mask join is n x L rows shuffled
     on an equi-key — never the same-length cross product a naive
     lev-threshold join degenerates to (TPC-H names share one length, so
-    THAT blocking is the full N^2)."""
+    THAT blocking is the full N^2).
+
+    The blocking is exact ONLY for edit distance <= 1 on equal-length
+    strings: single-position masks cannot reach a pair two substitutions
+    apart, so a ``max_lev >= 2`` call would silently drop qualifying
+    pairs the blocking never generates (ADVICE r6). Guarded below;
+    deeper radii need deletion-neighborhood keys of that depth."""
+    if max_lev != 1:
+        raise ValueError(
+            "fuzzy_match's single-position mask blocking generates exactly "
+            f"the Hamming<=1 candidates; max_lev={max_lev} would drop pairs"
+        )
     c = clean.select(
         F.col(key).alias("clean_key"),
         F.col(name).alias("clean_name"),

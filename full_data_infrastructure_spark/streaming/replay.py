@@ -133,6 +133,12 @@ def replay_stream(
     second full pass over the source table."""
     from pyspark.sql import functions as F
 
+    # recentProgress keeps only the newest numRecentProgressUpdates entries
+    # (default 100); record_fold_cost sums addBatch over it, so a replay
+    # with more micro-batches than that would silently undercount fold_sec
+    # (ADVICE r6).  One file per trigger => batches ~ n_files, so raise the
+    # cap well past any replay size here, where every replay starts.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     work = replay_workdir(prefix)
     src_dir = os.path.join(work, "src")
     ordered_file_split(df, order_col, n_files, src_dir)
@@ -207,8 +213,27 @@ LAST_FOLD_SEC: dict[str, float] = {}
 def record_fold_cost(name: str, query) -> None:
     """Sum the addBatch duration (the foreachBatch/sink execution — the
     part that scales with data, unlike trigger setup and checkpoint
-    commits) across the completed run's micro-batches."""
+    commits) across the completed run's micro-batches.
+
+    ``recentProgress`` is a ring buffer capped at
+    ``spark.sql.streaming.numRecentProgressUpdates`` — ``replay_stream``
+    raises it to 10k so no replay can overflow it; the assert below turns
+    a silent undercount into a loud failure if a future replay path skips
+    that setup (ADVICE r6)."""
+    from pyspark.sql import SparkSession
+
+    progress = query.recentProgress
+    spark = SparkSession.getActiveSession()
+    cap = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+        if spark is not None
+        else "100"
+    )
+    assert len(progress) < cap, (
+        f"recentProgress hit the {cap}-entry ring-buffer cap; fold_sec for "
+        f"{name!r} would undercount — raise numRecentProgressUpdates"
+    )
     ms = 0.0
-    for p in query.recentProgress:
+    for p in progress:
         ms += float((p.get("durationMs") or {}).get("addBatch", 0.0))
     LAST_FOLD_SEC[name] = round(ms / 1000.0, 3)
