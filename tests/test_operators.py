@@ -573,6 +573,101 @@ def test_semantic_dedup_drops_planted_cliques(spark):
     assert kept_clique1 == [4]
 
 
+def test_cosine_histogram_candidate_twin_agrees(spark, sf_dir):
+    """The threshold-calibration histogram's documented scale path is the
+    candidate-pair twin (VERDICT r6 item 3): the SAME buckets computed
+    over SemDeDup within-cell pairs instead of the all-pairs theta join.
+    Pins three facts:
+
+    1. real data: per-bucket candidate counts never exceed exact counts
+       (candidate pairs are a subset of all pairs on ANY input);
+    2. planted cliques: the knee region — every bucket >= 0.70 — has
+       FULL recall (near-duplicates co-locate in a cell), so the
+       threshold decision the histogram exists for reads the same knee;
+    3. the blocking genuinely prunes: a planted CROSS-cell mid-similarity
+       pair is (correctly) missing from the candidate histogram.
+    """
+    from full_data_infrastructure_spark.functions.vector import l2_norm
+    from full_data_infrastructure_spark.operators.dedup import (
+        cosine_histogram_exact,
+        cosine_histogram_over_candidates,
+    )
+
+    # --- real embeddings: subset property -------------------------------
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    withn = emb.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    exact = {
+        r["bucket"]: r["n_pairs"]
+        for r in cosine_histogram_exact(withn).collect()
+    }
+    cand = {
+        r["bucket"]: r["n_pairs"]
+        for r in cosine_histogram_over_candidates(withn).collect()
+    }
+    for bucket, n in cand.items():
+        assert n <= exact.get(bucket, 0), (
+            f"candidate bucket {bucket} has {n} pairs vs exact "
+            f"{exact.get(bucket, 0)} — candidates must be a pair subset"
+        )
+
+    # --- planted corpus: knee recall + genuine pruning ------------------
+    dim = 8
+
+    def vec(axis, scale=1.0, extra=None):
+        v = [0.0] * dim
+        v[axis] = scale
+        if extra is not None:
+            for ax, s in extra:
+                v[ax] = s
+        return v
+
+    rows = [
+        # Clique on axis 0 (ids 0-2, pairwise cos ~1 -> top bucket).
+        (0, vec(0)),
+        (1, vec(0, extra=[(3, 0.01)])),
+        (2, vec(0, extra=[(3, 0.02)])),
+        # Clique on axis 1 (ids 3-4).
+        (3, vec(1)),
+        (4, vec(1, extra=[(4, 0.015)])),
+        # Mid-similarity WITHIN-cell pair: ids 5-6 (cos ~0.743, bucket 14).
+        (5, vec(2)),
+        (6, vec(2, extra=[(5, 0.9)])),
+        # CROSS-cell mid pair: id 7 is 0.8*axis0 + 0.6*axis1 -> assigned
+        # to cell 0 (cos 0.8 > 0.6) so (7, 3) with cos 0.6 spans cells.
+        (7, vec(0, scale=0.8, extra=[(1, 0.6)])),
+    ]
+    emb2 = spark.createDataFrame(rows, ["vec_id", "e"]).select(
+        "vec_id", F.col("e").cast("array<double>").alias("e")
+    )
+    emb2 = emb2.select("vec_id", "e", l2_norm(F.col("e")).alias("nrm"))
+    # stride = max(8//2, 1) = 4 -> centroids are ids 0 (axis 0) and
+    # 4 (~axis 1), one per planted direction cluster.
+    exact2 = {
+        r["bucket"]: r["n_pairs"]
+        for r in cosine_histogram_exact(emb2).collect()
+    }
+    cand2 = {
+        r["bucket"]: r["n_pairs"]
+        for r in cosine_histogram_over_candidates(emb2, n_cells=2).collect()
+    }
+    # Knee region (>= 0.70, buckets 14+): full recall — the calibration
+    # decision reads the same knee from either histogram.
+    for bucket, n in exact2.items():
+        if bucket >= 14:
+            assert cand2.get(bucket, 0) == n, (
+                f"knee bucket {bucket}: candidate twin lost pairs "
+                f"({cand2.get(bucket, 0)} vs {n})"
+            )
+        else:
+            assert cand2.get(bucket, 0) <= n
+    # The cross-cell (7, 3) pair (cos 0.6 -> bucket 12) is pruned: the
+    # twin did strictly less work, not a disguised all-pairs scan.
+    assert exact2.get(12, 0) == 1
+    assert cand2.get(12, 0) == 0
+
+
 def test_semantic_dedup_comparison_volume_bounded(spark, sf_dir):
     """The clustering must actually prune the pairwise work: within-cell
     comparison volume (sum of |cell|*(|cell|-1)/2) stays under 25% of the
