@@ -26,6 +26,21 @@ host state on recording day, not a plan change; untouched queries
 (knn_bruteforce +40%, flagship +17%) drifted identically in the controlled
 run, corroborating. Verdict: variance, not regression.
 
+Round-7 drift adjudication (VERDICT r6 item 6): asof_join +47% (r5 0.272s
+-> r6 0.399s; judge-verified zero asof code changes) re-measured with the
+same protocol — the pre-r5-bench tree (af5758e~1) checked out into a
+worktree and micro-benched back-to-back with HEAD on the same host, 7
+repeats each after codegen warmup: r5 code best 0.429s / median 0.503s vs
+HEAD best 0.448s / median 0.519s — indistinguishable; both slower than
+either recorded number, so the r5-recorded 0.272s was fast-host state on
+recording day. Verdict: variance, not regression.
+
+Round-7 bench additions (VERDICT r6 item 5): tpch_q5_region_volume (the
+canonical join-order benchmark), pagerank_parts (the only
+iterative-shuffle entry), streaming_scd2_snapshot (the heaviest new
+streaming path, with the fold_sec split like the upsert sink) — 20
+benched queries total.
+
 Schema additions (round 6):
 * "groups" — per-family subtotals (relational / dedup / ann / text /
   pipeline / streaming, derived from registry tags) so round-over-round

@@ -638,6 +638,7 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of that from the declarative plan; the correlated equality arrives "
     "as a join condition, not a post-filter.",
     tags=("extension", "join", "aggregate"),
+    bench=True,
 )
 def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
@@ -768,6 +769,7 @@ def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
     "(the embedding_kmeans oracle pattern). At 100 TB: edges persist "
     "once, rank state is node-sized, per-iteration cost is one shuffle.",
     tags=("extension", "join", "aggregate"),
+    bench=True,
 )
 def _pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

@@ -1131,13 +1131,20 @@ def _window_range_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "consumer of a CDC topic, end-to-end. The ts-ordered range split "
     "guarantees the at-or-after batch contract (equal timestamps never "
     "split across batches); the random-cut-point property test is the "
-    "same contract at the operator level.",
+    "same contract at the operator level. bench=True: the heaviest new "
+    "streaming path — wall time plus the fold_sec split (sum of addBatch "
+    "durations), like the upsert sink, so the fold cost is tracked "
+    "separately from the ~fixed replay harness overhead.",
     tags=("extension", "window", "streaming", "events", "cdc"),
+    bench=True,
 )
 def _streaming_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from full_data_infrastructure_spark.streaming.replay import replay_stream
+    from full_data_infrastructure_spark.streaming.replay import (
+        record_fold_cost,
+        replay_stream,
+    )
     from full_data_infrastructure_spark.streaming.sinks import start_scd2_sink
 
     events = load_table(spark, sf_dir, "events").select(
@@ -1151,6 +1158,7 @@ def _streaming_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now=True,
     )
     q.awaitTermination()
+    record_fold_cost("streaming_scd2_snapshot", q)
     return scd2_finalize(spark.read.parquet(os.path.join(work, "versions")))
 
 
