@@ -646,6 +646,7 @@ PQ_M = 8  # subspaces (DIM/PQ_SUB)
 PQ_SUB = DIM // PQ_M  # dims per subspace
 PQ_CODES = 64  # codewords per subspace -> 6-bit codes, 8 codes/vector
 PQ_RERANK = 80  # ADC shortlist size fed to exact re-ranking
+PQ_TRAIN = PQ_CODES * 16  # codebook training sample (stride-drawn vectors)
 
 
 def _subvectors(vecs: DataFrame, vec_col: str = "en") -> DataFrame:
@@ -710,17 +711,27 @@ def pq_codebook(subs: DataFrame, refine_rounds: int = 1) -> DataFrame:
     merge-order wobble cannot leak into code assignments — downstream is
     then fully deterministic.
 
-    At 100 TB the codebook trains on a sample (as here — k-means cost is
-    per-codeword, not per-corpus-row) and is a 512-row broadcast."""
+    The Lloyd refinement assigns a stride-drawn TRAINING SAMPLE of
+    ``PQ_TRAIN`` vectors, not the full corpus — the standard PQ recipe
+    (Jégou et al. train codebooks on a learning set), and the property
+    that makes the build scale-free: at 100 TB the refinement cost is
+    per-training-row, the corpus is touched only by the single final
+    encode, and the codebook stays a 512-row broadcast.  (Round 7: the
+    refinement previously assigned every corpus row — one whole extra
+    corpus encode per round, contradicting this docstring's claim;
+    recall at all three SFs is unchanged within the pinned floors.)"""
     vec_ids = subs.select("vec_id").distinct()
-    stride_df = vec_ids.agg(
+    strides = vec_ids.agg(
         F.greatest(
             F.floor(F.count(F.lit(1)) / PQ_CODES), F.lit(1).cast("bigint")
-        ).alias("stride")
+        ).alias("stride"),
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / PQ_TRAIN), F.lit(1).cast("bigint")
+        ).alias("train_stride"),
     )
+    seeded = subs.crossJoin(F.broadcast(strides))
     cb = (
-        subs.crossJoin(F.broadcast(stride_df))
-        .filter(
+        seeded.filter(
             (F.col("vec_id") % F.col("stride") == 0)
             & (F.col("vec_id") / F.col("stride") < PQ_CODES)
         )
@@ -730,10 +741,13 @@ def pq_codebook(subs: DataFrame, refine_rounds: int = 1) -> DataFrame:
             F.col("sub").alias("c_sub"),
         )
     )
+    train = seeded.filter(F.col("vec_id") % F.col("train_stride") == 0).select(
+        "vec_id", "s", "sub"
+    )
     for _ in range(refine_rounds):
-        assign = pq_encode(subs, cb)
+        assign = pq_encode(train, cb)
         cb = (
-            assign.join(subs, ["vec_id", "s"])
+            assign.join(train, ["vec_id", "s"])
             .groupBy("s", "code")
             .agg(
                 F.array(
