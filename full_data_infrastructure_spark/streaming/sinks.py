@@ -79,6 +79,38 @@ def start_notification_sink(
     return writer.start()
 
 
+def _key_bucket(col, n_buckets: int):
+    """Deterministic key-hash bucket for directory-partitioned snapshot
+    tables: crc32-of-string, not hash() — stable across Spark versions,
+    so a standing table keeps its layout through engine upgrades."""
+    return F.pmod(F.crc32(col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def _swap_touched_buckets(out: DataFrame, path: str, touched, fmt: str) -> None:
+    """Write ``out`` (carrying a ``bucket`` column) partitioned by bucket
+    to a temp dir, then atomically swap ONLY the ``touched`` bucket
+    directories into ``path`` — per-batch write IO becomes
+    touched/n_buckets of the table instead of a full rewrite.  A touched
+    bucket absent from ``out`` (every key deleted) is removed.  Atomicity
+    is per-bucket, not per-table (the standard contract for partitioned
+    warehouse tables without a transaction log)."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
+    out.write.format(fmt).mode("overwrite").partitionBy("bucket").save(tmp)
+    os.makedirs(path, exist_ok=True)
+    for b in touched:
+        src = os.path.join(tmp, f"bucket={b}")
+        dst = os.path.join(path, f"bucket={b}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):
+            os.rename(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def start_upsert_sink(
     decoded: DataFrame,
     snapshot_path: str,
@@ -88,6 +120,7 @@ def start_upsert_sink(
     fmt: str = "parquet",
     available_now: bool = False,
     trigger_seconds: int | None = None,
+    n_buckets: int | None = None,
 ) -> StreamingQuery:
     """CDC upsert sink: per micro-batch, apply full c/r/u/d op semantics to
     the snapshot table via :func:`~full_data_infrastructure_spark.streaming.
@@ -105,6 +138,14 @@ def start_upsert_sink(
     being read corrupts the read. Either way the checkpoint dedups replayed
     batches, and the apply is idempotent per batch
     (tests/test_properties.py), so at-least-once replay converges.
+
+    Like :func:`start_scd2_sink`, the default parquet path rewrites the
+    FULL snapshot every batch; pass ``n_buckets`` to bound the write
+    amplification — the snapshot is directory-partitioned by
+    ``crc32(key) % n_buckets`` and each batch scans and swaps only the
+    bucket partitions its keys touch (see :func:`_swap_touched_buckets`;
+    a key-sparse batch against a huge dimension then costs
+    touched/n_buckets of the table instead of all of it).
     """
     import os
     import shutil
@@ -142,18 +183,41 @@ def start_upsert_sink(
         if fmt == "delta":
             merge_delta(batch_df, batch_id)
             return
-        if os.path.exists(snapshot_path):
-            snapshot = spark.read.format(fmt).load(snapshot_path)
-        else:
-            snapshot = spark.createDataFrame(
-                [], batch_df.drop("op", order_col).schema
+        empty = spark.createDataFrame([], batch_df.drop("op", order_col).schema)
+        if n_buckets is None:
+            if os.path.exists(snapshot_path):
+                snapshot = spark.read.format(fmt).load(snapshot_path)
+            else:
+                snapshot = empty
+            merged = apply_cdc_batch(
+                snapshot, batch_df, key=key, order_col=order_col
             )
-        merged = apply_cdc_batch(snapshot, batch_df, key=key, order_col=order_col)
-        tmp = f"{snapshot_path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
-        merged.write.format(fmt).mode("overwrite").save(tmp)
+            tmp = f"{snapshot_path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
+            merged.write.format(fmt).mode("overwrite").save(tmp)
+            if os.path.exists(snapshot_path):
+                shutil.rmtree(snapshot_path)
+            os.rename(tmp, snapshot_path)
+            return
+        touched = sorted(
+            r["bucket"]
+            for r in batch_df.select(
+                _key_bucket(F.col(key), n_buckets).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        )
         if os.path.exists(snapshot_path):
-            shutil.rmtree(snapshot_path)
-        os.rename(tmp, snapshot_path)
+            snapshot = (
+                spark.read.format(fmt)
+                .load(snapshot_path)
+                .filter(F.col("bucket").isin(touched))
+                .drop("bucket")
+            )
+        else:
+            snapshot = empty
+        merged = apply_cdc_batch(snapshot, batch_df, key=key, order_col=order_col)
+        out = merged.withColumn("bucket", _key_bucket(F.col(key), n_buckets))
+        _swap_touched_buckets(out, snapshot_path, touched, fmt)
 
     writer = decoded.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint_path
@@ -323,11 +387,6 @@ def start_scd2_sink(
         scd2_versions,
     )
 
-    def bucket_of(col):
-        # crc32-of-string, not hash(): stable across Spark versions, so a
-        # standing table keeps its layout through engine upgrades.
-        return F.pmod(F.crc32(col.cast("string")), F.lit(n_buckets)).cast("int")
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("user_id", "event_type", "ts", "event_id")
@@ -345,7 +404,9 @@ def start_scd2_sink(
             return
         touched = sorted(
             r["bucket"]
-            for r in batch.select(bucket_of(F.col("user_id")).alias("bucket"))
+            for r in batch.select(
+                _key_bucket(F.col("user_id"), n_buckets).alias("bucket")
+            )
             .distinct()
             .collect()
         )
@@ -361,18 +422,8 @@ def start_scd2_sink(
             merged = scd2_apply_batch(standing, batch)
         else:
             merged = scd2_versions(batch)
-        out = merged.withColumn("bucket", bucket_of(F.col("user_id")))
-        tmp = f"{versions_path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
-        out.write.format(fmt).mode("overwrite").partitionBy("bucket").save(tmp)
-        os.makedirs(versions_path, exist_ok=True)
-        for b in touched:
-            src = os.path.join(tmp, f"bucket={b}")
-            dst = os.path.join(versions_path, f"bucket={b}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            if os.path.exists(src):
-                os.rename(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        out = merged.withColumn("bucket", _key_bucket(F.col("user_id"), n_buckets))
+        _swap_touched_buckets(out, versions_path, touched, fmt)
 
     writer = changes.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_path

@@ -1143,6 +1143,74 @@ def test_scd2_sink_fold_is_idempotent(spark):
     )
 
 
+def test_upsert_sink_bucketed_rewrites_and_delete_empties_bucket(spark, tmp_path):
+    """The upsert sink's n_buckets variant: a batch touching two keys must
+    rewrite only those keys' bucket directories (others byte-identical),
+    and a delete that removes a bucket's ONLY key must remove the bucket
+    directory — while the final snapshot still matches full c/u/d
+    semantics."""
+    import os
+    from zlib import crc32
+
+    from full_data_infrastructure_spark.streaming.sinks import start_upsert_sink
+
+    schema = "op string, ts_ms bigint, id bigint, value double"
+    first = [("c", 10 + k, k, float(k)) for k in range(1, 17)]
+    # key 1 updated; key 7 is its bucket's only occupant (crc32 layout
+    # for n_buckets=8) and gets deleted -> bucket dir must vanish.
+    second = [("u", 100, 1, 111.0), ("d", 101, 7, 7.0)]
+    assert crc32(b"7") % 8 not in {crc32(str(k).encode()) % 8 for k in range(1, 17) if k != 7}
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_upsert_sink(
+            stream, snap, ckpt, key="id", available_now=True, n_buckets=8
+        )
+        q.awaitTermination(120)
+
+    def listing():
+        out = {}
+        for root, _, files in os.walk(snap):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, snap)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    run()
+    before = listing()
+    spark.createDataFrame(second, schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    run()
+    after = listing()
+
+    upd_bucket = f"bucket={crc32(b'1') % 8}"
+    del_bucket = f"bucket={crc32(b'7') % 8}"
+    for path, meta in before.items():
+        top = path.split(os.sep)[0]
+        if top not in (upd_bucket, del_bucket):
+            assert after.get(path) == meta, f"untouched bucket rewritten: {path}"
+    assert not any(p.startswith(del_bucket) for p in after), (
+        "deleting a bucket's only key must remove its directory"
+    )
+    rows = {
+        r["id"]: r["value"]
+        for r in spark.read.parquet(snap).drop("bucket").collect()
+    }
+    assert rows == {**{k: float(k) for k in range(2, 17) if k != 7}, 1: 111.0}
+
+
 def test_scd2_sink_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
     """The n_buckets variant bounds the sink's write amplification
     (VERDICT r6 item 8): a batch touching one user must rewrite ONLY that
