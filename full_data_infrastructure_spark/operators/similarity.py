@@ -964,9 +964,10 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single most similar corpus vector with a DIFFERENT label — the "
     "negatives that actually move a contrastive loss, vs easy random "
     "ones. Exact top-1 by rounded cosine with id tiebreak "
-    "(oracle-checked); at scale the anchor x corpus pass swaps in the "
-    "knn_ivfpq shortlist with a label-mismatch post-filter, same "
-    "composition as knn_label_consistency.",
+    "(oracle-checked); the scale path is code, not prose: "
+    "hard_negatives_over_shortlist swaps the anchor x corpus pass for "
+    "the knn_ivfpq shortlist + a label-mismatch post-filter, per-SF "
+    "top-1 agreement floors pinned in tests/test_operators.py.",
     tags=("llm", "vector"),
 )
 def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,6 +994,56 @@ def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("n_label"),
             F.round(
                 dot(F.col("e_q"), F.col("e")) / (F.col("n_q") * F.col("nrm")), 4
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "negative_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("anchor_id", "a_label", "negative_id", "n_label", "cos")
+    )
+
+
+def hard_negatives_over_shortlist(emb: DataFrame) -> DataFrame:
+    """Scale twin of the exact hard-negative miner: the anchor x corpus
+    pass swapped for the knn_ivfpq shortlist plus a label-mismatch
+    post-filter — the composition the exact operator's docstring
+    promises, as code (the cosine_threshold_histogram twin pattern).
+    Candidates come from the persisted IVFADC index (cells bound the
+    scan, codes bound the bytes), each anchor exact-scores only its
+    ~PQ_RERANK shortlisted different-label mates, and the top-1 is the
+    mined negative.  An anchor whose entire shortlist shares its label
+    drops out — the recall/cost trade tests pin with a per-SF agreement
+    floor against the exact miner.  ``emb`` must carry
+    (vec_id, label, e, nrm)."""
+    shortlist = ivfpq_shortlist(emb.select("vec_id", "e", "nrm"))
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("e").alias("e_q"),
+        F.col("nrm").alias("n_q"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("n_label"),
+        F.col("e").alias("e_c"),
+        F.col("nrm").alias("n_c"),
+    )
+    scored = (
+        shortlist.withColumnRenamed("query_id", "anchor_id")
+        .withColumnRenamed("neighbor_id", "negative_id")
+        .join(F.broadcast(anchors), "anchor_id")
+        .join(cands, "negative_id")
+        .filter(F.col("n_label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "negative_id",
+            "n_label",
+            F.round(
+                dot(F.col("e_q"), F.col("e_c")) / (F.col("n_q") * F.col("n_c")),
+                4,
             ).alias("cos"),
         )
     )

@@ -198,6 +198,7 @@ def start_upsert_sink(
                 shutil.rmtree(snapshot_path)
             os.rename(tmp, snapshot_path)
             return
+        # Bounded driver action: at most n_buckets distinct values.
         touched = sorted(
             r["bucket"]
             for r in batch_df.select(
@@ -402,6 +403,7 @@ def start_scd2_sink(
                 shutil.rmtree(versions_path)
             os.rename(tmp, versions_path)
             return
+        # Bounded driver action: at most n_buckets distinct values.
         touched = sorted(
             r["bucket"]
             for r in batch.select(

