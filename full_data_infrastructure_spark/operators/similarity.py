@@ -596,7 +596,10 @@ def _embedding_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rows where consistent = false are the candidates a labeling-QA "
     "pass reviews. Reuses the broadcast-queries/one-corpus-pass "
     "knn_bruteforce plan, so cost is the scan the kNN already paid; "
-    "swap in lsh/ivf candidates for corpus-scale sweeps.",
+    "the corpus-scale sweep is code, not prose: "
+    "label_consistency_over_shortlist votes over the exact-reranked "
+    "knn_ivfpq shortlist through the same shared vote tail, "
+    "verdict-agreement floors pinned per SF in tests/test_operators.py.",
     tags=("llm", "similarity", "vector", "quality"),
 )
 def _knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,8 +611,18 @@ def _knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", "e")
     queries = vecs.filter(F.col("vec_id") < N_QUERIES)
     neighbors = knn_bruteforce(vecs, queries)
+    return _majority_label_vote(neighbors, emb)
+
+
+def _majority_label_vote(neighbors: DataFrame, emb: DataFrame) -> DataFrame:
+    """Shared vote tail of the exact and shortlist label-consistency
+    checks: join neighbor labels, majority vote per query (vote count
+    desc, label asc tiebreak), compare to the query's own label.  One
+    definition so the two paths cannot drift in tie semantics."""
     labeled = neighbors.join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")),
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+        ),
         "neighbor_id",
     )
     votes = labeled.groupBy("query_id", "n_label").agg(
@@ -635,6 +648,20 @@ def _knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         (F.col("true_label") == F.col("predicted_label")).alias("consistent"),
     )
+
+
+def label_consistency_over_shortlist(emb: DataFrame) -> DataFrame:
+    """Scale twin of knn_label_consistency: the exact top-5 from
+    knn_bruteforce swapped for the exact-reranked knn_ivfpq shortlist —
+    the 'swap in lsh/ivf candidates for corpus-scale sweeps' the exact
+    operator's docstring promises, as code.  The vote tail is shared
+    (_majority_label_vote); per-SF verdict-agreement floors pinned in
+    tests/test_operators.py.  ``emb`` must carry (vec_id, label, e,
+    nrm)."""
+    vecs = emb.select("vec_id", "e", "nrm")
+    neighbors = _exact_rerank(vecs, ivfpq_shortlist(vecs))
+    return _majority_label_vote(neighbors, emb)
+
 
 
 # ---------------------------------------------------------------------------

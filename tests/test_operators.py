@@ -837,6 +837,45 @@ def test_hard_negatives_shortlist_twin_agrees(spark, sf_dir):
     assert near / n >= 0.90, f"near-tie coverage {near / n:.2f} < 0.90"
 
 
+def test_label_consistency_shortlist_twin_agrees(spark, sf_dir):
+    """knn_label_consistency's corpus-scale sweep as code: voting over
+    the exact-reranked knn_ivfpq shortlist must cover every query and
+    reproduce the QA VERDICT (consistent true/false — the column a
+    labeling-QA pass actually consumes) for >= 0.75 of queries
+    (measured 0.95/1.0/0.80 at sf0.001/0.01/0.1).  The predicted-label
+    IDENTITY is deliberately not pinned tightly: on near-uniform
+    synthetic embeddings the top-5 vote is tie-heavy (random labels, ~1
+    vote each), so a single shortlist-vs-exact neighbor swap flips the
+    plurality label while the consistent verdict is far more stable."""
+    from full_data_infrastructure_spark.functions.vector import l2_norm
+    from full_data_infrastructure_spark.operators.similarity import (
+        label_consistency_over_shortlist,
+    )
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    exact = {
+        r["query_id"]: r
+        for r in REGISTRY["knn_label_consistency"].build(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    emb = emb.select(
+        "vec_id", "label", "e", l2_norm(F.col("e")).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    twin = {
+        r["query_id"]: r
+        for r in label_consistency_over_shortlist(emb).collect()
+    }
+    assert set(twin) == set(exact), "a query lost its verdict entirely"
+    n = len(exact)
+    verdict = sum(
+        1 for q in exact if twin[q]["consistent"] == exact[q]["consistent"]
+    )
+    assert verdict / n >= 0.75, f"verdict agreement {verdict / n:.2f} < 0.75"
+
+
 def test_lsh_survivors_invariant_to_exact_collapse(spark, near_dup_docs):
     """collapse_exact=True must not change the survivor set, only the
     work: the near_dup_docs fixture plants byte-identical copies
