@@ -1292,11 +1292,15 @@ def test_scd2_sink_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
     assert got == want
 
 
-def test_scd2_sink_restart_is_exactly_once(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("n_buckets", [None, 8], ids=["swap", "bucketed"])
+def test_scd2_sink_restart_is_exactly_once(spark, sf_dir, tmp_path, n_buckets):
     """Restarting the SCD2 sink against its checkpoint with no new data
     must leave the version table bit-identical (checkpointed offsets +
     the idempotent fold = effectively-once), and a restart that re-runs
-    replayed batches must still converge to the full-history compression."""
+    replayed batches must still converge to the full-history compression
+    — for BOTH write layouts: the whole-table snapshot swap and the
+    round-7 bucketed partition swap (whose restart semantics add the
+    per-bucket rename path to the contract)."""
     import os
 
     from full_data_infrastructure_spark.operators.windows import (
@@ -1315,14 +1319,23 @@ def test_scd2_sink_restart_is_exactly_once(spark, sf_dir, tmp_path):
     )
     versions = os.path.join(work, "versions")
     ckpt = os.path.join(work, "checkpoint")
-    q1 = start_scd2_sink(stream, versions, ckpt, available_now=True)
+    q1 = start_scd2_sink(
+        stream, versions, ckpt, available_now=True, n_buckets=n_buckets
+    )
     q1.awaitTermination(120)
-    first = sorted(map(tuple, spark.read.parquet(versions).collect()))
+
+    def read_versions():
+        df = spark.read.parquet(versions)
+        return df.drop("bucket") if n_buckets else df
+
+    first = sorted(map(tuple, read_versions().collect()))
 
     # restart: same checkpoint, no new files => nothing re-folds
-    q2 = start_scd2_sink(stream, versions, ckpt, available_now=True)
+    q2 = start_scd2_sink(
+        stream, versions, ckpt, available_now=True, n_buckets=n_buckets
+    )
     q2.awaitTermination(120)
-    second = sorted(map(tuple, spark.read.parquet(versions).collect()))
+    second = sorted(map(tuple, read_versions().collect()))
     assert first == second
 
     # and the accumulated table equals the single-shot compression
@@ -1330,9 +1343,6 @@ def test_scd2_sink_restart_is_exactly_once(spark, sf_dir, tmp_path):
         map(tuple, scd2_finalize(scd2_versions(events)).collect())
     )
     got = sorted(
-        map(
-            tuple,
-            scd2_finalize(spark.read.parquet(versions)).collect(),
-        )
+        map(tuple, scd2_finalize(read_versions()).collect())
     )
     assert got == want
