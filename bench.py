@@ -38,8 +38,9 @@ recording day. Verdict: variance, not regression.
 Round-7 bench additions (VERDICT r6 item 5): tpch_q5_region_volume (the
 canonical join-order benchmark), pagerank_parts (the only
 iterative-shuffle entry), streaming_scd2_snapshot (the heaviest new
-streaming path, with the fold_sec split like the upsert sink) — 20
-benched queries total.
+streaming path, with the fold_sec split like the upsert sink), plus
+knn_ivfpq (flipped to bench=True the same round so the IVF+PQ scale path
+is perf-tracked alongside knn_bruteforce) — 21 benched queries total.
 
 Schema additions (round 6):
 * "groups" — per-family subtotals (relational / dedup / ann / text /

@@ -87,8 +87,10 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 7 note: zero bench pins this round — all 17 benched queries hold
-# r6 green rows, within rotation.EVIDENCE_STALE_AFTER — and tag repair
+# (Round 7 note: zero bench pins this round — all 21 benched queries
+# (the 17 pre-r7 entries plus the round-7 additions tpch_q5_region_volume,
+# pagerank_parts, streaming_scd2_snapshot, knn_ivfpq) hold r6 green rows,
+# within rotation.EVIDENCE_STALE_AFTER — and tag repair
 # forces nothing because every family has fresh standing evidence, so the
 # 48 free slots drain the ENTIRE backlog: the 27 never-attested round-6
 # queries, all 7 r1-stale, all 13 r2-stale, plus the stalest r3
@@ -98,54 +100,54 @@ _LOADED = False
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "benford_first_digit",
-    "corpus_datacard",
-    "correlation_matrix",
-    "cosine_threshold_histogram",
-    "discount_band_quantity",
-    "dup_cluster_size_histogram",
-    "event_gap_histogram",
-    "fulfillment_latency_sla",
-    "funnel_three_step",
-    "fuzzy_match_suppliers",
-    "group_split_events",
-    "lang_confusion_matrix",
-    "max_staleness_by_user",
-    "pagerank_parts",
-    "profile_by_key",
-    "pseudonymize_customers",
-    "rare_bigram_quality",
-    "repeat_customer_rate",
-    "rolling_active_users",
-    "session_overlap_pairs",
-    "streaming_scd2_snapshot",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_volume",
-    "trend_by_event_type",
-    "weighted_sample_docs",
-    "window_percent_rank",
-    "window_range_hour_sum",
-    "count_distinct",
-    "cte_self_join",
-    "cube_counts",
-    "repetition_signals",
-    "rollup_counts",
-    "sample_hash",
-    "semi_join",
-    "embedding_quantize_int8",
-    "fingerprint_md5",
-    "lang_id",
-    "lang_id_trigram",
-    "quality_score",
-    "rolling_hash_fingerprint",
-    "tfidf_top_token",
-    "vector_norms",
-    "vocab_topk",
-    "window_dedup_latest",
-    "window_lag_delta",
-    "window_rank_topn",
-    "window_running_total",
-    "activity_heatmap",
+    "c4_quality_filters",
+    "chunk_documents",
+    "cohort_retention",
+    "corpus_pipeline",
+    "dedup_containment",
+    "dedup_survivors",
+    "dup_span_signal",
+    "embedding_lang_drift",
+    "exists_subquery",
+    "funnel_conversion",
+    "hypertable_rollup_hourly",
+    "hypertable_rollup_merge",
+    "mad_outliers",
+    "mixture_sample",
+    "multimodal_decode",
+    "multimodal_payload_dedup",
+    "ordered_limit",
+    "pack_bin_stats",
+    "pack_sequences",
+    "rfm_segments",
+    "validation_suite",
+    "winsorize_values",
+    "approx_count_distinct",
+    "conditional_rate",
+    "constraint_violations",
+    "dedup_cluster_cc",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_incremental_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_span_removal",
+    "groupby_count_avg",
+    "grouping_sets_counts",
+    "histogram_buckets",
+    "in_subquery",
+    "knn_ivf",
+    "knn_label_consistency",
+    "knn_lsh",
+    "multimodal_embed",
+    "notnull_filter",
+    "percentile_stats",
+    "proportional_sample",
+    "scalar_count",
+    "select_prune_cast",
+    "unpivot_lineitem",
+    "anti_join",
 )
 
 

@@ -18,7 +18,7 @@ makes the rotation mechanical:
   stale so the breakage is re-checked, never rotated out.
 * **Pinned** in every window: the two flagship queries (always first, in
   order) and every ``bench=True`` query whose evidence is STALE (latest
-  green round ≤ newest correctness round − ``BENCH_PIN_STALE_AFTER``).
+  green round ≤ newest correctness round − ``EVIDENCE_STALE_AFTER``).
   Benched queries attested within the last ``EVIDENCE_STALE_AFTER``
   rounds keep their standing row and give their slot to the backlog; the
   policy bounds graded-perf-set correctness staleness at

@@ -86,6 +86,23 @@ def _key_bucket(col, n_buckets: int):
     return F.pmod(F.crc32(col.cast("string")), F.lit(n_buckets)).cast("int")
 
 
+def _bucketed_snapshot_nonempty(path: str) -> bool:
+    """True iff ``path`` holds at least one ``bucket=`` partition directory.
+
+    A batch that deletes every remaining key removes all bucket=
+    directories but leaves ``path`` itself behind as an empty directory
+    (:func:`_swap_touched_buckets` removes buckets, never the table root).
+    Reading that with ``spark.read.load`` fails schema inference, so the
+    bucketed sinks must treat an existing-but-bucketless snapshot dir as
+    an empty table (ADVICE r7).
+    """
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    return any(entry.startswith("bucket=") for entry in os.listdir(path))
+
+
 def _swap_touched_buckets(out: DataFrame, path: str, touched, fmt: str) -> None:
     """Write ``out`` (carrying a ``bucket`` column) partitioned by bucket
     to a temp dir, then atomically swap ONLY the ``touched`` bucket
@@ -207,7 +224,7 @@ def start_upsert_sink(
             .distinct()
             .collect()
         )
-        if os.path.exists(snapshot_path):
+        if _bucketed_snapshot_nonempty(snapshot_path):
             snapshot = (
                 spark.read.format(fmt)
                 .load(snapshot_path)
@@ -412,7 +429,7 @@ def start_scd2_sink(
             .distinct()
             .collect()
         )
-        if os.path.exists(versions_path):
+        if _bucketed_snapshot_nonempty(versions_path):
             # Partition pruning: only the touched bucket directories are
             # scanned — untouched buckets cost zero read AND zero write.
             standing = (

@@ -65,7 +65,14 @@ def test_staleness_sla():
     this round) or its latest green round is >= newest_round - 3.  This is
     the enforcement half of the round-7 rotation policy (VERDICT r6 items
     2-3): the bench-pin and tag-repair relaxations freed the slots that
-    drained the backlog, and this gate keeps it drained."""
+    drained the backlog, and this gate keeps it drained.
+
+    ATOMIC-COMMIT REQUIREMENT (ADVICE r7): this test goes red the moment a
+    new CORRECTNESS_r{N}.json is committed without regenerating
+    DRIVER_WINDOW in the SAME commit — max_round advances, so queries that
+    were fresh fall outside the old window.  Each round must land the
+    driver's correctness file and the recomputed queries.py window
+    together (the round-start regeneration step in COVERAGE.md)."""
     from full_data_infrastructure_spark import rotation
 
     root = Path(__file__).resolve().parents[1]

@@ -1211,6 +1211,52 @@ def test_upsert_sink_bucketed_rewrites_and_delete_empties_bucket(spark, tmp_path
     assert rows == {**{k: float(k) for k in range(2, 17) if k != 7}, 1: 111.0}
 
 
+def test_upsert_sink_bucketed_survives_deleting_every_key(spark, tmp_path):
+    """A batch that deletes EVERY remaining key removes all bucket=
+    directories but leaves the snapshot root behind as an empty dir; the
+    next batch must treat that as an empty table instead of crashing on
+    schema inference (ADVICE r7 — sinks._bucketed_snapshot_nonempty)."""
+    import os
+
+    from full_data_infrastructure_spark.streaming.sinks import start_upsert_sink
+
+    schema = "op string, ts_ms bigint, id bigint, value double"
+    batches = [
+        [("c", 10, 1, 1.0), ("c", 11, 2, 2.0)],
+        [("d", 20, 1, 1.0), ("d", 21, 2, 2.0)],  # empties the whole table
+        [("c", 30, 3, 3.0)],  # must read the bucketless dir as empty
+    ]
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_upsert_sink(
+            stream, snap, ckpt, key="id", available_now=True, n_buckets=8
+        )
+        q.awaitTermination(120)
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        run()
+        if i == 1:
+            assert os.path.isdir(snap) and not any(
+                e.startswith("bucket=") for e in os.listdir(snap)
+            ), "delete-all batch should leave a bucketless snapshot root"
+    final = {
+        r["id"]: r["value"]
+        for r in spark.read.parquet(snap).drop("bucket").collect()
+    }
+    assert final == {3: 3.0}
+
+
 def test_scd2_sink_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
     """The n_buckets variant bounds the sink's write amplification
     (VERDICT r6 item 8): a batch touching one user must rewrite ONLY that
