@@ -430,13 +430,20 @@ def test_scd2_fold_invariant_to_batch_boundaries(spark, events, cuts):
     ev_schema = "user_id bigint, event_type string, ts bigint, event_id bigint"
     ver_schema = "user_id bigint, state string, valid_from bigint, event_id bigint"
 
-    full = sorted(
-        map(
-            tuple,
-            scd2_finalize(
-                scd2_versions(spark.createDataFrame(log, ev_schema))
-            ).collect(),
+    def by_cols(rows):
+        # valid_to is None on each user's current version; a plain tuple
+        # sort raises TypeError when rows tie through (user_id, state,
+        # valid_from) — e.g. the same state revisited at one equal
+        # timestamp — so order None after every real bound explicitly.
+        return sorted(
+            map(tuple, rows),
+            key=lambda t: tuple((v is None, v) for v in t),
         )
+
+    full = by_cols(
+        scd2_finalize(
+            scd2_versions(spark.createDataFrame(log, ev_schema))
+        ).collect()
     )
 
     bounds = sorted(c for c in cuts if c < len(log))
@@ -458,7 +465,7 @@ def test_scd2_fold_invariant_to_batch_boundaries(spark, events, cuts):
         standing = spark.createDataFrame(
             [tuple(r) for r in folded.collect()] or [], ver_schema
         )
-    assert sorted(map(tuple, scd2_finalize(standing).collect())) == full
+    assert by_cols(scd2_finalize(standing).collect()) == full
 
 
 @given(
