@@ -35,6 +35,20 @@ HEAD best 0.448s / median 0.519s — indistinguishable; both slower than
 either recorded number, so the r5-recorded 0.272s was fast-host state on
 recording day. Verdict: variance, not regression.
 
+Round-8 drift adjudication: BENCH_r07's shared-17 sum drifted +23% vs r6
+with NO query improved beyond noise — the uniform signature of a slow host
+on the driver's recording run, not a plan change.  The extreme outlier,
+dedup_survivors_lsh +50% (r6 2.474s -> r7 3.721s), was re-measured with
+the established protocol: idle-host best-of-5 at HEAD (2.93s) and the r6
+bench commit (c5c7ae6) checked out into a worktree and micro-benched
+back-to-back on the same host (best 2.899s) — identical, and the round-7
+dedup.py diff never touched the survivors path (only the cosine-histogram
+twin).  Both recorded numbers bracket the same code: r6's 2.474s was a
+fast host, r7's 3.721s a slow one.  Companion drifts re-measured in the
+same run all landed at-or-below their r6 numbers (dedup_semantic 0.549s,
+flagship_benefits 0.383s, quality_classifier 1.154s, knn_bruteforce
+0.646s, corpus_pipeline_lsh 3.246s).  Verdict: variance, not regression.
+
 Round-7 bench additions (VERDICT r6 item 5): tpch_q5_region_volume (the
 canonical join-order benchmark), pagerank_parts (the only
 iterative-shuffle entry), streaming_scd2_snapshot (the heaviest new
