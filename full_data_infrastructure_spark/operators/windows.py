@@ -978,7 +978,9 @@ def scd2_finalize(versions: DataFrame) -> DataFrame:
     )
 
 
-def scd2_apply_batch(standing: DataFrame, batch: DataFrame) -> DataFrame:
+def scd2_apply_batch(
+    standing: DataFrame, batch: DataFrame, broadcast_touched: bool = True
+) -> DataFrame:
     """Incremental SCD2 maintenance: fold a fresh change batch into a
     standing compressed-version table touching ONLY the batch's users.
 
@@ -991,8 +993,21 @@ def scd2_apply_batch(standing: DataFrame, batch: DataFrame) -> DataFrame:
     10^5 changed is the difference between minutes and a full-corpus
     shuffle. Requires every batch change to be at-or-after the standing
     history's end (CDC log order); equal-ts ties keep the event_id order.
+
+    ``broadcast_touched`` (default on) broadcasts the batch's distinct
+    user set into both standing-side joins: a micro-batch's user set is
+    bounded by the trigger size, and the statically-planned alternative
+    is a sort-merge join that scans AND shuffles the entire standing
+    table twice per fold — the per-fold cost a 10 TB version table
+    cannot pay for a 100 MB batch (AQE can rescue the join strategy at
+    runtime, but only after planning the standing shuffle; the hint
+    never plans it).  Pass False for replay/backfill batches whose user
+    set is itself corpus-sized — the joins then fall back to shuffles
+    and AQE's runtime call.
     """
     touched = batch.select("user_id").distinct()
+    if broadcast_touched:
+        touched = F.broadcast(touched)
     untouched = standing.join(touched, "user_id", "left_anti")
     replayed = (
         standing.join(touched, "user_id", "semi")

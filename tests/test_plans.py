@@ -439,6 +439,47 @@ def test_domain_cap_truncates_map_side(spark, sf_dir, queries):
     assert "Partial" in plan, f"no map-side partial truncation:\n{plan}"
 
 
+def test_scd2_fold_never_shuffles_standing_table(spark, sf_dir, queries):
+    """scd2_apply_batch's scale contract: the standing version table must
+    reach both the untouched anti-join and the replayed semi-join WITHOUT
+    an Exchange — the broadcast hint on the batch's touched-user set makes
+    both standing-side joins BroadcastHashJoins at plan time, so a fold's
+    cost over a 10 TB version table is a scan, never two full shuffles.
+    The shuffles that remain are batch-sized (the touched-set distinct)
+    or touched-users-sized (the recompress window) — never standing-sized:
+    with standing materialized to parquet exactly like the sink stores it,
+    a non-broadcast Exchange over standing could only come from a
+    sort-merge join, and there is none."""
+    from pyspark.sql import functions as F
+
+    from full_data_infrastructure_spark.operators.windows import (
+        scd2_apply_batch,
+        scd2_versions,
+    )
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cut = ev.selectExpr("percentile_approx(ts, 0.9) AS p").first()["p"]
+    import tempfile
+
+    vdir = tempfile.mkdtemp(prefix="scd2_plan_")
+    scd2_versions(ev.filter(F.col("ts") < cut)).write.mode("overwrite").parquet(vdir)
+    standing = spark.read.parquet(vdir)
+    plan = plan_of(scd2_apply_batch(standing, ev.filter(F.col("ts") >= cut)))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # formatted explain prints each operator twice (tree + detail); count
+    # the detail headers "(N) Exchange" so each shuffle counts once.
+    import re
+
+    shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
+    # two touched-set distincts (batch-sized) + one recompress window
+    # (touched-users-sized); anything more means standing shuffled.
+    assert len(shuffles) <= 3, plan
+
+
 def test_scd2_windows_share_one_exchange(spark, sf_dir, queries):
     """scd2_history's docstring claims the compress window and the
     finalize window share one hash partitioning and sort order (valid_from
