@@ -65,6 +65,15 @@ Schema additions (round 6):
   BEST-wall-time run, i.e. the merge-fold cost the bench exists to track,
   separated from the ~fixed replay harness overhead (checkpoint + trigger
   scheduling + snapshot IO) that dominates the wall number.
+
+Schema addition (round 8):
+* "median_sec" — per-query median-of-N beside the best-of-N: all three
+  drift adjudications to date ended "host variance" only after an
+  idle-host worktree re-run; the recorded best/median spread makes that
+  call readable directly from consecutive BENCH files.
+
+Local iteration: SPARK_GRAFT_BENCH_ONLY=name1,name2 runs a subset (the
+driver never sets it; recorded rounds are always the full set).
 """
 
 from __future__ import annotations
@@ -86,7 +95,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench = registry.bench_queries()
+    # Local-iteration subset: SPARK_GRAFT_BENCH_ONLY=name1,name2 runs just
+    # those entries (the driver never sets it, so recorded rounds are
+    # always the full set — "value" over a subset is not comparable).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        unknown = wanted - bench.keys()
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not benched: {sorted(unknown)}")
+        bench = {k: v for k, v in bench.items() if k in wanted}
     timings: dict[str, float] = {}
+    median_sec: dict[str, float] = {}
     fold_sec: dict[str, float] = {}
 
     def family(name: str) -> str:
@@ -127,6 +147,7 @@ def main() -> None:
         from full_data_infrastructure_spark.streaming.replay import LAST_FOLD_SEC
 
         best, n = None, 0
+        runs: list[float] = []
         for _ in range(repeats):
             # Each repeat rebuilds the query from scratch, so caches an
             # earlier repeat persisted are dead weight — release them
@@ -136,13 +157,25 @@ def main() -> None:
             df = build(spark, sf_dir)
             n = df.count()
             elapsed = time.perf_counter() - start
+            runs.append(elapsed)
             if best is None or elapsed < best:
                 best = elapsed
                 if name in LAST_FOLD_SEC:
                     fold_sec[name] = LAST_FOLD_SEC[name]
         timings[name] = round(best, 3)
+        # Median alongside best: every drift adjudication so far (minhash
+        # r5, asof r6, survivors r7) concluded "host variance" only after
+        # an idle-host worktree re-run; a recorded best/median pair lets
+        # the next round read the spread directly — a drifted best with an
+        # unchanged median (or a median far above best) is host noise, a
+        # drifted median on an unchanged plan is worth a re-run.
+        runs.sort()
+        mid = len(runs) // 2
+        med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+        median_sec[name] = round(med, 3)
         print(
-            f"# {name}: {timings[name]}s best-of-{repeats} ({n} rows)",
+            f"# {name}: {timings[name]}s best-of-{repeats} "
+            f"(median {median_sec[name]}s, {n} rows)",
             file=sys.stderr,
         )
 
@@ -158,6 +191,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "median_sec": median_sec,
                 "groups": groups,
                 "fold_sec": fold_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
