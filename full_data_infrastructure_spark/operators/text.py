@@ -341,6 +341,116 @@ def _rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing fingerprint parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+# 5-token shingles hashed with a portable polynomial rolling hash, then the
+# minimum of every window of 4 consecutive shingle hashes is kept — the
+# guarantee is that any shared run of >= 8 tokens between two documents
+# yields at least one shared fingerprint.
+_POLY_BASE = 257
+_POLY_MOD = 1_000_000_007  # < 2^31, so acc*base + char stays far under 2^63
+_WINNOW_WINDOW = 4
+
+
+def _poly_hash(s):
+    """Polynomial rolling hash of a string column, char-at-a-time:
+    fold (acc * 257 + codepoint) mod 1e9+7 over the characters.  Pure
+    arithmetic on BIGINTs — bit-identical in any engine, unlike
+    xxhash64/md5 whose byte-order/availability differ, which is what
+    makes the winnowing twin oracle-checkable."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(s)),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * _POLY_BASE + F.ascii(s.substr(j, F.lit(1))))
+        % _POLY_MOD,
+    )
+
+
+@register(
+    "winnowing_fingerprint",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> length(t) > 0) AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_transform(
+                 list_transform(generate_series(1, len(t) - 4),
+                                i -> array_to_string(list_slice(t, i, i + 4), ' ')),
+                 s -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(generate_series(1, length(s)),
+                            j -> CAST(unicode(substr(s, CAST(j AS INT), 1)) AS BIGINT))),
+                        (acc, x) -> (acc * {_POLY_BASE} + x) % {_POLY_MOD})) AS hs
+        FROM toks
+        WHERE len(t) >= {4 + _WINNOW_WINDOW}
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(hs) - {_WINNOW_WINDOW - 1}),
+                 p -> list_min(list_slice(hs, p, p + {_WINNOW_WINDOW - 1})))) AS fps
+        FROM sh
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           CAST(list_min(fps) AS BIGINT) AS fp_min,
+           CAST(list_max(fps) AS BIGINT) AS fp_max
+    FROM winnowed
+    """,
+    doc="Winnowing document fingerprint (Schleimer/Wilkerson/Aiken): "
+    "polynomial-rolling-hash each 5-token shingle, keep the min of every "
+    "4-shingle window, distinct the kept set — any shared >=8-token run "
+    "between two documents is guaranteed a shared fingerprint, the "
+    "plagiarism/near-dup detection contract rolling_hash_fingerprint's "
+    "min/max pooling cannot give. The hash is pure BIGINT arithmetic "
+    "(fold acc*257+codepoint mod 1e9+7 over chars), so unlike the "
+    "xxhash64 twin this one is bit-identical cross-engine and "
+    "oracle-checked end-to-end. Per-doc work is O(len) inside one "
+    "projection — no explode, no shuffle; the scan prunes to "
+    "(doc_id, text).",
+    tags=("llm", "text", "dedup"),
+)
+def _winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize fps in its own projection: it feeds three outputs, and
+    # CollapseProject would otherwise be free to inline the (expensive)
+    # winnowing transform three times.
+    return winnowing_fingerprints(docs).select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+    )
+
+
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps array<bigint>): the distinct winnowed fingerprint set
+    per document — the SWA'03 guarantee is that two documents sharing any
+    run of >= 4 + _WINNOW_WINDOW tokens share at least one fingerprint
+    (pytest-asserted). Exposed separately from the registered summary
+    query so consumers (and the guarantee test) can join on the sets."""
+    with_toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 4 + _WINNOW_WINDOW)
+    shingle_strs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 4),
+        lambda i: F.concat_ws(" ", F.slice("t", i, 5)),
+    )
+    hashed = with_toks.select(
+        "doc_id", F.transform(shingle_strs, _poly_hash).alias("hs")
+    )
+    winnowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (_WINNOW_WINDOW - 1)),
+            lambda p: F.array_min(F.slice("hs", p, _WINNOW_WINDOW)),
+        )
+    )
+    return hashed.select("doc_id", winnowed.alias("fps"))
+
+
 @register(
     "vocab_topk",
     """

@@ -87,19 +87,18 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 7 note: zero bench pins this round — all 21 benched queries
-# (the 17 pre-r7 entries plus the round-7 additions tpch_q5_region_volume,
-# pagerank_parts, streaming_scd2_snapshot, knn_ivfpq) hold r6 green rows,
-# within rotation.EVIDENCE_STALE_AFTER — and tag repair
-# forces nothing because every family has fresh standing evidence, so the
-# 48 free slots drain the ENTIRE backlog: the 27 never-attested round-6
-# queries, all 7 r1-stale, all 13 r2-stale, plus the stalest r3
-# (activity_heatmap).  After this round's CORRECTNESS lands, no query's
-# newest green row predates round 3 — the staleness SLA
-# (tests/test_registry_order.py::test_staleness_sla) holds.)
+# (Round 8 note: zero bench pins again — all 21 benched queries hold r7
+# green rows — and tag repair forces nothing, so the 48 free slots go to
+# the one never-attested round-8 registration (winnowing_fingerprint,
+# the only new query this round per the VERDICT r6 growth freeze) and
+# then the stalest tail: the round-7 backlog drained fully, so the fill
+# is the r3-attested set.  The staleness SLA
+# (tests/test_registry_order.py::test_staleness_sla) holds with every
+# registered query either windowed or green within the last 3 rounds.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
+    "winnowing_fingerprint",
     "c4_quality_filters",
     "chunk_documents",
     "cohort_retention",
@@ -147,7 +146,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_count",
     "select_prune_cast",
     "unpivot_lineitem",
-    "anti_join",
 )
 
 

@@ -1732,3 +1732,36 @@ def test_group_split_has_no_user_leakage(spark, sf_dir):
               out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(splits) == {"train", "val", "test"}
     assert sum(splits.values()) == out.count()
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing contract (Schleimer/Wilkerson/Aiken): two documents
+    sharing a run of >= 8 tokens (= one full 4-shingle window) must share
+    at least one fingerprint, while documents with no shared 5-token
+    shingle share none.  Also pins the guarantee floor: a shared run one
+    token SHORT of the window span is allowed to produce no shared
+    fingerprint (it does here by construction), which is exactly why the
+    docstring promises >= 8 and not >= 7."""
+    from full_data_infrastructure_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    run8 = "zebra quokka lemur okapi gibbon tapir numbat wombat"  # 8 tokens
+    rows = [
+        (1, f"alpha beta gamma {run8} delta epsilon"),
+        (2, f"one two three four five {run8} six"),
+        (3, "totally different content with no overlapping shingles here ok"),
+        # 7-token prefix of the run: 3 shared shingles < one window
+        (4, "pre1 pre2 zebra quokka lemur okapi gibbon tapir numbat post1 post2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnowing_fingerprints(docs).collect()}
+    assert fps[1] & fps[2], "8-token shared run must share a fingerprint"
+    assert not fps[1] & fps[3]
+    assert not fps[2] & fps[3]
+    # The sub-window run shares no fingerprint on this corpus (hashes are
+    # deterministic, so this pin is stable): the guarantee floor is real.
+    assert not fps[1] & fps[4]
+    # every fingerprint is a selected shingle hash: subset of the doc's own
+    # shingle hashes is implied by construction; sets are non-empty
+    assert all(fps.values())
