@@ -66,11 +66,15 @@ Schema additions (round 6):
   separated from the ~fixed replay harness overhead (checkpoint + trigger
   scheduling + snapshot IO) that dominates the wall number.
 
-Schema addition (round 8):
+Schema additions (round 8):
 * "median_sec" — per-query median-of-N beside the best-of-N: all three
   drift adjudications to date ended "host variance" only after an
   idle-host worktree re-run; the recorded best/median spread makes that
   call readable directly from consecutive BENCH files.
+* "load_avg" — the host's 1/5/15-minute load averages at bench start.
+  Every adjudication's conclusion was "slow host on recording day"; the
+  recorded load makes that visible at recording time instead of being
+  reconstructed a round later.
 
 Local iteration: SPARK_GRAFT_BENCH_ONLY=name1,name2 runs a subset (the
 driver never sets it; recorded rounds are always the full set).
@@ -93,6 +97,7 @@ def main() -> None:
 
     spark = build_session(app_name="fdi-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    load_avg = [round(x, 2) for x in os.getloadavg()]
 
     bench = registry.bench_queries()
     # Local-iteration subset: SPARK_GRAFT_BENCH_ONLY=name1,name2 runs just
@@ -194,6 +199,7 @@ def main() -> None:
                 "median_sec": median_sec,
                 "groups": groups,
                 "fold_sec": fold_sec,
+                "load_avg": load_avg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

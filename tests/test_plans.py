@@ -611,3 +611,17 @@ def test_rare_bigram_reuses_persisted_counts(spark, sf_dir, queries):
     df = queries["rare_bigram_quality"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_winnowing_fingerprint_map_only_pruned_scan(spark, sf_dir, queries):
+    """The winnowing fingerprint is one projection pass: no Exchange (no
+    shuffle at any corpus size — per-doc work only) and a scan pruned to
+    (doc_id, text)."""
+    plan = plan_of(queries["winnowing_fingerprint"](spark, sf_dir))
+    assert "Exchange" not in plan, f"winnowing pass shuffles:\n{plan}"
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, plan
+    for line in read_schemas:
+        assert "lang" not in line and "source" not in line, (
+            f"unpruned documents scan: {line}"
+        )
