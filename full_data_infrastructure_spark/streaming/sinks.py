@@ -103,6 +103,22 @@ def _bucketed_snapshot_nonempty(path: str) -> bool:
     return any(entry.startswith("bucket=") for entry in os.listdir(path))
 
 
+def _read_touched_buckets(spark, path: str, fmt: str, touched) -> DataFrame:
+    """Standing-table read for a bucketed snapshot, pruned to the touched
+    bucket partitions: ``bucket`` is a partition DIRECTORY column, so the
+    ``isin`` filter is a partition filter — untouched bucket directories
+    are never listed into the scan (plan-gated by
+    tests/test_streaming.py::test_bucketed_snapshot_read_prunes_partitions).
+    Per-batch read IO is touched/n_buckets of the table, the read half of
+    the write-amplification bound ``_swap_touched_buckets`` gives."""
+    return (
+        spark.read.format(fmt)
+        .load(path)
+        .filter(F.col("bucket").isin(list(touched)))
+        .drop("bucket")
+    )
+
+
 def _swap_touched_buckets(out: DataFrame, path: str, touched, fmt: str) -> None:
     """Write ``out`` (carrying a ``bucket`` column) partitioned by bucket
     to a temp dir, then atomically swap ONLY the ``touched`` bucket
@@ -225,12 +241,7 @@ def start_upsert_sink(
             .collect()
         )
         if _bucketed_snapshot_nonempty(snapshot_path):
-            snapshot = (
-                spark.read.format(fmt)
-                .load(snapshot_path)
-                .filter(F.col("bucket").isin(touched))
-                .drop("bucket")
-            )
+            snapshot = _read_touched_buckets(spark, snapshot_path, fmt, touched)
         else:
             snapshot = empty
         merged = apply_cdc_batch(snapshot, batch_df, key=key, order_col=order_col)
@@ -432,12 +443,7 @@ def start_scd2_sink(
         if _bucketed_snapshot_nonempty(versions_path):
             # Partition pruning: only the touched bucket directories are
             # scanned — untouched buckets cost zero read AND zero write.
-            standing = (
-                spark.read.format(fmt)
-                .load(versions_path)
-                .filter(F.col("bucket").isin(touched))
-                .drop("bucket")
-            )
+            standing = _read_touched_buckets(spark, versions_path, fmt, touched)
             merged = scd2_apply_batch(standing, batch)
         else:
             merged = scd2_versions(batch)

@@ -1392,3 +1392,43 @@ def test_scd2_sink_restart_is_exactly_once(spark, sf_dir, tmp_path, n_buckets):
         map(tuple, scd2_finalize(read_versions()).collect())
     )
     assert got == want
+
+
+def test_bucketed_snapshot_read_prunes_partitions(spark, tmp_path):
+    """The bucketed sinks' standing-table read must PRUNE to the touched
+    bucket directories — the read half of the per-batch IO bound (the
+    write half is asserted by the rewrite test above).  The physical scan
+    must carry the bucket partition filter and select only the touched
+    partitions, so untouched buckets cost zero read at any table size."""
+    from pyspark.sql import functions as F
+
+    from full_data_infrastructure_spark.streaming.sinks import (
+        _key_bucket,
+        _read_touched_buckets,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    rows = spark.range(1, 65).select(
+        F.col("id"), (F.col("id") * 2.0).alias("value")
+    )
+    rows.withColumn("bucket", _key_bucket(F.col("id"), 8)).write.partitionBy(
+        "bucket"
+    ).parquet(snap)
+
+    touched = [0, 3]
+    df = _read_touched_buckets(spark, snap, "parquet", touched)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no partition filter in scan:\n{plan}"
+    # Row-level truth: exactly the touched buckets' rows come back.
+    expected = {
+        r["id"]
+        for r in rows.withColumn("bucket", _key_bucket(F.col("id"), 8))
+        .filter(F.col("bucket").isin(touched))
+        .collect()
+    }
+    got = {r["id"] for r in df.collect()}
+    assert got == expected and got, (len(got), len(expected))
