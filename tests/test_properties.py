@@ -521,3 +521,64 @@ def test_fuzzy_match_mask_blocking_is_lossless(spark, base, pos):
     dirty = spark.createDataFrame([(2, corrupted)], "k bigint, nm string")
     out = fuzzy_match(clean, dirty, key="k", dirty_key="k", name="nm").collect()
     assert [(r["clean_key"], r["dirty_key"], r["lev"]) for r in out] == [(1, 2, 1)]
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+            min_size=0,
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@SETTINGS
+def test_winnowing_matches_pure_python_mirror(spark, docs):
+    """The Spark winnowing pass must equal an independent pure-Python
+    implementation of the same algorithm (poly-hash 5-token shingles, min
+    of every 4-window, distinct) on ANY corpus — and the SWA guarantee
+    must hold: two docs sharing a contiguous run of >= 8 tokens share a
+    fingerprint.  The mirror equality also proves fps ⊆ own shingle
+    hashes and pins the hash definition against drift."""
+    from full_data_infrastructure_spark.operators.text import (
+        _POLY_BASE,
+        _POLY_MOD,
+        _WINNOW_WINDOW,
+        winnowing_fingerprints,
+    )
+
+    def poly(s: str) -> int:
+        h = 0
+        for c in s:
+            h = (h * _POLY_BASE + ord(c)) % _POLY_MOD
+        return h
+
+    def ref_fps(toks: list[str]) -> set[int] | None:
+        if len(toks) < 4 + _WINNOW_WINDOW:
+            return None  # filtered out upstream
+        hs = [poly(" ".join(toks[i : i + 5])) for i in range(len(toks) - 4)]
+        return {
+            min(hs[p : p + _WINNOW_WINDOW])
+            for p in range(len(hs) - (_WINNOW_WINDOW - 1))
+        }
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnowing_fingerprints(df).collect()
+    }
+    want = {i: ref_fps(toks) for i, toks in enumerate(docs)}
+    assert got == {i: s for i, s in want.items() if s is not None}
+
+    # SWA guarantee on the ground-truth token sequences.
+    def shares_run(a: list[str], b: list[str], n: int = 8) -> bool:
+        runs = {tuple(a[i : i + n]) for i in range(len(a) - n + 1)}
+        return any(tuple(b[i : i + n]) in runs for i in range(len(b) - n + 1))
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if want.get(i) and want.get(j) and shares_run(docs[i], docs[j]):
+                assert got[i] & got[j], (docs[i], docs[j])
