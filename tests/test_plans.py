@@ -625,3 +625,51 @@ def test_winnowing_fingerprint_map_only_pruned_scan(spark, sf_dir, queries):
         assert "lang" not in line and "source" not in line, (
             f"unpruned documents scan: {line}"
         )
+
+
+def test_aqe_skew_join_engages_on_hot_key(spark):
+    """The session claims AQE skew-join protection (session.py); prove it
+    ENGAGES: a join with one hot key (30x the rest of the table combined)
+    must finalize with SortMergeJoin(skew=true) — the hot partition split
+    into advisory-sized chunks at runtime — not one straggler task.  The
+    thresholds are lowered test-locally so local-scale data crosses them;
+    on the cluster defaults the same mechanics engage at 256 MB."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        # force SMJ: a broadcast join has no skewed shuffle to split
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = (
+            spark.range(300_000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("a"))
+            .union(
+                spark.range(10_000).select(
+                    (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("a")
+                )
+            )
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("b")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 310_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the hot key:\n{plan}"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
