@@ -208,6 +208,61 @@ def mixture_keep(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 @register(
+    "mixture_sqrt_temperature",
+    """
+    WITH n AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_l
+        FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang,
+               CAST(FLOOR(SQRT(MIN(n_l) OVER () / n_l) * 256) AS BIGINT) AS k
+        FROM n
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN rates r ON d.lang = r.lang
+    WHERE r.k >= 256
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.k)
+    """,
+    doc="Temperature-scaled language rebalancing at alpha=1/2 (square-root "
+    "sampling, the mBERT/XLM exponentiated-smoothing family): target "
+    "share q_l ∝ n_l^0.5, which algebraically reduces to keep-rate "
+    "sqrt(n_min/n_l) — the smallest language is kept whole, larger ones "
+    "downsampled toward it, flattening the corpus distribution without "
+    "a hand-written weight table (mixture_sample's contract) and "
+    "without upsampling. alpha=1/2 rather than a pow() knob because "
+    "IEEE-754 requires correctly-rounded sqrt, so the 1/256 bucket "
+    "rates are bit-identical cross-engine where pow(p, 0.3) is not. "
+    "Same scale shape as mixture_sample: the rate table is lang-sized "
+    "and broadcast, the keep predicate is scan-local md5-bucket "
+    "thresholding (deterministic, retry-safe), the corpus never "
+    "shuffles.",
+    tags=("llm", "curation", "sampling", "packing"),
+)
+def _mixture_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n_l"))
+    # Window-min over the lang-sized aggregate: one scan, same reasoning
+    # as mixture_keep's t_max.
+    t_w = Window.partitionBy(F.lit(1))
+    rates = n.select(
+        "lang",
+        F.floor(F.sqrt(F.min("n_l").over(t_w) / F.col("n_l")) * 256)
+        .cast("bigint")
+        .alias("k"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(
+            (F.col("k") >= 256)
+            | (hash_bucket(F.col("doc_id")) < F.format_string("%02x", F.col("k")))
+        )
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
     "c4_quality_filters",
     f"""
     WITH scored AS (

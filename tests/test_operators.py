@@ -1765,3 +1765,43 @@ def test_winnowing_shared_run_guarantee(spark):
     # every fingerprint is a selected shingle hash: subset of the doc's own
     # shingle hashes is implied by construction; sets are non-empty
     assert all(fps.values())
+
+
+def test_sqrt_temperature_flattens_language_shares(spark, sf_dir):
+    """Square-root temperature sampling invariants: the smallest language
+    is kept whole (rate 1), every language's keep-rate is within one
+    1/256 bucket of sqrt(n_min/n_l), and pairwise share ratios shrink
+    toward 1 (flattening) without ever inverting an ordering."""
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    _ensure_loaded()
+    docs = load_table(spark, sf_dir, "documents")
+    inp = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out_df = REGISTRY["mixture_sqrt_temperature"].build(spark, sf_dir)
+    out = {
+        r["lang"]: r["n"]
+        for r in out_df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_min = min(inp.values())
+    min_lang = min(inp, key=inp.get)
+    assert out[min_lang] == inp[min_lang], "smallest language must be kept whole"
+    for lang, n_l in inp.items():
+        want = (n_min / n_l) ** 0.5
+        got = out[lang] / n_l
+        # md5 buckets are uniform but finite: allow the 1/256 rate
+        # granularity plus sampling noise on the bucket populations.
+        assert abs(got - want) <= 1 / 256 + 3 * (want / n_l) ** 0.5, (
+            lang, got, want,
+        )
+    # Flattening: the dominant/smallest share ratio must shrink toward
+    # (not past) its square root.  Pairwise count comparisons are too
+    # noisy for near-equal languages (md5-bucket sampling), so assert on
+    # the extreme pair, whose input ratio is ~3x.
+    ratio_in = max(inp.values()) / min(inp.values())
+    ratio_out = max(out.values()) / min(out.values())
+    assert ratio_out < ratio_in * 0.75, (ratio_in, ratio_out)
+    assert ratio_out > ratio_in**0.5 * 0.75, (ratio_in, ratio_out)
