@@ -673,3 +673,19 @@ def test_aqe_skew_join_engages_on_hot_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sqrt_temperature_two_scans_broadcast_rates(spark, sf_dir, queries):
+    """mixture_sqrt_temperature's shape: the lang-sized rate table derives
+    from ONE scan (window-min over the per-lang aggregate, not a second
+    corpus aggregate) and joins back by BROADCAST — exactly two documents
+    scans total and no shuffled join, so the corpus itself never moves."""
+    import re
+
+    plan = plan_of(queries["mixture_sqrt_temperature"](spark, sf_dir))
+    # formatted mode lists each node twice (tree + detail); count the
+    # detail headers so each scan counts once.
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
