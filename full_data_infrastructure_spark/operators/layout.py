@@ -260,3 +260,110 @@ def _jsonl_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "DROPMALFORMED")
         .json(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard layout (round 8)
+# ---------------------------------------------------------------------------
+
+TRAINING_SHARDS = 16  # demo shard count; a 100 TB corpus uses O(10^4) shards
+
+
+def shard_column(key: Column, n_shards: int) -> Column:
+    """Deterministic, engine-portable shard id: the first 8 hex chars of
+    ``md5(key)`` parsed as an integer, mod ``n_shards``.
+
+    Training pipelines shard their output corpus so that (a) every
+    trainer rank can open its own file list, (b) re-runs land every
+    document in the SAME shard (resumable, diffable, cacheable), and
+    (c) shard sizes stay balanced no matter how skewed the upstream
+    partitioning was.  ``rand()``-based assignment fails (b); monotonic
+    ``doc_id % n`` fails (c) whenever ids correlate with source or time.
+    md5 gives a uniform, seed-free permutation both Spark
+    (``conv(substr(md5(..), 1, 8), 16, 10)``) and ANSI engines
+    (``('0x' || substr(md5(..), 1, 8))::BIGINT``) compute bit-identically,
+    so the assignment itself is oracle-checkable.
+    """
+    return (
+        F.conv(
+            F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10
+        ).cast("bigint")
+        % F.lit(n_shards)
+    ).cast("int")
+
+
+def write_training_shards(
+    df: DataFrame,
+    key: str,
+    path: str,
+    n_shards: int = TRAINING_SHARDS,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` as a hash-sharded training corpus: ``shard_id=K/``
+    directories, each written by exactly one task.
+
+    One narrow shuffle total: ``repartition(n_shards, shard_id)`` hashes
+    rows to their writer task, and ``partitionBy(shard_id)`` makes the
+    directory layout self-describing so a filtered read
+    (``shard_id = K``) lists ONE directory — trainer ranks and backfills
+    read only their slice (partition pruning asserted in
+    tests/test_plans.py::test_training_shards_prune_on_read).  Because
+    the shard id is deterministic (see shard_column), rewriting after an
+    upstream fix touches the same shard set, so downstream caches keyed
+    on shard content invalidate precisely.  At 100 TB, raise n_shards so
+    each shard is a few GB; the plan shape is unchanged.
+    """
+    sharded = df.withColumn("shard_id", shard_column(F.col(key), n_shards))
+    (
+        sharded.repartition(n_shards, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(fmt)
+        .save(path)
+    )
+
+
+_HEX8 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+
+
+@register(
+    "shard_manifest",
+    f"""
+    SELECT CAST({_HEX8}::BIGINT % {TRAINING_SHARDS} AS INT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard_id
+    """,
+    doc="Training-shard manifest — the planning/bookkeeping half of the "
+    "sharded corpus writer (write_training_shards).  Assigns every "
+    "document its deterministic md5 shard (shard_column) and aggregates "
+    "per-shard document and character totals: the manifest a trainer "
+    "job consumes to size its data-loader ranks, and the balance check "
+    "a pipeline runs BEFORE committing a multi-hour write.  Pure lazy "
+    "plan: the shard id is a zero-shuffle projection, so the whole "
+    "manifest is one pruned scan (doc_id, n_chars only) plus one "
+    "map-side-combined aggregate exchange — the trailing ORDER BY "
+    "repartitions only the n_shards manifest rows "
+    "(tests/test_plans.py::test_shard_manifest_single_scan_one_exchange). "
+    "The oracle hash proves Spark's conv()-based hex parse and the "
+    "ANSI '0x' cast agree bit-for-bit on every assignment.",
+    tags=("extension", "layout", "curation", "llm"),
+)
+def _shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        docs.select(
+            shard_column(F.col("doc_id"), TRAINING_SHARDS).alias("shard_id"),
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("shard_id")
+    )

@@ -89,9 +89,10 @@ _LOADED = False
 # computed one, so the literal cannot silently drift from the policy.
 # (Round 8 note: zero bench pins again — all 21 benched queries hold r7
 # green rows — and tag repair forces nothing, so the 48 free slots go to
-# the two never-attested round-8 registrations (winnowing_fingerprint,
-# mixture_sqrt_temperature — the round's only new queries, within the
-# VERDICT r6 growth freeze) and then the stalest tail: the round-7
+# the three never-attested round-8 registrations (winnowing_fingerprint,
+# mixture_sqrt_temperature, shard_manifest — the round's only new
+# queries, within the VERDICT r6 growth freeze) and then the stalest
+# tail: the round-7
 # backlog drained fully, so the fill is the r3-attested set.  The staleness SLA
 # (tests/test_registry_order.py::test_staleness_sla) holds with every
 # registered query either windowed or green within the last 3 rounds.)
@@ -99,6 +100,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
     "mixture_sqrt_temperature",
+    "shard_manifest",
     "winnowing_fingerprint",
     "c4_quality_filters",
     "chunk_documents",
@@ -145,7 +147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "percentile_stats",
     "proportional_sample",
     "scalar_count",
-    "select_prune_cast",
 )
 
 

@@ -689,3 +689,46 @@ def test_sqrt_temperature_two_scans_broadcast_rates(spark, sf_dir, queries):
     assert len(scans) == 2, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shard_manifest_single_scan_one_exchange(spark, sf_dir, queries):
+    """The shard manifest must stay one pruned scan + one aggregate
+    exchange: the shard id is a zero-shuffle projection, and the trailing
+    ORDER BY repartitions only the n_shards manifest rows."""
+    plan = plan_of(queries["shard_manifest"](spark, sf_dir), "simple")
+    assert plan.count("FileScan parquet") == 1, plan
+    # scan reads exactly the two columns the manifest needs
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "doc_id" in read_schema[0] and "n_chars" in read_schema[0]
+    assert "text" not in read_schema[0], read_schema
+    # one hash exchange for the aggregate (partial+final pair); the range
+    # exchange is the 16-row ORDER BY, not a data shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_training_shards_prune_on_read(spark, sf_dir, tmp_path):
+    """A trainer rank reading shard_id = K must list ONE directory: the
+    partitionBy(shard_id) layout turns the filter into a partition filter
+    at the scan, so a backfill of one shard never touches the other 15."""
+    from pyspark.sql import functions as F
+
+    from full_data_infrastructure_spark.operators.layout import (
+        write_training_shards,
+    )
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, key="doc_id", path=path)
+
+    read = spark.read.parquet(path).filter(F.col("shard_id") == 3)
+    plan = plan_of(read)
+    part_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_filters and "shard_id" in part_filters[0], plan
+    # the pruned read returns exactly shard 3's manifest count
+    from full_data_infrastructure_spark.operators.layout import shard_column
+
+    expected = docs.filter(shard_column(F.col("doc_id"), 16) == 3).count()
+    assert expected > 0 and read.count() == expected

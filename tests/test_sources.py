@@ -429,3 +429,45 @@ def test_compact_coalesce_mode_moves_no_data(spark, sf_dir, tmp_path):
     assert n_after < before
     back = spark.read.parquet(path)
     assert back.count() == orders.count()
+
+
+def test_training_shards_write_balanced_and_lossless(spark, sf_dir, tmp_path):
+    """write_training_shards: every shard directory exists, each is written
+    by exactly one task (one data file), the union of shards is the input
+    bit-for-bit (count + key set), and md5 assignment keeps shard sizes
+    balanced — the properties a trainer job relies on before fanning its
+    data-loader ranks over shard_id=K/ directories."""
+    import os
+
+    from full_data_infrastructure_spark.operators.layout import (
+        TRAINING_SHARDS,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, key="doc_id", path=path)
+
+    shard_dirs = sorted(d for d in os.listdir(path) if d.startswith("shard_id="))
+    assert len(shard_dirs) == TRAINING_SHARDS
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)  # one writer task per shard
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert (
+        back.select("doc_id").distinct().count()
+        == docs.select("doc_id").distinct().count()
+    )
+
+    counts = [r["c"] for r in back.groupBy("shard_id").count().withColumnRenamed("count", "c").collect()]
+    assert len(counts) == TRAINING_SHARDS  # no empty shard
+    assert max(counts) <= 3 * min(counts), counts  # md5 balance (sf0.001: 20..39)
+
+    # determinism: a rewrite lands every doc in the same shard
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(docs, key="doc_id", path=path2)
+    a = spark.read.parquet(path).select("doc_id", "shard_id")
+    b = spark.read.parquet(path2).select("doc_id", "shard_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
