@@ -1343,7 +1343,15 @@ def _embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    comps, _evals, mean = pca_components(emb)
+    try:
+        comps, _evals, mean = pca_components(emb)
+    except ValueError:
+        # Empty corpus: the projection of nothing is nothing, but the
+        # schema must stay (vec_id, pc0..pcK-1) so downstream consumers
+        # and restarts see a stable frame instead of a crashed stage.
+        return emb.select(
+            "vec_id", *[F.lit(0.0).alias(f"pc{i}") for i in range(PCA_K)]
+        )
     mean_col = F.array(*[F.lit(float(x)) for x in mean])
     centered = emb.select(
         "vec_id", F.zip_with("e", mean_col, lambda a, b: a - b).alias("c")

@@ -149,11 +149,15 @@ def replay_stream(
             .agg(F.max(order_col))
             .first()[0]
         )
-        write_flush_sentinel(
-            spark.createDataFrame([sentinel_fn(mx)], df.schema),
-            src_dir,
-            copies=sentinel_copies,
-        )
+        # An empty replay has no windows/sessions in state to flush, so a
+        # sentinel is pointless — and mx is None, which no sentinel_fn can
+        # shift. Skip it; the stream just runs zero data batches.
+        if mx is not None:
+            write_flush_sentinel(
+                spark.createDataFrame([sentinel_fn(mx)], df.schema),
+                src_dir,
+                copies=sentinel_copies,
+            )
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
