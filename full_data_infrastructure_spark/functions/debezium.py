@@ -142,12 +142,16 @@ def build_envelopes(events: DataFrame) -> DataFrame:
            ROUND(value, 2) AS value,
            CASE WHEN event_type = 'purchase' THEN 'c' ELSE 'r' END AS op
     FROM events
-    WHERE event_type != 'error'
+    WHERE event_type IS DISTINCT FROM 'error'
     """,
     doc="CDC envelope encode->decode round trip (P1-P3, F1-F2): events "
     "wrapped as Debezium JSON (errors become delete tombstones), parsed "
     "with one from_json, tombstones dropped, micro-epoch timestamps "
-    "restored. Oracle computes the expected fixed point directly.",
+    "restored. Oracle computes the expected fixed point directly. Only "
+    "the literal 'error' type is a tombstone: a NULL event_type is still "
+    "a change event and must survive the roundtrip, so the oracle "
+    "filters IS DISTINCT FROM, not != (which would three-valued-drop "
+    "null-typed rows; pinned by the null-injected parity sweep, r8).",
     tags=("reference", "cdc", "json"),
 )
 def _debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -303,52 +303,69 @@ def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mad_outliers",
     """
-    WITH med AS (
-        SELECT event_type, median(value) AS med_v
-        FROM events GROUP BY event_type
+    WITH cents AS (
+        SELECT event_type, event_id, value,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, median(v_c) AS med_c
+        FROM cents GROUP BY event_type
     ),
     dev AS (
-        SELECT e.event_type, e.event_id, e.value, m.med_v,
-               abs(e.value - m.med_v) AS adev
-        FROM events e JOIN med m ON e.event_type = m.event_type
+        SELECT e.event_type, e.event_id, e.value, m.med_c,
+               abs(e.v_c - m.med_c) AS adev_c
+        FROM cents e JOIN med m ON e.event_type = m.event_type
     ),
     mad AS (
-        SELECT event_type, median(adev) AS mad_v
+        SELECT event_type, median(adev_c) AS mad_c
         FROM dev GROUP BY event_type
     )
     SELECT d.event_id, d.event_type,
            ROUND(d.value, 2) AS value,
-           ROUND(d.med_v, 2) AS median_value,
-           ROUND(m.mad_v, 2) AS mad_value,
-           d.adev > 3 * m.mad_v AS is_outlier
+           d.med_c / 100.0 AS median_value,
+           m.mad_c / 100.0 AS mad_value,
+           d.adev_c > 3 * m.mad_c AS is_outlier
     FROM dev d JOIN mad m ON d.event_type = m.event_type
     """,
     doc="Robust outlier flags via median absolute deviation: per event "
     "type, flag rows whose |value - median| exceeds 3 x MAD. Unlike "
     "mean/stddev z-scores, the medians are immune to the outliers being "
-    "hunted. Two grouped EXACT medians (Spark's median aggregate) + one "
-    "broadcast of the tiny per-type statistics; the events table streams "
-    "through once per median pass and never shuffles on a wide key.",
+    "hunted. Two grouped EXACT medians + one broadcast of the tiny "
+    "per-type statistics; the events table streams through once per "
+    "median pass and never shuffles on a wide key. All median math runs "
+    "on integer CENTS: even-count medians interpolate (a+b)/2, and over "
+    "doubles the two engines' interpolation differs in the last ulp — "
+    "right at a decimal tie when nulls shift a group to even count "
+    "(caught by the null-injected parity sweep, round 8). Integer "
+    "medians are exact halves in both engines, |v - med| stays exact, "
+    "and the /100.0 display division is the same bits on both sides, so "
+    "the derived statistics ship unrounded.",
     tags=("extension", "aggregate", "quality"),
 )
 def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    med = events.groupBy("event_type").agg(F.median("value").alias("med_v"))
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+    )
+    med = events.groupBy("event_type").agg(F.median("v_c").alias("med_c"))
     dev = events.join(F.broadcast(med), "event_type").select(
         "event_type",
         "event_id",
         "value",
-        "med_v",
-        F.abs(F.col("value") - F.col("med_v")).alias("adev"),
+        "med_c",
+        F.abs(F.col("v_c") - F.col("med_c")).alias("adev_c"),
     )
-    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_v"))
+    mad = dev.groupBy("event_type").agg(F.median("adev_c").alias("mad_c"))
     return dev.join(F.broadcast(mad), "event_type").select(
         "event_id",
         "event_type",
         F.round("value", 2).alias("value"),
-        F.round("med_v", 2).alias("median_value"),
-        F.round("mad_v", 2).alias("mad_value"),
-        (F.col("adev") > 3 * F.col("mad_v")).alias("is_outlier"),
+        (F.col("med_c") / 100.0).alias("median_value"),
+        (F.col("mad_c") / 100.0).alias("mad_value"),
+        (F.col("adev_c") > 3 * F.col("mad_c")).alias("is_outlier"),
     )
 
 

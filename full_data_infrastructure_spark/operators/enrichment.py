@@ -80,11 +80,15 @@ def enrich_with_distance(
                     if wait > 0:
                         time.sleep(wait)
                     last_call = time.monotonic()
+                # A null mode must stay NULL through the batch boundary —
+                # str(None) would smuggle the string 'None' into the lake
+                # (caught by the null-injected parity sweep, round 8).
+                mode_norm = None if pd.isna(mode) else str(mode)
                 try:
-                    distance_m, duration_s = provider(int(key), str(mode))
-                    out_rows.append((int(key), str(mode), distance_m, duration_s, None))
+                    distance_m, duration_s = provider(int(key), mode_norm)
+                    out_rows.append((int(key), mode_norm, distance_m, duration_s, None))
                 except Exception as exc:  # null row + message, never a drop
-                    out_rows.append((int(key), str(mode), None, None, str(exc)))
+                    out_rows.append((int(key), mode_norm, None, None, str(exc)))
             yield pd.DataFrame(
                 out_rows,
                 columns=[

@@ -31,6 +31,33 @@ DECODED_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, first_byte int, byte_sum_mod bigint"
 )
 
+# Shared oracle fragment: expand text to its UTF-8 byte values, per code
+# point, in pure SQL — so every byte-level feature oracle below is exact
+# for ANY text, not just ASCII (where code points happen to equal bytes;
+# the pre-round-8 oracles leaned on that and diverged from the real
+# byte-summing UDFs the moment the unicode-injected parity sweep ran).
+_UTF8_CASE = """
+    CASE WHEN unicode(c) < 128 THEN [unicode(c)]
+         WHEN unicode(c) < 2048 THEN [192 + unicode(c) // 64,
+                                      128 + unicode(c) % 64]
+         WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096,
+                                       128 + (unicode(c) // 64) % 64,
+                                       128 + unicode(c) % 64]
+         ELSE [240 + unicode(c) // 262144,
+               128 + (unicode(c) // 4096) % 64,
+               128 + (unicode(c) // 64) % 64,
+               128 + unicode(c) % 64]
+    END"""
+
+_UTF8_BYTES_CTE = f"""
+    ubytes AS (
+        SELECT doc_id,
+               flatten(list_transform(string_to_array(text, ''),
+                                      c -> {_UTF8_CASE})) AS bl
+        FROM documents
+        WHERE length(text) > 0
+    )"""
+
 
 def real_image_decode(payload: bytes) -> dict:
     """The production decode seam. Image/audio libs are not shipped in this
@@ -88,21 +115,20 @@ def decode_media(
 
 @register(
     "multimodal_decode",
-    """
+    f"""
+    WITH {_UTF8_BYTES_CTE}
     SELECT doc_id,
            'text/plain' AS media_type,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           CAST(unicode(text[1]) AS INT) AS first_byte,
-           CAST(list_sum(list_transform(range(1, length(text) + 1),
-                                        i -> unicode(text[i]))) % 997 AS BIGINT)
-               AS byte_sum_mod
-    FROM documents
-    WHERE length(text) > 0
+           CAST(len(bl) AS INT) AS n_bytes,
+           CAST(bl[1] AS INT) AS first_byte,
+           CAST(list_sum(bl) % 997 AS BIGINT) AS byte_sum_mod
+    FROM ubytes
     """,
     doc="Multimodal decode path: binary payload + metadata struct -> "
     "mapInPandas (Arrow) feature extraction with a deterministic fake "
-    "decoder. The oracle recomputes the byte features in SQL, proving the "
-    "UDF plumbing end-to-end. (ASCII corpus => code points == bytes.)",
+    "decoder. The oracle recomputes the byte features in SQL over the "
+    "UTF-8 byte expansion (_UTF8_BYTES_CTE), proving the UDF plumbing "
+    "end-to-end for any text, multibyte included.",
     tags=("llm", "multimodal", "udf"),
 )
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,31 +231,26 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    """
-    WITH payloads AS (
-        SELECT doc_id, encode(text) AS payload FROM documents
-        WHERE length(text) > 0
-    ),
+    f"""
+    WITH {_UTF8_BYTES_CTE},
     params AS (
-        SELECT doc_id, payload,
-               octet_length(payload) AS n,
-               GREATEST(octet_length(payload) // 64, 1) AS stride
-        FROM payloads
+        SELECT doc_id, bl,
+               len(bl) AS n,
+               GREATEST(len(bl) // 64, 1) AS stride
+        FROM ubytes
     )
     SELECT doc_id,
            8 AS width,
            8 AS height,
            CAST(LEAST(len(range(1, n + 1, stride)), 64) AS INT) AS n_bytes,
-           CAST(list_sum(list_transform(
-                   list_slice(list_select(string_to_array(payload::VARCHAR, ''),
-                                          range(1, n + 1, stride)), 1, 64),
-                   c -> unicode(c))) % 997 AS BIGINT) AS thumb_sum_mod
+           CAST(list_sum(list_slice(list_select(bl, range(1, n + 1, stride)),
+                                    1, 64)) % 997 AS BIGINT) AS thumb_sum_mod
     FROM params
     """,
     doc="Multimodal resize/thumbnail stage: mapInPandas over binary "
     "payloads producing fixed-size features (8x8 byte-stride thumbnail in "
     "the deterministic fake). Oracle recomputes the stride sample in SQL "
-    "(ASCII corpus => code points == bytes).",
+    "over the UTF-8 byte expansion — byte-exact for multibyte text.",
     tags=("llm", "multimodal", "udf"),
 )
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,33 +260,29 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    """
-    WITH payloads AS (
-        SELECT doc_id, encode(text) AS payload FROM documents
-        WHERE length(text) > 0
-    ),
+    f"""
+    WITH {_UTF8_BYTES_CTE},
     params AS (
-        SELECT doc_id, payload, octet_length(payload) AS n,
-               GREATEST(octet_length(payload) // 4, 1) AS chunk
-        FROM payloads
+        SELECT doc_id, bl, len(bl) AS n,
+               GREATEST(len(bl) // 4, 1) AS chunk
+        FROM ubytes
     ),
     frames AS (
         SELECT doc_id, i AS frame_idx,
-               list_slice(string_to_array(payload::VARCHAR, ''),
-                          i * chunk + 1, (i + 1) * chunk) AS frame
+               list_slice(bl, i * chunk + 1, (i + 1) * chunk) AS frame
         FROM params, UNNEST([0, 1, 2, 3]) AS t(i)
     )
     SELECT doc_id,
            CAST(frame_idx AS INT) AS frame_idx,
            CAST(len(frame) AS INT) AS frame_bytes,
-           CAST(list_sum(list_transform(frame, c -> unicode(c))) % 997 AS BIGINT)
-               AS frame_sum_mod
+           CAST(list_sum(frame) % 997 AS BIGINT) AS frame_sum_mod
     FROM frames
     WHERE len(frame) > 0
     """,
     doc="Frame sampling (video shape): row-expanding mapInPandas — each "
     "payload emits 4 evenly-spaced frames with per-frame features. Oracle "
-    "recomputes the byte slices in SQL.",
+    "recomputes the byte slices in SQL over the UTF-8 byte expansion — "
+    "byte-exact for multibyte text.",
     tags=("llm", "multimodal", "udf"),
 )
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,19 +330,13 @@ def extract_features(
 @register(
     "multimodal_embed",
     f"""
-    WITH chars AS (
-        SELECT doc_id,
-               list_transform(string_to_array(text, ''), c -> unicode(c) % {EMBED_DIM})
-                   AS buckets
-        FROM documents
-        WHERE length(text) > 0
-    ),
+    WITH {_UTF8_BYTES_CTE},
     hist AS (
         SELECT doc_id,
                list_transform(range(0, {EMBED_DIM}),
-                              i -> CAST(len(list_filter(buckets, b -> b = i))
+                              i -> CAST(len(list_filter(bl, b -> b % {EMBED_DIM} = i))
                                         AS DOUBLE)) AS h
-        FROM chars
+        FROM ubytes
     ),
     normed AS (
         SELECT doc_id,
@@ -342,7 +353,8 @@ def extract_features(
     "mapInPandas (deterministic byte-histogram fake behind the encoder "
     "seam), output exploded to (doc_id, dim_idx, value) scalars for the "
     "oracle compare. Completes decode -> feature-extract -> (dedup/ANN); "
-    "oracle recomputes the histogram in SQL (ASCII corpus).",
+    "oracle recomputes the histogram in SQL over the UTF-8 byte "
+    "expansion — byte-exact for multibyte text.",
     tags=("llm", "multimodal", "udf", "vector"),
 )
 def _multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,12 +57,17 @@ def membership_validation(
     """P7 — membership predicate with error-message derivation
     (commute_validation.py:84-91): rows outside the allowed set are *kept*
     but flagged invalid with an error string, mirroring the reference's
-    error-row semantics."""
-    ok = F.col(col).isin(allowed)
+    error-row semantics.  A NULL value is INVALID, not unknown — the
+    reference's Python ``mode not in allowed`` treats None as a miss, and
+    three-valued IN would let nulls slip through ``WHERE NOT
+    is_member_valid`` silently — so the flag coalesces to FALSE and the
+    message renders the null as the literal 'null' (pinned cross-engine
+    by the null-injected parity sweep, round 8)."""
+    ok = F.coalesce(F.col(col).isin(allowed), F.lit(False))
     return df.withColumn("is_member_valid", ok).withColumn(
         "error_message",
         F.when(ok, F.lit(None).cast("string")).otherwise(
-            F.format_string(error_template, F.col(col))
+            F.format_string(error_template, F.coalesce(F.col(col), F.lit("null")))
         ),
     )
 
@@ -133,14 +138,17 @@ def _masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey,
            c_mktsegment,
-           c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AS is_member_valid,
-           CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+           COALESCE(c_mktsegment IN ('AUTOMOBILE', 'BUILDING'), FALSE)
+               AS is_member_valid,
+           CASE WHEN COALESCE(c_mktsegment IN ('AUTOMOBILE', 'BUILDING'), FALSE)
                 THEN NULL
-                ELSE 'Invalid transport mode: ' || c_mktsegment
+                ELSE 'Invalid transport mode: '
+                     || COALESCE(c_mktsegment, 'null')
            END AS error_message
     FROM customer
     """,
-    doc="P7 membership predicate + error column (commute_validation.py:84-91).",
+    doc="P7 membership predicate + error column (commute_validation.py:84-91). "
+    "NULL values flag invalid (coalesced three-valued IN), never unknown.",
     tags=("reference", "predicate"),
 )
 def _membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,11 +289,13 @@ def _case_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_day,
            strftime(o_orderdate, '%Y-%m') AS order_month,
-           o_orderpriority || ' | ' || o_orderstatus AS label
+           concat_ws(' | ', o_orderpriority, o_orderstatus) AS label
     FROM orders
     """,
     doc="F8/F10 date formatting + string concat (sport_generation.py:198; "
-    "commute_validation.py:112 f-strings).",
+    "commute_validation.py:112 f-strings). concat_ws on BOTH sides: the "
+    "label skips NULL parts instead of || null-propagating the whole "
+    "string away (pinned by the null-injected parity sweep, round 8).",
     tags=("reference", "scalar"),
 )
 def _date_format(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -576,7 +576,7 @@ def _embedding_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes AS (
         SELECT query_id, true_label, n_label,
                CAST(COUNT(*) AS BIGINT) AS n_votes
-        FROM ranked WHERE rnk <= {TOP_K}
+        FROM ranked WHERE rnk <= {TOP_K} AND n_label IS NOT NULL
         GROUP BY query_id, true_label, n_label
     ),
     best AS (
@@ -618,15 +618,24 @@ def _majority_label_vote(neighbors: DataFrame, emb: DataFrame) -> DataFrame:
     """Shared vote tail of the exact and shortlist label-consistency
     checks: join neighbor labels, majority vote per query (vote count
     desc, label asc tiebreak), compare to the query's own label.  One
-    definition so the two paths cannot drift in tie semantics."""
+    definition so the two paths cannot drift in tie semantics.
+
+    Unlabeled (NULL-label) neighbors DO NOT VOTE: they carry no label
+    information, and letting NULL be a candidate label also exposes the
+    engines' opposite NULL sort order in the tiebreak (Spark ASC is
+    NULLS FIRST, ANSI default NULLS LAST — caught by the null-injected
+    parity sweep, round 8).  A query whose entire shortlist is
+    unlabeled therefore has no verdict and is absent from the output."""
     labeled = neighbors.join(
         emb.select(
             F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
         ),
         "neighbor_id",
     )
-    votes = labeled.groupBy("query_id", "n_label").agg(
-        F.count(F.lit(1)).alias("n_votes")
+    votes = (
+        labeled.filter(F.col("n_label").isNotNull())
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("n_votes").desc(), F.col("n_label")

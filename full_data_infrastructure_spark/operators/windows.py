@@ -338,8 +338,11 @@ def _streaming_tumbling_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tumbling_counts(stream, window="1 hour", watermark="0 seconds")
     out_path = run_stream_to_parquet(counts, work, "windows")
+    # Null-safe: a NULL event_type is a real group key (a corpus with
+    # missing types still has windows); a plain != would three-valued-drop
+    # every NULL-keyed window along with the sentinel (null sweep, r8).
     snapshot = spark.read.parquet(out_path).filter(
-        F.col("event_type") != "__sentinel__"
+        ~F.col("event_type").eqNullSafe("__sentinel__")
     )
     return snapshot.select(
         F.date_format("window_start", "yyyy-MM-dd HH:00:00").alias(
@@ -402,8 +405,11 @@ def _streaming_sliding_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, window="1 hour", slide="30 minutes", watermark="0 seconds"
     )
     out_path = run_stream_to_parquet(counts, work, "windows")
+    # Null-safe: a NULL event_type is a real group key (a corpus with
+    # missing types still has windows); a plain != would three-valued-drop
+    # every NULL-keyed window along with the sentinel (null sweep, r8).
     snapshot = spark.read.parquet(out_path).filter(
-        F.col("event_type") != "__sentinel__"
+        ~F.col("event_type").eqNullSafe("__sentinel__")
     )
     return snapshot.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:00").alias(
@@ -891,13 +897,16 @@ def ema_fold(events: DataFrame) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_state
+                                     ORDER BY ts, event_id) AS prev_state,
+               LAG(event_id) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_event_id
         FROM events
     ),
     versions AS (
         SELECT user_id, event_type AS state, ts AS valid_from, event_id
         FROM ordered
-        WHERE prev_state IS NULL OR prev_state <> event_type
+        WHERE prev_event_id IS NULL
+           OR prev_state IS DISTINCT FROM event_type
     )
     SELECT user_id,
            state,
@@ -936,11 +945,18 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_versions(changes: DataFrame) -> DataFrame:
     """Compress a change stream (user_id, event_type, ts, event_id) to
     version rows (user_id, state, valid_from, event_id): only real state
-    transitions survive (LAG != state). Idempotent — recompressing the
-    output (optionally extended with later changes) yields the same
-    versions, which is what makes incremental maintenance exact: the
-    compressed prefix preserves both the change subsequence and the
-    boundary state the suffix's first comparison needs.
+    transitions survive. Idempotent — recompressing the output
+    (optionally extended with later changes) yields the same versions,
+    which is what makes incremental maintenance exact: the compressed
+    prefix preserves both the change subsequence and the boundary state
+    the suffix's first comparison needs.
+
+    NULL is a legal state and the comparison is null-safe (caught by the
+    null-injected parity sweep, round 8): a plain ``LAG != state`` both
+    silently drops every x -> NULL transition AND breaks the idempotence
+    above (the recompression sees a different LAG and drops NULL-state
+    versions the first pass kept). First-row detection therefore rides
+    on LAG(event_id) — non-null by schema — never on the nullable state.
 
     event_id is retained as the deterministic tiebreaker for equal-ts
     changes; scd2_finalize drops it.
@@ -952,10 +968,11 @@ def scd2_versions(changes: DataFrame) -> DataFrame:
         "ts",
         "event_id",
         F.lag("event_type").over(order_w).alias("prev_state"),
+        F.lag("event_id").over(order_w).alias("prev_event_id"),
     )
     return flagged.filter(
-        F.col("prev_state").isNull()
-        | (F.col("prev_state") != F.col("event_type"))
+        F.col("prev_event_id").isNull()
+        | ~F.col("prev_state").eqNullSafe(F.col("event_type"))
     ).select(
         "user_id",
         F.col("event_type").alias("state"),
@@ -1028,13 +1045,16 @@ def scd2_apply_batch(
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_state
+                                     ORDER BY ts, event_id) AS prev_state,
+               LAG(event_id) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_event_id
         FROM events
     ),
     versions AS (
         SELECT user_id, event_type AS state, ts AS valid_from, event_id
         FROM ordered
-        WHERE prev_state IS NULL OR prev_state <> event_type
+        WHERE prev_event_id IS NULL
+           OR prev_state IS DISTINCT FROM event_type
     )
     SELECT user_id,
            state,
@@ -1116,13 +1136,16 @@ def _window_range_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_state
+                                     ORDER BY ts, event_id) AS prev_state,
+               LAG(event_id) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_event_id
         FROM events
     ),
     versions AS (
         SELECT user_id, event_type AS state, ts AS valid_from, event_id
         FROM ordered
-        WHERE prev_state IS NULL OR prev_state <> event_type
+        WHERE prev_event_id IS NULL
+           OR prev_state IS DISTINCT FROM event_type
     )
     SELECT user_id,
            state,

@@ -400,7 +400,7 @@ def test_scd2_reconstructs_state_as_of_any_time(spark, sf_dir):
 
 @given(
     events=st.lists(
-        st.tuples(keys, st.sampled_from(["a", "b", "c"]), ts_vals),
+        st.tuples(keys, st.sampled_from(["a", "b", "c", None]), ts_vals),
         min_size=1,
         max_size=12,
     ),
@@ -411,7 +411,9 @@ def test_scd2_fold_invariant_to_batch_boundaries(spark, events, cuts):
     """scd2_apply_batch's maintenance contract — fold(compress(A), B) ==
     compress(A ∪ B) — must hold for ANY split of the time-ordered change
     log, not just scd2_incremental's one fixed cut date: random change
-    streams (duplicate states, equal timestamps, single-user bursts) are
+    streams (duplicate states, equal timestamps, single-user bursts, and
+    NULL states — which broke idempotence under the pre-round-8 non-null-
+    safe comparison) are
     split at random cut points and folded batch-by-batch through a
     materialized standing table, exactly the nightly-CDC shape. Mirrors
     test_cdc_fold_invariant_to_batch_boundaries."""
