@@ -372,44 +372,62 @@ def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "winsorize_values",
     """
-    WITH bounds AS (
-        SELECT event_type,
-               quantile_cont(value, 0.05) AS lo,
-               quantile_cont(value, 0.95) AS hi
+    WITH cents AS (
+        SELECT event_id, event_type, value,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c
         FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT event_type,
+               quantile_cont(v_c, 0.05) AS lo_c,
+               quantile_cont(v_c, 0.95) AS hi_c
+        FROM cents
         GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
            ROUND(e.value, 2) AS value,
-           ROUND(GREATEST(b.lo, LEAST(b.hi, e.value)), 2) AS winsorized,
-           (e.value < b.lo OR e.value > b.hi) AS was_clipped
-    FROM events e JOIN bounds b ON e.event_type = b.event_type
-    WHERE e.value IS NOT NULL
+           GREATEST(b.lo_c, LEAST(b.hi_c, CAST(e.v_c AS DOUBLE))) / 100.0
+               AS winsorized,
+           (e.v_c < b.lo_c OR e.v_c > b.hi_c) AS was_clipped
+    FROM cents e JOIN bounds b ON e.event_type = b.event_type
     """,
     doc="Winsorization: clip each value into its group's [P5, P95] band — "
     "the standard tail-taming transform before mean-based statistics, "
-    "complementing the MAD outlier FLAGS with an outlier REPAIR. Exact "
-    "linear-interpolated percentiles (both engines agree; rounding at "
-    "2 dp matches the stored precision), computed once per group and "
-    "broadcast onto a single fact pass.",
+    "complementing the MAD outlier FLAGS with an outlier REPAIR. "
+    "Percentiles run on integer CENTS (mad_outliers rationale): over "
+    "doubles the engines' linear interpolation differs in the last ulp, "
+    "which flips a ROUND at a decimal tie the moment a clipped tail "
+    "lands near one (caught by the extreme-values parity sweep, round "
+    "8); over integers the interpolation is bit-identical in both "
+    "engines, and the /100.0 display division is the same bits on both "
+    "sides, so the winsorized column ships unrounded. Bounds computed "
+    "once per group and broadcast onto a single fact pass.",
     tags=("extension", "aggregate", "quality"),
 )
 def _winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
     )
     bounds = events.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+        F.percentile("v_c", F.lit(0.05)).alias("lo_c"),
+        F.percentile("v_c", F.lit(0.95)).alias("hi_c"),
     )
     return events.join(F.broadcast(bounds), "event_type").select(
         "event_id",
         "event_type",
         F.round("value", 2).alias("value"),
-        F.round(
-            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))), 2
+        (
+            F.greatest(
+                F.col("lo_c"), F.least(F.col("hi_c"), F.col("v_c").cast("double"))
+            )
+            / 100.0
         ).alias("winsorized"),
-        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+        ((F.col("v_c") < F.col("lo_c")) | (F.col("v_c") > F.col("hi_c"))).alias(
             "was_clipped"
         ),
     )
