@@ -687,15 +687,15 @@ def _event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1700000000
-                             AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+                             AS DECIMAL(19,0))) AS DOUBLE) AS sx,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
                CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1700000000
-                             AS DECIMAL(18,0))
+                             AS DECIMAL(19,0))
                         * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
                CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1700000000
-                             AS DECIMAL(18,0))
+                             AS DECIMAL(19,0))
                         * CAST(epoch_us(ts) // 1000000 - 1700000000
-                               AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+                               AS DECIMAL(19,0))) AS DOUBLE) AS sxx
         FROM events
         GROUP BY event_type
     )
@@ -721,10 +721,11 @@ def _trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # Integer division, not /: a float quotient's nearest-double rounding
     # can land across the integer boundary the floor semantics demand.
-    # The fixed epoch shift keeps x small enough for exact DECIMAL
-    # products in BOTH engines (DuckDB errors on DECIMAL(18) overflow);
-    # an OLS slope is translation-invariant in x.
-    x = F.expr("unix_micros(ts) div 1000000 - 1700000000").cast("decimal(18,0)")
+    # DECIMAL(19,0) (hugeint-backed in DuckDB, which overflows int64 on
+    # an 18-width product square) gives |x| <= 3.16e9 exact-square
+    # headroom — calendar years ~1870-2070 around the fixed center; an
+    # OLS slope is translation-invariant in x.
+    x = F.expr("unix_micros(ts) div 1000000 - 1700000000").cast("decimal(19,0)")
     y = F.col("value").cast("decimal(18,2)")
     s = events.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
