@@ -58,7 +58,20 @@ def load_table(
     ``events.ts`` may be stored as parquet TIMESTAMP(NANOS), which Spark
     reads as int64 (spark.sql.legacy.parquet.nanosAsLong) — restore a
     proper timestamp column via :func:`normalize_event_ts`.
+
+    Calendar semantics are UTC **by contract**: parquet timestamps are
+    instants, and every calendar operation downstream (``date_trunc``,
+    ``window``, ``date_format``, session gaps) renders instants in the
+    SESSION timezone — so a cluster whose default TZ drifted from UTC
+    would silently shift every day/hour bucket boundary (and diverge
+    from any naive-timestamp engine reading the same files). The loader
+    pins the session TZ the same way it pins the nanos conf: results
+    are identical whatever the host or cluster default, even on a
+    vanilla session that never went through ``build_session``
+    (tests/test_tz_semantics.py drives the registry under a +05:45
+    session TZ to hold this).
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Must hold even when the caller (e.g. the verify driver) built a
         # vanilla session — the legacy conf is runtime-settable.
