@@ -243,6 +243,79 @@ def test_tumbling_counts_match_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Pins the late-data DROP boundary the windowed operators document
+    ("late data beyond the watermark is dropped") but no parity query can
+    show — the replay corpora are time-ordered precisely so nothing is
+    ever late. Spark applies the LATE filter with one micro-batch of lag
+    behind the eviction watermark (the two-watermark design: rows are
+    judged against the PREVIOUS batch's watermark — verified empirically
+    when this test was built: late rows one batch after the advancer
+    were still admitted), so the late rows ride two batches behind it:
+    batch 0 ends at 13:00, advancing the 1-hour-delay watermark to
+    12:00; batch 1 is an on-time spacer that commits it for late
+    filtering; batch 2 then delivers two late rows (10:20, and 11:30
+    whose window END equals the watermark — the closed-boundary case)
+    plus an on-time 12:30 row. The late rows must vanish from the final
+    counts; the on-time rows and every earlier window must survive
+    exactly."""
+    import datetime
+    import os
+    import shutil
+
+    def dt(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    batches = [
+        [(1, dt(10, 0), "a"), (2, dt(10, 5), "a"), (3, dt(13, 0), "a")],
+        [(9, dt(13, 30), "a")],  # spacer: commits wm 12:00 for late filter
+        [
+            (4, dt(10, 20), "a"),  # late: watermark is 12:00
+            (5, dt(11, 30), "a"),  # late: window [11,12) end == watermark
+            (6, dt(12, 30), "a"),  # on time: window [12,13) still open
+        ],
+        [(8, datetime.datetime(2024, 1, 2, 0, 0), "__sentinel__")],
+    ]
+    schema = "event_id bigint, ts timestamp, event_type string"
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = str(src / f"part-{i:05d}.parquet")
+        shutil.copyfile(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    counts = tumbling_counts(stream, window="1 hour", watermark="1 hour")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        counts.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r.window_start): r.n
+        for r in spark.read.parquet(out)
+        .filter(~F.col("event_type").eqNullSafe("__sentinel__"))
+        .collect()
+    }
+    assert got == {
+        "2024-01-01 10:00:00": 2,  # late event 4 did NOT bump this
+        # no 11:00 window at all: event 5's window was already closed
+        "2024-01-01 12:00:00": 1,  # on-time event 6 landed
+        "2024-01-01 13:00:00": 2,  # 13:00 original + 13:30 spacer
+    }, f"late-data boundary drifted: {got}"
+
+
 def test_stream_dedup_drops_duplicates(spark, sf_dir, tmp_path):
     events = load_table(spark, sf_dir, "events").limit(200)
     stream_dir = str(tmp_path / "dup_json")
