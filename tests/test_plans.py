@@ -282,6 +282,29 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
     assert not eager, f"builders ran data jobs before execution: {eager}"
 
 
+def test_registry_wide_plan_anti_patterns(spark, sf_dir, queries):
+    """Mechanizes the per-round anti-pattern audit across the WHOLE
+    registry, so a future registration can't reintroduce what the
+    per-query gates only pin for today's queries: no registered query's
+    physical plan may contain an un-broadcast ``CartesianProduct`` (the
+    audited crossJoin sites are all broadcast-of-one-row-aggregate or
+    bounded grids, which compile to BroadcastNestedLoopJoin) or a
+    row-at-a-time ``BatchEvalPython`` stage (Arrow-batched
+    ``ArrowEvalPython`` / ``mapInPandas`` / ``FlatMapGroupsInPandas``
+    are the engine's only allowed Python surfaces)."""
+    offenders = {}
+    for name, build in sorted(queries.items()):
+        plan = plan_of(build(spark, sf_dir), mode="simple")
+        bad = [
+            pat
+            for pat in ("CartesianProduct", "BatchEvalPython")
+            if pat in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"plan anti-patterns crept in: {offenders}"
+
+
 def test_pack_sequences_shuffles_counts_not_text(spark, sf_dir, queries):
     """Sequence packing must compute token counts BEFORE the bucket
     shuffle: only (doc_id, bucket, n_tok, ord_key) cross the exchange —
