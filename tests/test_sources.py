@@ -144,6 +144,37 @@ def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
     assert back.count() == orders.count()
 
 
+def test_corrupt_shard_fails_loudly_not_silently(spark, sf_dir, tmp_path):
+    """A corrupt parquet shard must FAIL the scan, never be silently
+    skipped: at 100 TB a flipped `spark.sql.files.ignoreCorruptFiles`
+    turns a bad disk into invisible data loss that no row count will
+    flag. Pins (a) the engine never enables the skip conf, and (b) the
+    engine's actual fail-fast behavior on a table directory where one
+    shard is garbage — if either drifts, this fails before production
+    does."""
+    import os
+    import shutil
+
+    from py4j.protocol import Py4JJavaError
+
+    assert (
+        spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "false"
+    ), "corrupt-file skipping got enabled — silent data loss at scale"
+
+    tdir = str(tmp_path / "t.parquet")
+    os.makedirs(tdir)
+    good = str(tmp_path / "good")
+    load_table(spark, sf_dir, "region").coalesce(1).write.parquet(good)
+    part = next(f for f in os.listdir(good) if f.startswith("part-"))
+    shutil.copyfile(
+        os.path.join(good, part), os.path.join(tdir, "part-00000.parquet")
+    )
+    with open(os.path.join(tdir, "part-00001.parquet"), "wb") as f:
+        f.write(b"PAR1 this is definitely not a parquet footer")
+    with pytest.raises(Py4JJavaError, match="FAILED_READ_FILE|[Cc]orrupt"):
+        spark.read.parquet(tdir).count()
+
+
 def test_schema_registry_matches_testdata(spark, sf_dir):
     """Every registry schema must match what the loader actually produces —
     drift here breaks every downstream operator silently."""
