@@ -91,7 +91,9 @@ _LOADED = False
 # green rows — and tag repair forces nothing, so the 48 free slots go to
 # the three never-attested round-8 registrations (winnowing_fingerprint,
 # mixture_sqrt_temperature, shard_manifest — the round's only new
-# queries, within the VERDICT r6 growth freeze) and then the stalest
+# queries, within the VERDICT r6 growth freeze), the FORCE_REFRESH
+# re-attestation of trend_by_event_type (its DECIMAL widening
+# post-dates its r7 row — rotation.py), and then the stalest
 # tail: the round-7
 # backlog drained fully, so the fill is the r3-attested set.  The staleness SLA
 # (tests/test_registry_order.py::test_staleness_sla) holds with every
@@ -101,6 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bu_salary_dashboard",
     "mixture_sqrt_temperature",
     "shard_manifest",
+    "trend_by_event_type",
     "winnowing_fingerprint",
     "c4_quality_filters",
     "chunk_documents",
@@ -146,7 +149,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "notnull_filter",
     "percentile_stats",
     "proportional_sample",
-    "scalar_count",
 )
 
 

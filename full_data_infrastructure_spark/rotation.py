@@ -76,7 +76,11 @@ EVIDENCE_STALE_AFTER = 2
 # once the refreshed row lands.  (Round 6: profile_columns and
 # event_cooccurrence_lift changed per ADVICE r5, but both are never-attested
 # anyway, so nothing to force.)
-FORCE_REFRESH: frozenset[str] = frozenset()
+# Round 8: trend_by_event_type's x-statistics widened DECIMAL(18,0) ->
+# DECIMAL(19,0) on BOTH engines after the pre-epoch sweep caught DuckDB's
+# int64-backed 18-width product overflowing; its r7 green row predates the
+# change, so the driver must re-attest the widened form.
+FORCE_REFRESH: frozenset[str] = frozenset({"trend_by_event_type"})
 
 # Queries registered AFTER the current round's attestation payload froze
 # (the VERDICT names the exact queries whose first driver rows are due this
