@@ -669,10 +669,16 @@ def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
     """Distributed PageRank (damping 0.85) over a canonical u < v edge set,
     cross-engine deterministic: per-edge contributions rank/degree are
-    rounded to 12dp and cast to DECIMAL(20,12) BEFORE the per-node sum, so
-    the only float-order-sensitive reduction in the algorithm is exact
-    (the embedding_kmeans rounded-cosine/DECIMAL-mean technique applied to
-    graph propagation). Symmetrizing the edges leaves no dangling nodes.
+    quantized to integer 1e-12 units via ``floor(r/d * 1e12 + 0.5)`` —
+    division, multiply, add, floor are each a single IEEE operation with
+    one correctly-rounded result, so both engines produce the identical
+    BIGINT — and summed exactly as BIGINT, making the only
+    float-order-sensitive reduction in the algorithm exact. (The first
+    cut rounded the double to 12dp with ROUND(), breaking the engine's
+    own never-ROUND-a-double rule: Spark and DuckDB disagree on decimal
+    ties of a binary double, which surfaced as last-unit contribution
+    drift at sf0.1 — 20x the edges finally landed on ties that sf0.01
+    never hit.) Symmetrizing the edges leaves no dangling nodes.
 
     Scale design: degree is pre-joined into the edge table ONCE and the
     result persisted already hash-partitioned on ``src``, so every
@@ -705,9 +711,10 @@ def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(
                 "dst",
-                F.round(F.col("r") / F.col("d"), 12)
-                .cast("decimal(20,12)")
-                .alias("c"),
+                # floor(double) is LONG in Spark; exact integer, < 2^53.
+                F.floor(
+                    F.col("r") / F.col("d") * F.lit(1e12) + F.lit(0.5)
+                ).alias("c"),
             )
         )
         ranks = (
@@ -716,9 +723,9 @@ def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
             .crossJoin(F.broadcast(n_df))
             .select(
                 F.col("dst").alias("node"),
-                F.round(
-                    0.15 / F.col("n_nodes") + 0.85 * F.col("s").cast("double"),
-                    12,
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * (F.col("s").cast("double") / F.lit(1e12))
                 ).alias("r"),
             )
         )
@@ -744,20 +751,20 @@ def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM deg),
     r0 AS (SELECT src AS node, 1.0 / n.n_nodes AS r FROM deg CROSS JOIN n),
     it1 AS (
-        SELECT dst AS node, ROUND(0.15 / n.n_nodes + 0.85 * CAST(s AS DOUBLE), 12) AS r
-        FROM (SELECT e.dst, SUM(CAST(ROUND(p.r / d.d, 12) AS DECIMAL(20,12))) AS s
+        SELECT dst AS node, 0.15 / n.n_nodes + 0.85 * (CAST(s AS DOUBLE) / 1e12) AS r
+        FROM (SELECT e.dst, SUM(CAST(FLOOR(p.r / d.d * 1e12 + 0.5) AS BIGINT)) AS s
               FROM edges e JOIN r0 p ON p.node = e.src JOIN deg d ON d.src = e.src
               GROUP BY e.dst) CROSS JOIN n
     ),
     it2 AS (
-        SELECT dst AS node, ROUND(0.15 / n.n_nodes + 0.85 * CAST(s AS DOUBLE), 12) AS r
-        FROM (SELECT e.dst, SUM(CAST(ROUND(p.r / d.d, 12) AS DECIMAL(20,12))) AS s
+        SELECT dst AS node, 0.15 / n.n_nodes + 0.85 * (CAST(s AS DOUBLE) / 1e12) AS r
+        FROM (SELECT e.dst, SUM(CAST(FLOOR(p.r / d.d * 1e12 + 0.5) AS BIGINT)) AS s
               FROM edges e JOIN it1 p ON p.node = e.src JOIN deg d ON d.src = e.src
               GROUP BY e.dst) CROSS JOIN n
     ),
     it3 AS (
-        SELECT dst AS node, ROUND(0.15 / n.n_nodes + 0.85 * CAST(s AS DOUBLE), 12) AS r
-        FROM (SELECT e.dst, SUM(CAST(ROUND(p.r / d.d, 12) AS DECIMAL(20,12))) AS s
+        SELECT dst AS node, 0.15 / n.n_nodes + 0.85 * (CAST(s AS DOUBLE) / 1e12) AS r
+        FROM (SELECT e.dst, SUM(CAST(FLOOR(p.r / d.d * 1e12 + 0.5) AS BIGINT)) AS s
               FROM edges e JOIN it2 p ON p.node = e.src JOIN deg d ON d.src = e.src
               GROUP BY e.dst) CROSS JOIN n
     )
@@ -767,10 +774,13 @@ def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
     "completing the graph-analytics trio with two-star connected "
     "components and degree-oriented triangles): rank propagation as "
     "edge-keyed joins + map-side-combinable per-node sums, with every "
-    "contribution rounded to 12dp and summed as DECIMAL(20,12) so the "
-    "one order-sensitive float reduction is exact — both engines run "
-    "the identical IEEE expression sequence and the hash must match "
-    "bit-for-bit. The oracle unrolls the same three iterations as CTEs "
+    "contribution quantized to integer 1e-12 units by pure IEEE ops "
+    "(floor(r/d * 1e12 + 0.5)) and summed as BIGINT so the one "
+    "order-sensitive float reduction is exact — both engines run the "
+    "identical IEEE expression sequence and the hash must match "
+    "bit-for-bit at ANY scale (the earlier ROUND(double,12) form "
+    "diverged on decimal ties once sf0.1's edge count hit them). The "
+    "oracle unrolls the same three iterations as CTEs "
     "(the embedding_kmeans oracle pattern). At 100 TB: edges persist "
     "once, rank state is node-sized, per-iteration cost is one shuffle.",
     tags=("extension", "join", "aggregate"),
