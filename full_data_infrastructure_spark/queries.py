@@ -92,8 +92,9 @@ _LOADED = False
 # the three never-attested round-8 registrations (winnowing_fingerprint,
 # mixture_sqrt_temperature, shard_manifest — the round's only new
 # queries, within the VERDICT r6 growth freeze), the FORCE_REFRESH
-# re-attestation of trend_by_event_type (its DECIMAL widening
-# post-dates its r7 row — rotation.py), and then the stalest
+# re-attestations of trend_by_event_type (its DECIMAL widening
+# post-dates its r7 row) and pagerank_parts (its tie-exact integer
+# quantization post-dates its r7 row — rotation.py), and then the stalest
 # tail: the round-7
 # backlog drained fully, so the fill is the r3-attested set.  The staleness SLA
 # (tests/test_registry_order.py::test_staleness_sla) holds with every
@@ -102,6 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
     "mixture_sqrt_temperature",
+    "pagerank_parts",
     "shard_manifest",
     "trend_by_event_type",
     "winnowing_fingerprint",
@@ -148,7 +150,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_embed",
     "notnull_filter",
     "percentile_stats",
-    "proportional_sample",
 )
 
 

@@ -78,9 +78,14 @@ EVIDENCE_STALE_AFTER = 2
 # anyway, so nothing to force.)
 # Round 8: trend_by_event_type's x-statistics widened DECIMAL(18,0) ->
 # DECIMAL(19,0) on BOTH engines after the pre-epoch sweep caught DuckDB's
-# int64-backed 18-width product overflowing; its r7 green row predates the
-# change, so the driver must re-attest the widened form.
-FORCE_REFRESH: frozenset[str] = frozenset({"trend_by_event_type"})
+# int64-backed 18-width product overflowing; pagerank_parts switched its
+# contribution quantization from the tie-divergent ROUND(double,12) to
+# integer 1e-12 units after the sf0.1 parity sweep caught rank drift.
+# Both hold r7 green rows that predate the change, so the driver must
+# re-attest the current forms.
+FORCE_REFRESH: frozenset[str] = frozenset(
+    {"trend_by_event_type", "pagerank_parts"}
+)
 
 # Queries registered AFTER the current round's attestation payload froze
 # (the VERDICT names the exact queries whose first driver rows are due this
