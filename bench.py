@@ -49,12 +49,34 @@ same run all landed at-or-below their r6 numbers (dedup_semantic 0.549s,
 flagship_benefits 0.383s, quality_classifier 1.154s, knn_bruteforce
 0.646s, corpus_pipeline_lsh 3.246s).  Verdict: variance, not regression.
 
+Round-9 drift adjudication (VERDICT r8 item 2): pagerank_parts +10%
+(r7 2.17s -> r8 2.39s best) was the only regressed query whose plan
+actually changed in r8 (ROUND(double,12) -> integer 1e-12 BIGINT
+quantization), so the variance presumption didn't apply. Re-measured
+with the established protocol, best-of-5 back-to-back on the same host:
+HEAD best 2.522s / median 2.839s vs the pre-quantization tree
+(3eb4498^ in a worktree) best 2.447s / median 3.067s — the
+distributions overlap (HEAD's median is LOWER), so the BIGINT
+quantization costs at most ~3% of best-case, within host variance.
+Verdict: variance plus a small acceptable exactness cost; the
+quantization stays (it is what makes the hash bit-stable at any scale).
+Also noted for the ledger: r8 ran at load_avg 4.2-6.6, so the two
+microbench regressions it recorded (topk_group_count +65 ms,
+multi_aggregate +53 ms) have a recorded contention explanation;
+re-measure only if they regress again on an idle host.
+
 Round-7 bench additions (VERDICT r6 item 5): tpch_q5_region_volume (the
 canonical join-order benchmark), pagerank_parts (the only
 iterative-shuffle entry), streaming_scd2_snapshot (the heaviest new
 streaming path, with the fold_sec split like the upsert sink), plus
 knn_ivfpq (flipped to bench=True the same round so the IVF+PQ scale path
 is perf-tracked alongside knn_bruteforce) — 21 benched queries total.
+
+Round-9 bench additions (VERDICT r8 item 4): streaming_upsert_bucketed_
+snapshot and streaming_scd2_bucketed_snapshot — the n_buckets=16 sink
+variants (the actual 100 TB write path) under bucket-grouped key-sparse
+replays, so BENCH carries bucketed fold_sec beside the full-rewrite
+twins' — 23 benched queries total.
 
 Schema additions (round 6):
 * "groups" — per-family subtotals (relational / dedup / ann / text /

@@ -242,3 +242,88 @@ def _streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(work, "snapshot")).select(
         "user_id", "ts_s", "event_type", "value"
     )
+
+
+@register(
+    "streaming_upsert_bucketed_snapshot",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               event_type, value,
+               CASE WHEN event_type = 'signup' THEN 'c'
+                    WHEN event_type = 'error' THEN 'd'
+                    ELSE 'u' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, ts_s, event_type, value
+    FROM ordered WHERE rn = 1 AND op != 'd'
+    """,
+    doc="The BUCKETED upsert sink under a key-sparse workload — the actual "
+    "100 TB path (VERDICT r8 item 4: the n_buckets variant was plan-gated "
+    "and e2e-tested but had no recorded fold_sec). Same changelog and the "
+    "same latest-per-key oracle as streaming_upsert_snapshot (final state "
+    "is batching-invariant given per-key order), but the replay is "
+    "BUCKET-GROUPED: the file split orders by crc32(user_id) mod 16 first, "
+    "event_id second, so each micro-batch's keys concentrate in ~2 of 16 "
+    "buckets — the nightly-CDC shape where a key-sparse batch against a "
+    "huge dimension reads and swaps touched/n_buckets of the table "
+    "instead of all of it. Per-key ordering survives the regrouping: a "
+    "key's changes share one bucket, and within a bucket the range split "
+    "is event_id-ordered. bench=True: fold_sec lands beside the "
+    "full-rewrite twin's so the pruning claim carries a number.",
+    tags=("cdc", "streaming", "events"),
+    bench=True,
+)
+def _streaming_upsert_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from full_data_infrastructure_spark.streaming.replay import (
+        record_fold_cost,
+        replay_stream,
+    )
+    from full_data_infrastructure_spark.streaming.sinks import (
+        _key_bucket,
+        start_upsert_sink,
+    )
+
+    n_buckets = 16
+    events = load_table(spark, sf_dir, "events")
+    changes = events.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        # Bucket-major replay offset: all of a bucket's changes replay
+        # together (event_id-ordered within), so each micro-batch touches
+        # ~2 of the sink's 16 snapshot buckets.  2^40 clears any event_id.
+        (
+            _key_bucket(F.col("user_id"), n_buckets).cast("bigint")
+            * F.lit(1 << 40).cast("bigint")
+            + F.col("event_id")
+        ).alias("replay_offset"),
+    )
+    work, stream = replay_stream(
+        spark, changes, "replay_offset", prefix="upsert_bucketed_"
+    )
+    q = start_upsert_sink(
+        stream.drop("replay_offset"),
+        snapshot_path=os.path.join(work, "snapshot"),
+        checkpoint_path=os.path.join(work, "checkpoint"),
+        key="user_id",
+        order_col="event_id",
+        available_now=True,
+        n_buckets=n_buckets,
+    )
+    q.awaitTermination()
+    record_fold_cost("streaming_upsert_bucketed_snapshot", q)
+    return spark.read.parquet(os.path.join(work, "snapshot")).select(
+        "user_id", "ts_s", "event_type", "value"
+    )

@@ -342,6 +342,7 @@ def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the /100.0 display division is the same bits on both sides, so "
     "the derived statistics ship unrounded.",
     tags=("extension", "aggregate", "quality"),
+    exact_float_cols=("median_value", "mad_value"),
 )
 def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
@@ -403,6 +404,7 @@ def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sides, so the winsorized column ships unrounded. Bounds computed "
     "once per group and broadcast onto a single fact pass.",
     tags=("extension", "aggregate", "quality"),
+    exact_float_cols=("winsorized",),
 )
 def _winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(

@@ -785,6 +785,7 @@ def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
     "once, rank state is node-sized, per-iteration cost is one shuffle.",
     tags=("extension", "join", "aggregate"),
     bench=True,
+    exact_float_cols=("pagerank",),
 )
 def _pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

@@ -207,21 +207,36 @@ def mixture_keep(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
+# NULL-lang documents participate in the rebalance as their own group
+# (ADVICE r8): grouping/joining on raw lang would silently drop them via
+# the inner join — consistently on both engines, so no parity sweep could
+# catch it.  The sentinel starts with \x01 so it cannot collide with a
+# real language tag (the corpus schema pins lang to printable ISO codes).
+_NULL_LANG_SENTINEL = "\x01<unlabeled>"
+
+
 @register(
     "mixture_sqrt_temperature",
     """
-    WITH n AS (
-        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_l
-        FROM documents GROUP BY lang
+    WITH d AS (
+        SELECT doc_id, lang, source,
+               coalesce(lang, chr(1) || '<unlabeled>') AS lk
+        FROM documents
+    ),
+    n AS (
+        SELECT lk, CAST(COUNT(*) AS DOUBLE) AS n_l
+        FROM d GROUP BY lk
     ),
     rates AS (
-        SELECT lang,
-               CAST(FLOOR(SQRT(MIN(n_l) OVER () / n_l) * 256) AS BIGINT) AS k
+        SELECT lk,
+               GREATEST(
+                   CAST(FLOOR(SQRT(MIN(n_l) OVER () / n_l) * 256) AS BIGINT),
+                   1) AS k
         FROM n
     )
     SELECT d.doc_id, d.lang, d.source
-    FROM documents d
-    JOIN rates r ON d.lang = r.lang
+    FROM d
+    JOIN rates r ON d.lk = r.lk
     WHERE r.k >= 256
        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.k)
     """,
@@ -234,26 +249,37 @@ def mixture_keep(spark: SparkSession, docs: DataFrame) -> DataFrame:
     "without upsampling. alpha=1/2 rather than a pow() knob because "
     "IEEE-754 requires correctly-rounded sqrt, so the 1/256 bucket "
     "rates are bit-identical cross-engine where pow(p, 0.3) is not. "
-    "Same scale shape as mixture_sample: the rate table is lang-sized "
-    "and broadcast, the keep predicate is scan-local md5-bucket "
-    "thresholding (deterministic, retry-safe), the corpus never "
-    "shuffles.",
+    "The 1/256-granular rate clamps to at least one bucket (GREATEST(k,1), "
+    "ADVICE r8): without it a language >65536x the smallest floors to "
+    "k=0 and is dropped ENTIRELY — the opposite of downsampling, and "
+    "routine at web scale where a dominant language dwarfs a minority "
+    "one. NULL-lang documents form their own kept-whole group via a "
+    "non-colliding sentinel key rather than vanishing into the inner "
+    "join. Same scale shape as mixture_sample: the rate table is "
+    "lang-sized and broadcast, the keep predicate is scan-local "
+    "md5-bucket thresholding (deterministic, retry-safe), the corpus "
+    "never shuffles.",
     tags=("llm", "curation", "sampling", "packing"),
 )
 def _mixture_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    n = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n_l"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lk", F.coalesce(F.col("lang"), F.lit(_NULL_LANG_SENTINEL))
+    )
+    n = docs.groupBy("lk").agg(F.count(F.lit(1)).cast("double").alias("n_l"))
     # Window-min over the lang-sized aggregate: one scan, same reasoning
     # as mixture_keep's t_max.
     t_w = Window.partitionBy(F.lit(1))
     rates = n.select(
-        "lang",
-        F.floor(F.sqrt(F.min("n_l").over(t_w) / F.col("n_l")) * 256)
-        .cast("bigint")
-        .alias("k"),
+        "lk",
+        F.greatest(
+            F.floor(F.sqrt(F.min("n_l").over(t_w) / F.col("n_l")) * 256).cast(
+                "bigint"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("k"),
     )
     return (
-        docs.join(F.broadcast(rates), "lang")
+        docs.join(F.broadcast(rates), "lk")
         .filter(
             (F.col("k") >= 256)
             | (hash_bucket(F.col("doc_id")) < F.format_string("%02x", F.col("k")))

@@ -1201,6 +1201,94 @@ def _streaming_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_scd2_bucketed_snapshot",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state,
+               LAG(event_id) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_event_id
+        FROM events
+    ),
+    versions AS (
+        SELECT user_id, event_type AS state, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_event_id IS NULL
+           OR prev_state IS DISTINCT FROM event_type
+    )
+    SELECT user_id,
+           state,
+           valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL
+               AS is_current,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) AS BIGINT)
+               AS version
+    FROM versions
+    """,
+    doc="The BUCKETED SCD2 sink under a key-sparse workload — the actual "
+    "100 TB path (VERDICT r8 item 4: the n_buckets variant was plan-gated "
+    "and e2e-tested but had no recorded fold_sec). Same change stream and "
+    "the same full-history-rebuild oracle as streaming_scd2_snapshot "
+    "(history is batching-invariant given per-user at-or-after order), "
+    "but the replay is BUCKET-GROUPED: the file split orders by "
+    "crc32(user_id) mod 16 first, event time second, so each micro-batch "
+    "touches ~2 of the sink's 16 version-table buckets and the fold reads "
+    "AND swaps only those directories. The per-user at-or-after contract "
+    "survives: a user's changes share one bucket and are ts-ordered "
+    "within it, and the range split keeps equal (bucket, ts) pairs in "
+    "one file so equal-ts ties never straddle a batch. bench=True: "
+    "fold_sec lands beside the full-rewrite twin's so the pruning claim "
+    "carries a number.",
+    tags=("extension", "window", "streaming", "events", "cdc"),
+    bench=True,
+)
+def _streaming_scd2_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from full_data_infrastructure_spark.streaming.replay import (
+        record_fold_cost,
+        replay_stream,
+    )
+    from full_data_infrastructure_spark.streaming.sinks import (
+        _key_bucket,
+        start_scd2_sink,
+    )
+
+    n_buckets = 16
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    changes = events.withColumn(
+        "replay_offset",
+        # Bucket-major, time-minor: all of a bucket's changes replay
+        # together in event-time order, so per-user at-or-after holds
+        # while each micro-batch stays bucket-sparse.  2^44 microseconds
+        # ≈ 557 years clears any sf timestamp.
+        _key_bucket(F.col("user_id"), n_buckets).cast("bigint")
+        * F.lit(1 << 44).cast("bigint")
+        + F.unix_micros("ts"),
+    )
+    work, stream = replay_stream(
+        spark, changes, "replay_offset", prefix="scd2_bucketed_"
+    )
+    q = start_scd2_sink(
+        stream.drop("replay_offset"),
+        versions_path=os.path.join(work, "versions"),
+        checkpoint_path=os.path.join(work, "checkpoint"),
+        available_now=True,
+        n_buckets=n_buckets,
+    )
+    q.awaitTermination()
+    record_fold_cost("streaming_scd2_bucketed_snapshot", q)
+    return scd2_finalize(spark.read.parquet(os.path.join(work, "versions")))
+
+
+@register(
     "funnel_three_step",
     """
     WITH v AS (

@@ -31,6 +31,12 @@ class EngineQuery:
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
+    # Float columns whose docstring claims BIT-identity across engines
+    # (shipped unrounded on purpose): the local parity sweeps compare
+    # these at rel_tol=0, the same contract the driver's value hash
+    # enforces, so a last-ulp cross-engine regression fails in CI instead
+    # of only at the once-per-round sf0.1 driver tier (ADVICE r8).
+    exact_float_cols: tuple[str, ...] = field(default_factory=tuple)
 
 
 REGISTRY: dict[str, EngineQuery] = {}
@@ -42,11 +48,14 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    exact_float_cols: tuple[str, ...] = (),
 ) -> Callable[[QueryBuilder], QueryBuilder]:
     def wrap(fn: QueryBuilder) -> QueryBuilder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = EngineQuery(name, fn, oracle, doc, tags, bench)
+        REGISTRY[name] = EngineQuery(
+            name, fn, oracle, doc, tags, bench, exact_float_cols
+        )
         return fn
 
     return wrap
@@ -87,69 +96,72 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 8 note: zero bench pins again — all 21 benched queries hold r7
-# green rows — and tag repair forces nothing, so the 48 free slots go to
-# the three never-attested round-8 registrations (winnowing_fingerprint,
-# mixture_sqrt_temperature, shard_manifest — the round's only new
-# queries, within the VERDICT r6 growth freeze), the FORCE_REFRESH
-# re-attestations of trend_by_event_type (its DECIMAL widening
-# post-dates its r7 row) and pagerank_parts (its tie-exact integer
-# quantization post-dates its r7 row — rotation.py), and then the stalest
-# tail: the round-7
-# backlog drained fully, so the fill is the r3-attested set.  The staleness SLA
-# (tests/test_registry_order.py::test_staleness_sla) holds with every
-# registered query either windowed or green within the last 3 rounds.)
+# (Round 9 note: zero bench pins among the standing 21 — all hold r8
+# green rows — and tag repair forces nothing.  The two round-9
+# registrations (streaming_scd2_bucketed_snapshot,
+# streaming_upsert_bucketed_snapshot — the n_buckets sink twins,
+# VERDICT r8 item 4, within the r6 growth freeze) are never-attested
+# AND bench=True, so they lead the fill.
+# mixture_sqrt_temperature is FORCE_REFRESHed: its keep-rate clamp
+# (GREATEST(k,1)) and NULL-lang sentinel routing changed builder and
+# oracle after its r8 row (ADVICE r8 items 1 and 3).  The remaining
+# slots drain the stalest tail: the four r4-boundary queries
+# (proportional_sample, scalar_count, select_prune_cast,
+# unpivot_lineitem) lead it, then the r5-attested set.  The staleness
+# SLA (tests/test_registry_order.py::test_staleness_sla) holds with
+# every registered query either windowed or green within the last 3
+# rounds.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
     "mixture_sqrt_temperature",
-    "pagerank_parts",
-    "shard_manifest",
-    "trend_by_event_type",
-    "winnowing_fingerprint",
-    "c4_quality_filters",
-    "chunk_documents",
-    "cohort_retention",
-    "corpus_pipeline",
-    "dedup_containment",
-    "dedup_survivors",
-    "dup_span_signal",
-    "embedding_lang_drift",
-    "exists_subquery",
-    "funnel_conversion",
-    "hypertable_rollup_hourly",
-    "hypertable_rollup_merge",
-    "mad_outliers",
-    "mixture_sample",
-    "multimodal_decode",
-    "multimodal_payload_dedup",
-    "ordered_limit",
-    "pack_bin_stats",
-    "pack_sequences",
-    "rfm_segments",
-    "validation_suite",
-    "winsorize_values",
-    "approx_count_distinct",
-    "conditional_rate",
-    "constraint_violations",
-    "dedup_cluster_cc",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_incremental_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_span_removal",
-    "groupby_count_avg",
-    "grouping_sets_counts",
-    "histogram_buckets",
-    "in_subquery",
-    "knn_ivf",
-    "knn_label_consistency",
-    "knn_lsh",
-    "multimodal_embed",
-    "notnull_filter",
-    "percentile_stats",
+    "streaming_scd2_bucketed_snapshot",
+    "streaming_upsert_bucketed_snapshot",
+    "proportional_sample",
+    "scalar_count",
+    "select_prune_cast",
+    "unpivot_lineitem",
+    "anti_join",
+    "bpe_pair_counts",
+    "case_flag_arithmetic",
+    "compact_small_files",
+    "corpus_pipeline_full",
+    "ema_by_user",
+    "heavy_hitters_tokens",
+    "json_extract",
+    "k_anonymity_violations",
+    "multimodal_join",
+    "multimodal_resize",
+    "not_exists_subquery",
+    "ntile_price_quartiles",
+    "pii_redact",
+    "runtime_filtered_join",
+    "stratified_sample",
+    "streaming_rollup_snapshot",
+    "streaming_sessionize_snapshot",
+    "threshold_validation",
+    "asof_join",
+    "corpus_pipeline_full_lsh",
+    "corpus_pipeline_lsh",
+    "decontaminate_overlap",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "dedup_survivors_lsh",
+    "distinct_projection",
+    "enrichment_distance",
+    "generator_activities",
+    "join_dim_snowflake",
+    "knn_bruteforce",
+    "knn_ivfpq",
+    "multi_aggregate",
+    "paragraph_dedup",
+    "quality_classifier",
+    "range_join",
+    "set_union_except_intersect",
+    "streaming_upsert_snapshot",
+    "text_stats",
+    "topk_group_count",
+    "window_moving_avg",
 )
 
 

@@ -76,16 +76,13 @@ EVIDENCE_STALE_AFTER = 2
 # once the refreshed row lands.  (Round 6: profile_columns and
 # event_cooccurrence_lift changed per ADVICE r5, but both are never-attested
 # anyway, so nothing to force.)
-# Round 8: trend_by_event_type's x-statistics widened DECIMAL(18,0) ->
-# DECIMAL(19,0) on BOTH engines after the pre-epoch sweep caught DuckDB's
-# int64-backed 18-width product overflowing; pagerank_parts switched its
-# contribution quantization from the tie-divergent ROUND(double,12) to
-# integer 1e-12 units after the sf0.1 parity sweep caught rank drift.
-# Both hold r7 green rows that predate the change, so the driver must
-# re-attest the current forms.
-FORCE_REFRESH: frozenset[str] = frozenset(
-    {"trend_by_event_type", "pagerank_parts"}
-)
+# Round 9: the round-8 forces (trend_by_event_type DECIMAL widening,
+# pagerank_parts integer quantization) both landed green r8 rows, so the
+# set resets to empty; mixture_sqrt_temperature is re-forced because its
+# keep-rate clamp (GREATEST(k, 1), ADVICE r8 item 1) and NULL-lang
+# sentinel routing (ADVICE r8 item 3) changed builder AND oracle after
+# its r8 green row.
+FORCE_REFRESH: frozenset[str] = frozenset({"mixture_sqrt_temperature"})
 
 # Queries registered AFTER the current round's attestation payload froze
 # (the VERDICT names the exact queries whose first driver rows are due this

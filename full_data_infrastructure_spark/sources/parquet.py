@@ -15,6 +15,7 @@ ever collects.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,7 +71,23 @@ def load_table(
     vanilla session that never went through ``build_session``
     (tests/test_tz_semantics.py drives the registry under a +05:45
     session TZ to hold this).
+
+    The pin is a session-global side effect (calendar rendering happens
+    at action time, not load time, so a scoped set-and-restore would
+    not actually protect the result) — so when it overrides a non-UTC
+    value the caller chose deliberately, say so instead of clobbering
+    silently (ADVICE r8).
     """
+    prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prior_tz not in (None, "UTC", "Etc/UTC", "+00:00", "Z", "GMT"):
+        warnings.warn(
+            f"load_table pins spark.sql.session.timeZone to UTC for the "
+            f"engine's calendar contract, overriding the session's current "
+            f"{prior_tz!r} for ALL subsequent queries in this session; "
+            f"re-set it after engine reads if you need local-time rendering "
+            f"elsewhere",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Must hold even when the caller (e.g. the verify driver) built a

@@ -66,12 +66,18 @@ def normalize_frame(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
-def _cells_equal(a: Any, b: Any) -> bool:
+def _cells_equal(a: Any, b: Any, exact: bool = False) -> bool:
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return False
+        if exact:
+            # Bit-identity contract (EngineQuery.exact_float_cols): the
+            # query's docstring claims both engines execute the identical
+            # IEEE expression sequence, so the driver's value hash — and
+            # therefore this compare — tolerates zero ulps of drift.
+            return float(a) == float(b)
         return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
     return a == b
 
@@ -116,7 +122,14 @@ def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | 
     return None
 
 
-def compare(spark_df, duck_rel) -> tuple[bool, str]:
+def compare(
+    spark_df, duck_rel, exact_cols: tuple[str, ...] = ()
+) -> tuple[bool, str]:
+    """Cell-by-cell Spark-vs-DuckDB compare. ``exact_cols`` names float
+    columns held to rel_tol=0 (pass the query's ``exact_float_cols``):
+    bit-identity-claiming columns ship unrounded, so the default 1e-9
+    tolerance would let a last-ulp cross-engine regression through CI
+    that the driver's value hash then rejects (ADVICE r8)."""
     spark_pdf = spark_df.toPandas()
     duck_pdf = duck_rel.fetchdf()
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
@@ -131,10 +144,15 @@ def compare(spark_df, duck_rel) -> tuple[bool, str]:
         return False, f"row count mismatch: spark={len(spark_pdf)} duckdb={len(duck_pdf)}"
     s_rows = normalize_frame(spark_pdf)
     d_rows = normalize_frame(duck_pdf)
+    cols_sorted = sorted(spark_pdf.columns)
+    exact = {c.lower() for c in exact_cols}
+    unknown = exact - set(cols_sorted)
+    if unknown:
+        return False, f"exact_cols name absent columns: {sorted(unknown)}"
     for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
         for j, (sv, dv) in enumerate(zip(sr, dr)):
-            if not _cells_equal(sv, dv):
-                col = sorted(spark_pdf.columns)[j]
+            if not _cells_equal(sv, dv, exact=cols_sorted[j] in exact):
+                col = cols_sorted[j]
                 return False, (
                     f"value mismatch at sorted-row {i} col '{col}': "
                     f"spark={sv!r} duckdb={dv!r} (spark row: {sr}, duck row: {dr})"

@@ -137,12 +137,20 @@ def extreme_duck(extreme_sf_dir):
 @pytest.mark.parametrize("name", DOC_ORACLED)
 def test_duplicate_saturated_oracle_parity(spark, dup_sf_dir, dup_duck, name):
     q = registry.REGISTRY[name]
-    ok, msg = compare(q.build(spark, dup_sf_dir), dup_duck.sql(q.oracle))
+    ok, msg = compare(
+        q.build(spark, dup_sf_dir),
+        dup_duck.sql(q.oracle),
+        exact_cols=q.exact_float_cols,
+    )
     assert ok, f"{name} (duplicate-saturated corpus): {msg}"
 
 
 @pytest.mark.parametrize("name", VALUE_ORACLED)
 def test_extreme_values_oracle_parity(spark, extreme_sf_dir, extreme_duck, name):
     q = registry.REGISTRY[name]
-    ok, msg = compare(q.build(spark, extreme_sf_dir), extreme_duck.sql(q.oracle))
+    ok, msg = compare(
+        q.build(spark, extreme_sf_dir),
+        extreme_duck.sql(q.oracle),
+        exact_cols=q.exact_float_cols,
+    )
     assert ok, f"{name} (extreme-values corpus): {msg}"

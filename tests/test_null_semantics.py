@@ -98,7 +98,11 @@ def null_duck(null_sf_dir):
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_null_oracle_parity(spark, null_sf_dir, null_duck, name):
     q = registry.REGISTRY[name]
-    ok, msg = compare(q.build(spark, null_sf_dir), null_duck.sql(q.oracle))
+    ok, msg = compare(
+        q.build(spark, null_sf_dir),
+        null_duck.sql(q.oracle),
+        exact_cols=q.exact_float_cols,
+    )
     assert ok, f"{name} (null-injected corpus): {msg}"
 
 

@@ -1341,6 +1341,52 @@ def test_scd2_apply_batch_sparse_and_new_users(spark):
     assert sorted(standing_rows) == sorted(folded_rows)
 
 
+def test_scd2_apply_batch_backfill_escape_hatch(spark, sf_dir):
+    """VERDICT r8 item 5: scd2_apply_batch(broadcast_touched=False) — the
+    documented escape for replay/backfill batches whose user set is
+    corpus-sized — is semantics-neutral: on the scd2_incremental corpus
+    shape the False fold must equal the True fold AND the full-history
+    rebuild row-for-row. Also pin that the flag really changes the plan
+    (False plans no broadcast of the touched set into the standing anti
+    join), so a regression can't silently turn the hatch into a no-op."""
+    from full_data_infrastructure_spark.operators.windows import (
+        scd2_apply_batch,
+        scd2_finalize,
+        scd2_versions,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cut = F.lit("2024-01-25").cast("timestamp")
+    standing = scd2_versions(events.filter(F.col("ts") < cut))
+    batch = events.filter(F.col("ts") >= cut)
+
+    fold_bc = scd2_finalize(scd2_apply_batch(standing, batch))
+    fold_shuffle = scd2_finalize(
+        scd2_apply_batch(standing, batch, broadcast_touched=False)
+    )
+    full = scd2_finalize(scd2_versions(events))
+
+    rows_bc = sorted(map(tuple, fold_bc.collect()))
+    rows_shuffle = sorted(map(tuple, fold_shuffle.collect()))
+    rows_full = sorted(map(tuple, full.collect()))
+    assert rows_shuffle == rows_bc == rows_full
+    assert len(rows_full) > 0
+
+    # The hint must actually flip: the broadcast fold plans the touched
+    # set as a broadcast exchange; the backfill fold must not force one
+    # (AQE may still choose strategies at runtime — the point is the
+    # STATIC plan no longer pins a driver-sized broadcast of a
+    # corpus-sized user set).
+    plan_bc = fold_bc._jdf.queryExecution().toString()
+    plan_shuffle = fold_shuffle._jdf.queryExecution().toString()
+    assert "ResolvedHint" in plan_bc or "broadcast" in plan_bc.lower()
+    analyzed_shuffle = fold_shuffle._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed_shuffle, analyzed_shuffle[:2000]
+    assert plan_shuffle  # both folds planned successfully
+
+
 def test_jsonl_permissive_quarantine(spark, sf_dir):
     """The dead-letter side of the quarantine ingest: PERMISSIVE mode
     with columnNameOfCorruptRecord must route every corrupted line —
@@ -1805,3 +1851,52 @@ def test_sqrt_temperature_flattens_language_shares(spark, sf_dir):
     ratio_out = max(out.values()) / min(out.values())
     assert ratio_out < ratio_in * 0.75, (ratio_in, ratio_out)
     assert ratio_out > ratio_in**0.5 * 0.75, (ratio_in, ratio_out)
+
+
+def test_sqrt_temperature_clamp_and_null_lang(spark, tmp_path):
+    """ADVICE r8 regression pins, on a >65536x-skew corpus the sf sweeps
+    never reach: (1) the 1/256 keep-rate clamps to at least one bucket, so
+    the dominant language is downsampled, never silently dropped (the
+    unclamped floor(sqrt(n_min/n_l)*256) is 0 exactly there); (2) NULL-lang
+    documents route through as their own group instead of vanishing into
+    the inner rate join. md5 buckets are deterministic, so every count
+    asserted here is exact, not statistical. The DuckDB oracle runs on the
+    same corpus to pin both engines to the clamped semantics."""
+    import duckdb
+
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+    from full_data_infrastructure_spark.sources.parquet import table_path
+    from tests.oracle_check import compare
+
+    _ensure_loaded()
+    root = str(tmp_path)
+    spark.range(70000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit("min"))
+        .when(F.col("id") == 1, F.lit(None).cast("string"))
+        .otherwise(F.lit("big"))
+        .alias("lang"),
+        F.lit("synthetic").alias("source"),
+    ).write.parquet(table_path(root, "documents"))
+
+    q = REGISTRY["mixture_sqrt_temperature"]
+    out = q.build(spark, root)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts.get("min") == 1, counts  # smallest language kept whole
+    assert counts.get(None) == 1, counts  # NULL-lang group kept, not dropped
+    # 69998 'big' docs at 69998x skew: unclamped k would be 0 (dropped);
+    # the clamp keeps exactly the 1/256 md5 bucket — present but heavily
+    # downsampled.
+    assert 1 <= counts.get("big", 0) <= 69998 * 2 / 256, counts
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{table_path(root, 'documents')}/*.parquet'"
+    )
+    ok, msg = compare(out, con.sql(q.oracle))
+    con.close()
+    assert ok, msg

@@ -28,7 +28,7 @@ def test_oracle_parity(spark, sf_dir, duck, name):
     q = registry.REGISTRY[name]
     sdf = q.build(spark, sf_dir)
     rel = duck.sql(q.oracle)
-    ok, msg = compare(sdf, rel)
+    ok, msg = compare(sdf, rel, exact_cols=q.exact_float_cols)
     assert ok, f"{name}: {msg}"
 
 
@@ -79,3 +79,42 @@ def test_rows_only_executes(spark, sf_dir, name):
     n = sdf.count()
     assert n >= 0
     assert len(sdf.columns) > 0
+
+
+def test_exact_float_mode_has_teeth(spark):
+    """ADVICE r8: bit-identity columns (exact_float_cols) must be compared
+    at rel_tol=0 locally, because the driver's value hash is exact. Pin
+    that the mode actually rejects a last-ulp divergence the default
+    1e-9 tolerance accepts, and that a typo'd column name is an error
+    rather than a silently-vacuous exactness claim."""
+    import duckdb
+
+    con = duckdb.connect()
+    # 0.1 + 0.2 differs from the 0.3 literal by one ulp — classic IEEE.
+    sdf = spark.createDataFrame([(1, 0.1 + 0.2)], ["id", "v"])
+    ok, _ = compare(sdf, con.sql("SELECT 1 AS id, CAST(0.3 AS DOUBLE) AS v"))
+    assert ok, "tolerance mode must accept a last-ulp difference"
+    ok, msg = compare(
+        sdf,
+        con.sql("SELECT 1 AS id, CAST(0.3 AS DOUBLE) AS v"),
+        exact_cols=("v",),
+    )
+    assert not ok and "v" in msg, msg
+    ok, msg = compare(
+        sdf,
+        con.sql("SELECT 1 AS id, CAST(0.3 AS DOUBLE) AS v"),
+        exact_cols=("no_such_col",),
+    )
+    assert not ok and "no_such_col" in msg, msg
+    con.close()
+
+
+def test_bit_identity_queries_declare_exact_cols():
+    """The three queries whose docstrings claim unrounded bit-identity
+    must carry the exact_float_cols contract so every sweep enforces it."""
+    assert registry.REGISTRY["mad_outliers"].exact_float_cols == (
+        "median_value",
+        "mad_value",
+    )
+    assert registry.REGISTRY["winsorize_values"].exact_float_cols == ("winsorized",)
+    assert registry.REGISTRY["pagerank_parts"].exact_float_cols == ("pagerank",)

@@ -244,6 +244,8 @@ def test_builders_trigger_no_data_jobs(spark, sf_dir, queries):
         "streaming_ema_snapshot",
         "streaming_funnel_snapshot",
         "streaming_scd2_snapshot",
+        "streaming_scd2_bucketed_snapshot",
+        "streaming_upsert_bucketed_snapshot",
         # layout maintenance job: scatters, compacts, reads back
         "compact_small_files",
         # format roundtrips: write the jsonl copy at build, then read back

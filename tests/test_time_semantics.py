@@ -170,14 +170,22 @@ def boundary_duck(boundary_sf_dir):
 @pytest.mark.parametrize("name", TIME_ORACLED)
 def test_preepoch_oracle_parity(spark, preepoch_sf_dir, preepoch_duck, name):
     q = registry.REGISTRY[name]
-    ok, msg = compare(q.build(spark, preepoch_sf_dir), preepoch_duck.sql(q.oracle))
+    ok, msg = compare(
+        q.build(spark, preepoch_sf_dir),
+        preepoch_duck.sql(q.oracle),
+        exact_cols=q.exact_float_cols,
+    )
     assert ok, f"{name} (pre-epoch corpus): {msg}"
 
 
 @pytest.mark.parametrize("name", BOUNDARY_SWEEP)
 def test_epoch_boundary_oracle_parity(spark, boundary_sf_dir, boundary_duck, name):
     q = registry.REGISTRY[name]
-    ok, msg = compare(q.build(spark, boundary_sf_dir), boundary_duck.sql(q.oracle))
+    ok, msg = compare(
+        q.build(spark, boundary_sf_dir),
+        boundary_duck.sql(q.oracle),
+        exact_cols=q.exact_float_cols,
+    )
     assert ok, f"{name} (epoch-boundary corpus): {msg}"
 
 

@@ -68,8 +68,35 @@ def test_hostile_session_tz_oracle_parity(spark, sf_dir, tz_duck, restore_tz, na
     # back to UTC for the analysis of everything downstream.
     spark.conf.set("spark.sql.session.timeZone", HOSTILE_TZ)
     q = registry.REGISTRY[name]
-    ok, msg = compare(q.build(spark, sf_dir), tz_duck.sql(q.oracle))
+    ok, msg = compare(
+        q.build(spark, sf_dir),
+        tz_duck.sql(q.oracle),
+        exact_cols=q.exact_float_cols,
+    )
     assert ok, f"{name} (session TZ {HOSTILE_TZ}): {msg}"
+
+
+def test_loader_warns_when_clobbering_caller_tz(spark, sf_dir, restore_tz):
+    """The UTC pin is session-global and survives past the engine query
+    (calendar rendering happens at action time, so it must). ADVICE r8:
+    the override must therefore be LOUD when it clobbers a TZ the caller
+    chose deliberately, and silent when the session is already on UTC."""
+    import warnings as w
+
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", HOSTILE_TZ)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        load_table(spark, sf_dir, "orders")
+    msgs = [str(c.message) for c in caught if "timeZone" in str(c.message)]
+    assert msgs and HOSTILE_TZ in msgs[0], msgs
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # already-UTC session: no warning
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        load_table(spark, sf_dir, "orders")
+    assert not [c for c in caught if "timeZone" in str(c.message)], caught
 
 
 def test_tz_hazard_is_real_without_the_loader(spark, sf_dir, restore_tz):

@@ -92,7 +92,11 @@ def unicode_duck(unicode_sf_dir):
 @pytest.mark.parametrize("name", DOC_ORACLED)
 def test_unicode_oracle_parity(spark, unicode_sf_dir, unicode_duck, name):
     q = registry.REGISTRY[name]
-    ok, msg = compare(q.build(spark, unicode_sf_dir), unicode_duck.sql(q.oracle))
+    ok, msg = compare(
+        q.build(spark, unicode_sf_dir),
+        unicode_duck.sql(q.oracle),
+        exact_cols=q.exact_float_cols,
+    )
     assert ok, f"{name} (unicode-injected corpus): {msg}"
 
 
