@@ -76,7 +76,17 @@ Round-9 bench additions (VERDICT r8 item 4): streaming_upsert_bucketed_
 snapshot and streaming_scd2_bucketed_snapshot — the n_buckets=16 sink
 variants (the actual 100 TB write path) under bucket-grouped key-sparse
 replays, so BENCH carries bucketed fold_sec beside the full-rewrite
-twins' — 23 benched queries total.
+twins' — 23 benched queries total.  Expected shape of those numbers AT
+THIS SF: the bucketed fold_sec is HIGHER than the swap twin's (round-9
+local: scd2 6.6s vs 4.6s, upsert 5.8s vs 4.3s) because the sf0.1
+standing table is batch-sized, so per-bucket directory listing/commit
+overhead dominates while the pruning saves almost nothing.  The
+crossover the variant exists for is standing >> batch: the swap fold
+rewrites the WHOLE standing table every trigger (cost grows with table
+size, unbounded), the bucketed fold's IO is touched/n_buckets of it
+(bounded by the batch's key spread — plan-gated in
+tests/test_streaming.py).  Track the bucketed number for regressions in
+the constant factor, not as a race against the swap twin.
 
 Schema additions (round 6):
 * "groups" — per-family subtotals (relational / dedup / ann / text /

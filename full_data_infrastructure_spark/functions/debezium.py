@@ -286,6 +286,7 @@ def _streaming_upsert_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> Dat
     )
     from full_data_infrastructure_spark.streaming.sinks import (
         _key_bucket,
+        read_bucketed_snapshot,
         start_upsert_sink,
     )
 
@@ -324,6 +325,10 @@ def _streaming_upsert_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> Dat
     )
     q.awaitTermination()
     record_fold_cost("streaming_upsert_bucketed_snapshot", q)
-    return spark.read.parquet(os.path.join(work, "snapshot")).select(
-        "user_id", "ts_s", "event_type", "value"
-    )
+    # An all-empty replay never creates a bucket directory; read the
+    # snapshot total-on-empty with the data schema the sink stores
+    # (the changelog minus the op flag and the order column).
+    snap_schema = changes.drop("op", "event_id", "replay_offset").schema
+    return read_bucketed_snapshot(
+        spark, os.path.join(work, "snapshot"), snap_schema
+    ).select("user_id", "ts_s", "event_type", "value")

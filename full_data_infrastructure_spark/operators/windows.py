@@ -1256,6 +1256,7 @@ def _streaming_scd2_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataF
     )
     from full_data_infrastructure_spark.streaming.sinks import (
         _key_bucket,
+        read_bucketed_snapshot,
         start_scd2_sink,
     )
 
@@ -1285,7 +1286,12 @@ def _streaming_scd2_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataF
     )
     q.awaitTermination()
     record_fold_cost("streaming_scd2_bucketed_snapshot", q)
-    return scd2_finalize(spark.read.parquet(os.path.join(work, "versions")))
+    # An all-empty replay never creates a bucket directory; read the
+    # snapshot total-on-empty with the version schema the fold writes.
+    ver_schema = scd2_versions(events.limit(0)).schema
+    return scd2_finalize(
+        read_bucketed_snapshot(spark, os.path.join(work, "versions"), ver_schema)
+    )
 
 
 @register(

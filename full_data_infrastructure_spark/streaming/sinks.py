@@ -103,6 +103,22 @@ def _bucketed_snapshot_nonempty(path: str) -> bool:
     return any(entry.startswith("bucket=") for entry in os.listdir(path))
 
 
+def read_bucketed_snapshot(spark, path: str, schema, fmt: str = "parquet") -> DataFrame:
+    """Consumer-side read of a bucketed snapshot table that is TOTAL on
+    the empty cases a live pipeline produces: a stream that has not yet
+    received a non-empty batch never creates any ``bucket=`` directory
+    (``_swap_touched_buckets`` swaps only touched buckets), and a batch
+    that deletes every key removes them all — either way the table root
+    holds no parquet footers and a bare ``spark.read`` dies on schema
+    inference (caught by the empty-corpus totality sweep, round 9).
+    ``schema`` is the DATA schema (without the ``bucket`` partition
+    column); an empty or absent table reads as an empty DataFrame of
+    exactly that schema, so downstream plans stay schema-stable."""
+    if not _bucketed_snapshot_nonempty(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.format(fmt).load(path).drop("bucket")
+
+
 def _read_touched_buckets(spark, path: str, fmt: str, touched) -> DataFrame:
     """Standing-table read for a bucketed snapshot, pruned to the touched
     bucket partitions: ``bucket`` is a partition DIRECTORY column, so the

@@ -469,7 +469,22 @@ def test_inactivity_sessions_close_on_timeout(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # availableNow + processing-time timeouts keeps scheduling
+        # timeout-check batches and does not self-terminate promptly
+        # (both runs used to burn a full 120 s await — the suite's single
+        # slowest test at 4 minutes). The data batches are committed once
+        # progress has a completed trigger and the source reports no
+        # files remaining; poll for that and stop explicitly — the
+        # checkpoint makes any in-flight batch replay-safe.
+        for _ in range(600):  # up to 60 s — generous for one tiny file
+            if q.awaitTermination(0.1):
+                return  # self-terminated after all
+            if any(
+                p.get("numInputRows", 0) > 0 for p in (q.recentProgress or [])
+            ):
+                break
+        q.stop()
+        q.awaitTermination(60)
 
     run_once()  # ingest users 0-2; sessions stay open (no output yet)
     time.sleep(1.5)  # exceed the processing-time timeout
