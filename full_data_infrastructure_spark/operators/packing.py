@@ -140,8 +140,10 @@ def _mixture_weights_sql() -> str:
     t AS (SELECT MIN(n_l / wt) AS t_max FROM n),
     rates AS (
         SELECT n.lang,
-               CAST(FLOOR(LEAST(n.wt * t.t_max / n.n_l, 1.0) * 256)
-                    AS BIGINT) AS k
+               GREATEST(
+                   CAST(FLOOR(LEAST(n.wt * t.t_max / n.n_l, 1.0) * 256)
+                        AS BIGINT),
+                   1) AS k
         FROM n CROSS JOIN t
     )
     SELECT d.doc_id, d.lang, d.source
@@ -155,7 +157,11 @@ def _mixture_weights_sql() -> str:
     "(en .50 / zh .20 / es .15 / fr .10 / de .05) at the largest feasible "
     "total T = min(n_l / w_l). The 5-row rate table broadcasts; the keep "
     "predicate is scan-local — the corpus never shuffles and retries "
-    "agree. Rate granularity is 1/256 (the 2-hex-char bucket).",
+    "agree. Rate granularity is 1/256 (the 2-hex-char bucket); the rate "
+    "clamps to at least one bucket (GREATEST(k,1), the ADVICE r8 class "
+    "fixed in mixture_sqrt_temperature) so a weighted language whose "
+    "fair share floors below 1/256 under extreme count-vs-weight skew "
+    "is still sampled, never silently dropped.",
     tags=("llm", "curation", "sampling", "packing"),
 )
 def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,19 +189,25 @@ def mixture_keep(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # .agg() consumer makes Catalyst re-scan the corpus for the same
     # aggregate — measured as a duplicate scan subtree in the plan).
     t_w = Window.partitionBy(F.lit(1))
+    # GREATEST(k, 1): a weighted language whose fair share floors below
+    # one 1/256 bucket (extreme count-vs-weight skew) keeps the single
+    # bucket instead of vanishing — same ADVICE r8 class as
+    # mixture_sqrt_temperature's clamp. Never dropping a weighted
+    # language outranks hitting the target share exactly in that regime.
     rates = n.select(
         "lang",
-        F.floor(
-            F.least(
-                F.col("wt")
-                * F.min(F.col("n_l") / F.col("wt")).over(t_w)
-                / F.col("n_l"),
-                F.lit(1.0),
-            )
-            * 256
-        )
-        .cast("bigint")
-        .alias("k"),
+        F.greatest(
+            F.floor(
+                F.least(
+                    F.col("wt")
+                    * F.min(F.col("n_l") / F.col("wt")).over(t_w)
+                    / F.col("n_l"),
+                    F.lit(1.0),
+                )
+                * 256
+            ).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("k"),
     )
     return (
         docs.join(F.broadcast(rates), "lang")
@@ -473,8 +485,10 @@ def _corpus_pipeline_oracle() -> str:
     t AS (SELECT MIN(n_l / wt) AS t_max FROM n),
     rates AS (
         SELECT n.lang,
-               CAST(FLOOR(LEAST(n.wt * t.t_max / n.n_l, 1.0) * 256)
-                    AS BIGINT) AS k
+               GREATEST(
+                   CAST(FLOOR(LEAST(n.wt * t.t_max / n.n_l, 1.0) * 256)
+                        AS BIGINT),
+                   1) AS k
         FROM n CROSS JOIN t
     ),
     sampled AS (
@@ -768,8 +782,10 @@ def _corpus_pipeline_full_oracle() -> str:
     t AS (SELECT MIN(n_l / wt) AS t_max FROM n),
     rates AS (
         SELECT n.lang,
-               CAST(FLOOR(LEAST(n.wt * t.t_max / n.n_l, 1.0) * 256)
-                    AS BIGINT) AS k
+               GREATEST(
+                   CAST(FLOOR(LEAST(n.wt * t.t_max / n.n_l, 1.0) * 256)
+                        AS BIGINT),
+                   1) AS k
         FROM n CROSS JOIN t
     ),
     sampled AS (

@@ -101,19 +101,24 @@ _LOADED = False
 # registrations (streaming_scd2_bucketed_snapshot,
 # streaming_upsert_bucketed_snapshot — the n_buckets sink twins,
 # VERDICT r8 item 4, within the r6 growth freeze) are never-attested
-# AND bench=True, so they lead the fill.
-# mixture_sqrt_temperature is FORCE_REFRESHed: its keep-rate clamp
-# (GREATEST(k,1)) and NULL-lang sentinel routing changed builder and
-# oracle after its r8 row (ADVICE r8 items 1 and 3).  The remaining
-# slots drain the stalest tail: the four r4-boundary queries
-# (proportional_sample, scalar_count, select_prune_cast,
-# unpivot_lineitem) lead it, then the r5-attested set.  The staleness
-# SLA (tests/test_registry_order.py::test_staleness_sla) holds with
-# every registered query either windowed or green within the last 3
-# rounds.)
+# AND bench=True, so they lead the fill.  Four queries are
+# FORCE_REFRESHed (rotation.py): mixture_sqrt_temperature's keep-rate
+# clamp (GREATEST(k,1)) and NULL-lang sentinel routing changed builder
+# and oracle after its r8 row (ADVICE r8 items 1 and 3), and the same
+# clamp then landed in the weighted mixture_keep and the three oracles
+# inlining its rate expression, so mixture_sample, corpus_pipeline and
+# corpus_pipeline_full re-attest too.  The remaining slots drain the
+# stalest tail: the four r4-boundary queries (proportional_sample,
+# scalar_count, select_prune_cast, unpivot_lineitem) lead it, then the
+# r5-attested set.  The staleness SLA
+# (tests/test_registry_order.py::test_staleness_sla) holds with every
+# registered query either windowed or green within the last 3 rounds.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
+    "corpus_pipeline",
+    "corpus_pipeline_full",
+    "mixture_sample",
     "mixture_sqrt_temperature",
     "streaming_scd2_bucketed_snapshot",
     "streaming_upsert_bucketed_snapshot",
@@ -125,7 +130,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_pair_counts",
     "case_flag_arithmetic",
     "compact_small_files",
-    "corpus_pipeline_full",
     "ema_by_user",
     "heavy_hitters_tokens",
     "json_extract",
@@ -136,10 +140,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ntile_price_quartiles",
     "pii_redact",
     "runtime_filtered_join",
-    "stratified_sample",
     "streaming_rollup_snapshot",
     "streaming_sessionize_snapshot",
-    "threshold_validation",
     "asof_join",
     "corpus_pipeline_full_lsh",
     "corpus_pipeline_lsh",

@@ -81,8 +81,20 @@ EVIDENCE_STALE_AFTER = 2
 # set resets to empty; mixture_sqrt_temperature is re-forced because its
 # keep-rate clamp (GREATEST(k, 1), ADVICE r8 item 1) and NULL-lang
 # sentinel routing (ADVICE r8 item 3) changed builder AND oracle after
-# its r8 green row.
-FORCE_REFRESH: frozenset[str] = frozenset({"mixture_sqrt_temperature"})
+# its r8 green row.  The same clamp was then applied to the weighted
+# variant (mixture_keep) and the three oracles that inline its rate
+# expression, so mixture_sample, corpus_pipeline and corpus_pipeline_full
+# are forced too (results identical at every tested SF — the clamp only
+# engages past 256x count-vs-weight skew — but policy is: builder or
+# oracle changed since the last green row => re-attest).
+FORCE_REFRESH: frozenset[str] = frozenset(
+    {
+        "mixture_sqrt_temperature",
+        "mixture_sample",
+        "corpus_pipeline",
+        "corpus_pipeline_full",
+    }
+)
 
 # Queries registered AFTER the current round's attestation payload froze
 # (the VERDICT names the exact queries whose first driver rows are due this

@@ -1900,3 +1900,45 @@ def test_sqrt_temperature_clamp_and_null_lang(spark, tmp_path):
     ok, msg = compare(out, con.sql(q.oracle))
     con.close()
     assert ok, msg
+
+
+def test_mixture_sample_clamp_under_extreme_weight_skew(spark, tmp_path):
+    """Same ADVICE r8 class as the sqrt-temperature clamp, in the
+    weighted variant: when a weighted language's fair share w_l*T/n_l
+    floors below one 1/256 bucket (here en at rate 0.002 — the weights
+    say 50% but the corpus is 5000:1 en:de), the unclamped rate k=0
+    dropped the language ENTIRELY; GREATEST(k,1) keeps its single md5
+    bucket. Deterministic (md5), oracle-compared on the same corpus."""
+    import duckdb
+
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+    from full_data_infrastructure_spark.sources.parquet import table_path
+    from tests.oracle_check import compare
+
+    _ensure_loaded()
+    root = str(tmp_path)
+    spark.range(5001).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit("de")).otherwise(F.lit("en")).alias("lang"),
+        F.lit("synthetic").alias("source"),
+    ).write.parquet(table_path(root, "documents"))
+
+    q = REGISTRY["mixture_sample"]
+    out = q.build(spark, root)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # T = min(5000/0.5, 1/0.05) = 20; rate_de = 1 (kept whole), rate_en
+    # = 10/5000 = 0.002 -> unclamped k = 0 -> clamp keeps one bucket.
+    assert counts.get("de") == 1, counts
+    assert 1 <= counts.get("en", 0) <= 5000 * 2 / 256, counts
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{table_path(root, 'documents')}/*.parquet'"
+    )
+    ok, msg = compare(out, con.sql(q.oracle))
+    con.close()
+    assert ok, msg
