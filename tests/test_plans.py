@@ -798,3 +798,74 @@ def test_training_shards_prune_on_read(spark, sf_dir, tmp_path):
 
     expected = docs.filter(shard_column(F.col("doc_id"), 16) == 3).count()
     assert expected > 0 and read.count() == expected
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """session.py claims AQE partition coalescing (the knob that lets a
+    cluster over-provision spark.sql.shuffle.partitions and let runtime
+    shrink it); prove it ENGAGES like the skew-join proof: a tiny
+    aggregate shuffled across 200 static partitions must finalize with
+    an AQEShuffleRead(coalesced) node — not 200 near-empty reducers."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        df = (
+            spark.range(10_000)
+            .groupBy((F.col("id") % 50).alias("k"))
+            .count()
+        )
+        assert len(df.collect()) == 50
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "coalesced" in plan, f"AQE did not coalesce:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_aqe_switches_smj_to_broadcast_at_runtime(spark):
+    """session.py claims AQE dynamic join-strategy switching; prove it
+    ENGAGES: with the STATIC broadcast threshold off (the planner books
+    a sort-merge join) but the ADAPTIVE threshold on, a join whose build
+    side turns out tiny at runtime must finalize as a BroadcastHashJoin
+    — the re-plan that saves a 100 TB fact shuffle when a filtered
+    dimension's true size only becomes known after its stage runs."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+        left = spark.range(200_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("a")
+        )
+        right = (
+            spark.range(200_000)
+            .select((F.col("id") % 1000).alias("k"))
+            .filter(F.col("k") < 10)
+            .distinct()
+        )
+        j = left.join(right, "k")
+        # collect() (not count()) so the inspected queryExecution is the
+        # one that actually ran — count() compiles a separate plan.
+        assert len(j.collect()) == 2000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan, (
+            f"AQE did not switch SMJ->broadcast:\n{plan}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
