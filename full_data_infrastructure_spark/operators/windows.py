@@ -1268,10 +1268,20 @@ def _streaming_scd2_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataF
         "replay_offset",
         # Bucket-major, time-minor: all of a bucket's changes replay
         # together in event-time order, so per-user at-or-after holds
-        # while each micro-batch stays bucket-sparse.  2^44 microseconds
-        # ≈ 557 years clears any sf timestamp.
+        # while each micro-batch stays bucket-sparse.  The multiplier
+        # must exceed the corpus's unix_micros SPAN or bucket bands
+        # interleave and the replay silently degrades to near time-major
+        # (batches touch all 16 buckets; results stay correct but the
+        # pruned-IO bench claim vanishes).  2^54 microseconds ≈ 571
+        # years clears any epoch-boundary corpus (ADVICE r9: the old
+        # 2^44 µs was ~204 days, not the claimed 557 years — 557 years
+        # is 2^44 MILLIseconds — so the ~75-year boundary sweep
+        # interleaved).  15 * 2^54 + unix_micros(9999-12-31) ≈ 2.7e17,
+        # well inside int64.  Bucket-band separation is pinned on a
+        # 75-year-span corpus by
+        # tests/test_streaming.py::test_bucket_major_offset_survives_wide_ts_span.
         _key_bucket(F.col("user_id"), n_buckets).cast("bigint")
-        * F.lit(1 << 44).cast("bigint")
+        * F.lit(1 << 54).cast("bigint")
         + F.unix_micros("ts"),
     )
     work, stream = replay_stream(

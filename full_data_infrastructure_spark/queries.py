@@ -96,74 +96,72 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 9 note: zero bench pins among the standing 21 — all hold r8
-# green rows — and tag repair forces nothing.  The two round-9
-# registrations (streaming_scd2_bucketed_snapshot,
-# streaming_upsert_bucketed_snapshot — the n_buckets sink twins,
-# VERDICT r8 item 4, within the r6 growth freeze) are never-attested
-# AND bench=True, so they lead the fill.  Four queries are
-# FORCE_REFRESHed (rotation.py): mixture_sqrt_temperature's keep-rate
-# clamp (GREATEST(k,1)) and NULL-lang sentinel routing changed builder
-# and oracle after its r8 row (ADVICE r8 items 1 and 3), and the same
-# clamp then landed in the weighted mixture_keep and the three oracles
-# inlining its rate expression, so mixture_sample, corpus_pipeline and
-# corpus_pipeline_full re-attest too.  The remaining slots drain the
-# stalest tail: the four r4-boundary queries (proportional_sample,
-# scalar_count, select_prune_cast, unpivot_lineitem) lead it, then the
-# r5-attested set.  The staleness SLA
+# (Round 10 note: the round-9 FORCE_REFRESH family (mixture clamp)
+# landed green r9 rows and cleared; the two bucketed sink twins are
+# re-forced because their builders changed after their r9 rows — the
+# SCD2 replay-offset multiplier moved 2^44 -> 2^54 µs and both twins'
+# final read now applies the declared schema (ADVICE r9 items 1 and 3;
+# results identical at every tested SF, but policy is builder-changed
+# => re-attest).  Both twins are also bench=True with now-stale-by-force
+# evidence, so they lead the fill.  The remaining slots drain the
+# r5-evidence tail the r9 VERDICT named (threshold_validation,
+# stratified_sample, train_val_test_split, zorder_key_lineitem,
+# validation_schema_check, the five
+# streaming_{dedup,ema,funnel,sliding,tumbling}_snapshot queries), then
+# the r6-attested set.  The staleness SLA
 # (tests/test_registry_order.py::test_staleness_sla) holds with every
 # registered query either windowed or green within the last 3 rounds.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "corpus_pipeline",
-    "corpus_pipeline_full",
-    "mixture_sample",
-    "mixture_sqrt_temperature",
     "streaming_scd2_bucketed_snapshot",
     "streaming_upsert_bucketed_snapshot",
-    "proportional_sample",
-    "scalar_count",
-    "select_prune_cast",
-    "unpivot_lineitem",
-    "anti_join",
-    "bpe_pair_counts",
-    "case_flag_arithmetic",
-    "compact_small_files",
-    "ema_by_user",
-    "heavy_hitters_tokens",
-    "json_extract",
-    "k_anonymity_violations",
-    "multimodal_join",
-    "multimodal_resize",
-    "not_exists_subquery",
-    "ntile_price_quartiles",
-    "pii_redact",
-    "runtime_filtered_join",
-    "streaming_rollup_snapshot",
-    "streaming_sessionize_snapshot",
-    "asof_join",
-    "corpus_pipeline_full_lsh",
-    "corpus_pipeline_lsh",
-    "decontaminate_overlap",
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "dedup_survivors_lsh",
-    "distinct_projection",
-    "enrichment_distance",
-    "generator_activities",
-    "join_dim_snowflake",
-    "knn_bruteforce",
-    "knn_ivfpq",
-    "multi_aggregate",
-    "paragraph_dedup",
-    "quality_classifier",
-    "range_join",
-    "set_union_except_intersect",
-    "streaming_upsert_snapshot",
-    "text_stats",
-    "topk_group_count",
-    "window_moving_avg",
+    "stratified_sample",
+    "streaming_dedup_snapshot",
+    "streaming_ema_snapshot",
+    "streaming_funnel_snapshot",
+    "streaming_sliding_snapshot",
+    "streaming_tumbling_snapshot",
+    "threshold_validation",
+    "train_val_test_split",
+    "validation_schema_check",
+    "zorder_key_lineitem",
+    "bpe_learn",
+    "bpe_tokenize_counts",
+    "conversation_assembly",
+    "date_format_concat",
+    "debezium_roundtrip",
+    "domain_cap_sample",
+    "embedding_kmeans",
+    "embedding_pca_project",
+    "event_cooccurrence_lift",
+    "gapfill_locf",
+    "hard_negative_mining",
+    "jsonl_documents_roundtrip",
+    "jsonl_quarantine_ingest",
+    "knn_pq",
+    "masked_projection",
+    "membership_validation",
+    "multimodal_frame_sample",
+    "pivot_event_counts",
+    "profile_columns",
+    "scalar_subquery_filter",
+    "scd2_history",
+    "scd2_incremental",
+    "sessionize_batch",
+    "snapshot_diff",
+    "token_budget_sample",
+    "triangle_count_parts",
+    "activity_heatmap",
+    "benford_first_digit",
+    "corpus_datacard",
+    "correlation_matrix",
+    "cosine_threshold_histogram",
+    "count_distinct",
+    "cte_self_join",
+    "cube_counts",
+    "streaming_scd2_snapshot",
+    "tpch_q5_region_volume",
 )
 
 

@@ -76,23 +76,21 @@ EVIDENCE_STALE_AFTER = 2
 # once the refreshed row lands.  (Round 6: profile_columns and
 # event_cooccurrence_lift changed per ADVICE r5, but both are never-attested
 # anyway, so nothing to force.)
-# Round 9: the round-8 forces (trend_by_event_type DECIMAL widening,
-# pagerank_parts integer quantization) both landed green r8 rows, so the
-# set resets to empty; mixture_sqrt_temperature is re-forced because its
-# keep-rate clamp (GREATEST(k, 1), ADVICE r8 item 1) and NULL-lang
-# sentinel routing (ADVICE r8 item 3) changed builder AND oracle after
-# its r8 green row.  The same clamp was then applied to the weighted
-# variant (mixture_keep) and the three oracles that inline its rate
-# expression, so mixture_sample, corpus_pipeline and corpus_pipeline_full
-# are forced too (results identical at every tested SF — the clamp only
-# engages past 256x count-vs-weight skew — but policy is: builder or
-# oracle changed since the last green row => re-attest).
+# Round 10: the round-9 forces (mixture_sqrt_temperature clamp family)
+# all landed green r9 rows, so they clear; the two bucketed sink twins
+# are forced because their builders changed after their r9 green rows —
+# the SCD2 twin's replay-offset multiplier moved 2^44 -> 2^54 µs (ADVICE
+# r9 item 1: 2^44 µs is ~204 days, not 557 years, so wide-span corpora
+# interleaved the bucket bands), and BOTH twins read their final
+# snapshot through read_bucketed_snapshot, whose non-empty path now
+# applies the declared schema instead of footer inference (ADVICE r9
+# item 3).  Results are identical at every tested SF — the offset only
+# reorders the replay and the schema was never drifting — but policy is:
+# builder or oracle changed since the last green row => re-attest.
 FORCE_REFRESH: frozenset[str] = frozenset(
     {
-        "mixture_sqrt_temperature",
-        "mixture_sample",
-        "corpus_pipeline",
-        "corpus_pipeline_full",
+        "streaming_scd2_bucketed_snapshot",
+        "streaming_upsert_bucketed_snapshot",
     }
 )
 

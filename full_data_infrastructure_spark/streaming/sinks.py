@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 Notifier = Callable[[dict], None]
@@ -113,10 +114,21 @@ def read_bucketed_snapshot(spark, path: str, schema, fmt: str = "parquet") -> Da
     inference (caught by the empty-corpus totality sweep, round 9).
     ``schema`` is the DATA schema (without the ``bucket`` partition
     column); an empty or absent table reads as an empty DataFrame of
-    exactly that schema, so downstream plans stay schema-stable."""
+    exactly that schema, so downstream plans stay schema-stable.  The
+    NON-empty path reads with the same declared schema (plus the
+    ``bucket`` partition column) instead of inferring from parquet
+    footers — otherwise the two branches could return differently
+    typed/nullable frames if the stored files ever drift from the
+    declared schema, breaking the schema-stability contract above
+    (ADVICE r9)."""
     if not _bucketed_snapshot_nonempty(path):
         return spark.createDataFrame([], schema)
-    return spark.read.format(fmt).load(path).drop("bucket")
+    schema_plus_bucket = T.StructType(
+        list(schema.fields) + [T.StructField("bucket", T.IntegerType())]
+    )
+    return (
+        spark.read.format(fmt).schema(schema_plus_bucket).load(path).drop("bucket")
+    )
 
 
 def _read_touched_buckets(spark, path: str, fmt: str, touched) -> DataFrame:

@@ -118,3 +118,39 @@ def test_bit_identity_queries_declare_exact_cols():
     )
     assert registry.REGISTRY["winsorize_values"].exact_float_cols == ("winsorized",)
     assert registry.REGISTRY["pagerank_parts"].exact_float_cols == ("pagerank",)
+
+
+def test_exact_cols_are_case_consistent(spark):
+    """ADVICE r9 claimed compare() lowercases exact_cols but not the
+    result columns, so an uppercase result column could never be declared
+    exact. The code is actually case-consistent — result columns are
+    lowercased (oracle_check.py compare, the ``spark_pdf.columns =``
+    assignment) BEFORE the exact-membership sets are built — but nothing
+    pinned it. Pin all three behaviours: an uppercase result column CAN
+    be declared exact under any declaration casing, the exactness has
+    teeth there (last-ulp rejection), and a genuinely absent column still
+    fail-louds."""
+    import duckdb
+
+    con = duckdb.connect()
+    sdf = spark.createDataFrame([(1, 0.1 + 0.2)], ["id", "SumQty"])
+    for declared in ("SumQty", "sumqty", "SUMQTY"):
+        ok, msg = compare(
+            sdf,
+            con.sql('SELECT 1 AS id, CAST(0.1 AS DOUBLE)+CAST(0.2 AS DOUBLE) AS "SumQty"'),
+            exact_cols=(declared,),
+        )
+        assert ok, (declared, msg)
+        ok, msg = compare(
+            sdf,
+            con.sql('SELECT 1 AS id, CAST(0.3 AS DOUBLE) AS "SumQty"'),
+            exact_cols=(declared,),
+        )
+        assert not ok and "sumqty" in msg, (declared, msg)
+    ok, msg = compare(
+        sdf,
+        con.sql('SELECT 1 AS id, CAST(0.1 AS DOUBLE)+CAST(0.2 AS DOUBLE) AS "SumQty"'),
+        exact_cols=("SumQty_typo",),
+    )
+    assert not ok and "absent" in msg, msg
+    con.close()

@@ -1591,3 +1591,136 @@ def test_bucket_grouped_replay_batches_are_key_sparse(spark, sf_dir, tmp_path):
     # far below the all-16 a time-ordered replay hits.
     assert max_touched <= 4, max_touched
     assert len(seen_keys) > 0
+
+
+def test_read_bucketed_snapshot_non_empty_uses_declared_schema(spark, tmp_path):
+    """read_bucketed_snapshot's schema-stability contract must hold on the
+    NON-empty branch too (ADVICE r9): the read passes the declared data
+    schema instead of inferring from parquet footers, so stored files that
+    drifted from the declared types (here: value written as INT, declared
+    BIGINT) still come back exactly as declared — byte-identical to what
+    the empty branch returns — and downstream plans never fork on table
+    emptiness."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from full_data_infrastructure_spark.streaming.sinks import (
+        _key_bucket,
+        read_bucketed_snapshot,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    rows = spark.range(1, 17).select(
+        F.col("id"), (F.col("id") * 2).cast("int").alias("value")
+    )
+    rows.withColumn("bucket", _key_bucket(F.col("id"), 4)).write.partitionBy(
+        "bucket"
+    ).parquet(snap)
+
+    declared = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("value", T.LongType())]
+    )
+    nonempty = read_bucketed_snapshot(spark, snap, declared)
+    empty = read_bucketed_snapshot(spark, str(tmp_path / "absent"), declared)
+    assert nonempty.schema == empty.schema, (
+        nonempty.schema.simpleString(),
+        empty.schema.simpleString(),
+    )
+    # the drifted INT files surface as the declared BIGINT, values intact
+    assert dict(nonempty.dtypes)["value"] == "bigint"
+    assert sorted(r["value"] for r in nonempty.collect()) == [
+        2 * i for i in range(1, 17)
+    ]
+    assert "bucket" not in nonempty.columns
+    assert os.path.isdir(snap)
+
+
+def test_bucket_major_offset_survives_wide_ts_span(spark, tmp_path):
+    """The bucketed SCD2 twin's pruned-IO bench claim rests on bucket-MAJOR
+    replay ordering: bucket b's offset band [b*M, b*M + span) must not
+    overlap bucket b+1's, which requires the multiplier M to exceed the
+    corpus's unix_micros SPAN.  ADVICE r9: the old M = 2^44 µs is ~204
+    days (the '557 years' comment confused µs with ms), so any corpus
+    spanning more — the ~75-year epoch-boundary sweep included — silently
+    interleaved the bands and the replay degraded to near time-major.
+    Pin the fixed M = 2^54 µs (~571 years) on a 75-year pre/post-epoch
+    corpus: bands must separate, per-file bucket contact must stay
+    sparse, and the OLD multiplier must demonstrably fail the same
+    corpus (the tripwire is real, not vacuous)."""
+    import os
+
+    from full_data_infrastructure_spark.streaming.replay import ordered_file_split
+    from full_data_infrastructure_spark.streaming.sinks import _key_bucket
+
+    n_buckets, n_files = 16, 8
+    # 4k users, timestamps uniform over 1950-01-01 .. 2025-01-01 (~75 y,
+    # crossing the epoch: unix_micros is negative for the first ~27%).
+    lo_us, hi_us = -631_152_000_000_000, 1_735_689_600_000_000
+    step = (hi_us - lo_us) // 4096
+    corpus = spark.range(0, 4096).select(
+        (F.col("id") % 512).alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(lo_us) + F.col("id") * F.lit(step)).cast("bigint")
+        ).alias("ts"),
+    )
+
+    def offsets(mult: int):
+        return corpus.select(
+            _key_bucket(F.col("user_id"), n_buckets).cast("bigint").alias("b"),
+            (
+                _key_bucket(F.col("user_id"), n_buckets).cast("bigint")
+                * F.lit(mult).cast("bigint")
+                + F.unix_micros("ts")
+            ).alias("replay_offset"),
+        )
+
+    def bands(mult: int) -> list[tuple[int, int, int]]:
+        return sorted(
+            (r["b"], r["lo"], r["hi"])
+            for r in offsets(mult)
+            .groupBy("b")
+            .agg(F.min("replay_offset").alias("lo"), F.max("replay_offset").alias("hi"))
+            .collect()
+        )
+
+    good = bands(1 << 54)
+    assert len(good) == n_buckets
+    for (b0, _, hi0), (b1, lo1, _) in zip(good, good[1:]):
+        assert hi0 < lo1, f"bucket bands overlap with 2^54: {b0}..{b1}"
+
+    # The old multiplier interleaves on this span — at least one adjacent
+    # pair of bands must overlap, or this test pins nothing.
+    bad = bands(1 << 44)
+    assert any(hi0 >= lo1 for (_, _, hi0), (_, lo1, _) in zip(bad, bad[1:])), (
+        "2^44 unexpectedly separates a 75-year corpus"
+    )
+
+    # End-to-end: the range split stays bucket-sparse per file.
+    df = corpus.select(
+        "user_id",
+        (
+            _key_bucket(F.col("user_id"), n_buckets).cast("bigint")
+            * F.lit(1 << 54).cast("bigint")
+            + F.unix_micros("ts")
+        ).alias("replay_offset"),
+    )
+    dest = str(tmp_path / "split")
+    ordered_file_split(df, "replay_offset", n_files, dest)
+    parts = sorted(f for f in os.listdir(dest) if f.startswith("part-"))
+    assert len(parts) == n_files
+    max_touched = 0
+    for fname in parts:
+        pdf = spark.read.parquet(os.path.join(dest, fname))
+        # integral div, not float division: offsets reach ~2.7e17, past
+        # double's 2^53 exact-integer range, so float division could
+        # misround a band-edge offset into the neighbouring bucket.
+        nb = (
+            pdf.select(
+                F.expr(f"replay_offset div {1 << 54}").alias("b")
+            )
+            .distinct()
+            .count()
+        )
+        max_touched = max(max_touched, nb)
+    assert max_touched <= 4, max_touched
