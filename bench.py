@@ -65,6 +65,18 @@ microbench regressions it recorded (topk_group_count +65 ms,
 multi_aggregate +53 ms) have a recorded contention explanation;
 re-measure only if they regress again on an idle host.
 
+Round-10 drift adjudication (VERDICT r9 item 3): knn_ivfpq +32%
+(r8 1.596s -> r9 2.103s best, above its historical max 1.885s) with
+similarity.py untouched. Re-measured with the established protocol,
+idle-host best-of-5 at HEAD (load_avg 2.3): best 1.581s / median
+1.621s — at-or-below the r8 number, no worktree diff needed (the plan
+never changed and HEAD already brackets the fast end). Verdict:
+variance; the r9 recording run's 1-minute load snapshot (3.9) evidently
+missed a contended stretch during this query's three runs. Ledger watch
+from r9 (quality_classifier, knn_bruteforce, streaming_upsert_snapshot
+at the tops of their bands) re-enters item-3 protocol only if any
+exceeds its band again at lower load.
+
 Round-7 bench additions (VERDICT r6 item 5): tpch_q5_region_volume (the
 canonical join-order benchmark), pagerank_parts (the only
 iterative-shuffle entry), streaming_scd2_snapshot (the heaviest new
@@ -86,7 +98,13 @@ rewrites the WHOLE standing table every trigger (cost grows with table
 size, unbounded), the bucketed fold's IO is touched/n_buckets of it
 (bounded by the batch's key spread — plan-gated in
 tests/test_streaming.py).  Track the bucketed number for regressions in
-the constant factor, not as a race against the swap twin.
+the constant factor, not as a race against the swap twin.  Round 10
+MEASURED the crossover in its winning regime (`python
+scale_rehearsal.py --sinks`, SCALE.md round-10 section): at a 316 MB /
+3158:1 standing:batch upsert table the bucketed fold is 1.662s vs the
+swap's 2.312s, scd2 2.454s vs 3.753s, and 4x table growth adds ~5-8x
+more to the swap folds than the bucketed ones — the swap side scales
+O(table), the bucketed side O(touched/n_buckets).
 
 Schema additions (round 6):
 * "groups" — per-family subtotals (relational / dedup / ann / text /

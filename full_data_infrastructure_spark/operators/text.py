@@ -850,7 +850,10 @@ def bpe_learn_merges(
     "bpe_learn",
     None,  # the merge loop is iterative (not SQL-expressible); rank-0
     # equality with the oracle-checked bpe_pair_counts argmax, greedy
-    # monotonicity, and partitioning-invariance are pytest-asserted
+    # monotonicity, and partitioning-invariance are pytest-asserted, and
+    # the full ranked merge list equals an independent pure-Python
+    # Sennrich mirror on arbitrary hypothesis corpora (test_properties.py
+    # ::test_bpe_learn_and_apply_match_pure_python_mirror)
     doc="BPE tokenizer TRAINING: the greedy merge loop over corpus word "
     "frequencies, 8 ranked merge rules out. Spark reduces the corpus to "
     "its word-count list (the same single token-keyed aggregate "
@@ -929,7 +932,9 @@ def bpe_apply_counts(docs: DataFrame, merges) -> DataFrame:
     "bpe_tokenize_counts",
     None,  # merges are learned at run time (data-dependent), so no static
     # SQL oracle; parity with an independent fixpoint reference encoder is
-    # pytest-asserted in tests/test_operators.py::TestBpeLearn
+    # pytest-asserted in tests/test_operators.py::TestBpeLearn and, on
+    # arbitrary hypothesis corpora with the train loop mirrored too, in
+    # test_properties.py::test_bpe_learn_and_apply_match_pure_python_mirror
     doc="Tokenizer APPLICATION closing the train->apply loop: per-document "
     "token counts under the 8 merges bpe_learn produced — the count a "
     "packing/budgeting stage should use once a real tokenizer exists, "

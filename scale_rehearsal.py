@@ -108,6 +108,213 @@ def inflate(spark, src_dir: str, dest_dir: str, k: int) -> dict[str, int]:
     return rows
 
 
+def sink_crossover(spark, src_dir: str, k: int) -> dict:
+    """Measure the bucketed sinks' crossover in their WINNING regime
+    (VERDICT r9 item 2): standing table >> batch.
+
+    The per-round bench folds an entire sf0.1 change stream from empty,
+    so standing ~= batch and the bucketed twins' bucket bookkeeping is
+    pure overhead (documented in bench.py).  The operator's actual 100 TB
+    claim — per-batch IO = touched/n_buckets of the TABLE
+    (streaming/sinks.py) — only bites when the standing table dwarfs the
+    batch, the nightly-CDC shape.  Build a K-copy standing table (K=100
+    by default: ~600k upsert keys carrying an incompressible ~512 B
+    payload so the table is big in BYTES, not just rows — parquet
+    dictionary-compresses the synthetic events columns to ~10 B/row,
+    which would let fixed trigger overhead swamp the IO difference the
+    experiment exists to measure — plus ~32M SCD2 version rows), then
+    fold ONE key-sparse batch (every key in 2 of the 16 crc32 buckets,
+    ~190 keys) through the real streaming sinks in both modes and record
+    fold_sec (addBatch only) side by side.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from full_data_infrastructure_spark.operators.windows import scd2_versions
+    from full_data_infrastructure_spark.sources.parquet import load_table
+    from full_data_infrastructure_spark.streaming.replay import (
+        LAST_FOLD_SEC,
+        record_fold_cost,
+        replay_stream,
+    )
+    from full_data_infrastructure_spark.streaming.sinks import (
+        _key_bucket,
+        start_scd2_sink,
+        start_upsert_sink,
+    )
+
+    n_buckets, sparse_buckets = 16, (3, 11)
+    ev = load_table(spark, src_dir, "events")
+    # K perturbed copies via ONE crossJoin (a K-branch union's analysis
+    # cost grows with K; a broadcast range join doesn't).
+    big = (
+        ev.crossJoin(F.broadcast(spark.range(k).withColumnRenamed("id", "copy")))
+        .select(
+            (F.col("user_id") + F.col("copy") * F.lit(10**7)).alias("user_id"),
+            (F.col("event_id") + F.col("copy") * F.lit(10**9)).alias("event_id"),
+            "ts",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+
+    work_root = tempfile.mkdtemp(prefix="sink_crossover_")
+    out: dict = {"k": k, "n_buckets": n_buckets, "sparse_buckets": list(sparse_buckets)}
+
+    def du(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def fold_once(tag: str, standing_path: str, batch_df, order_col: str, start_fn):
+        ckpt = os.path.join(work_root, f"ckpt_{tag}")
+        t0 = time.monotonic()
+        work, stream = replay_stream(
+            spark, batch_df, order_col, prefix=f"xover_{tag}_", n_files=1
+        )
+        q = start_fn(stream, standing_path, ckpt)
+        q.awaitTermination()
+        record_fold_cost(f"xover_{tag}", q)
+        out.setdefault("fold_sec", {})[tag] = LAST_FOLD_SEC[f"xover_{tag}"]
+        out.setdefault("wall_sec", {})[tag] = round(time.monotonic() - t0, 1)
+        shutil.rmtree(work, ignore_errors=True)
+        print(
+            f"# {tag}: fold {out['fold_sec'][tag]}s "
+            f"(wall {out['wall_sec'][tag]}s)",
+            file=sys.stderr,
+        )
+
+    # ---- upsert pair: standing = latest row per key, fat payload ----
+    latest = (
+        big.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+            "value",
+            "props",
+            # ~512 B of per-row incompressible payload (4x sha2-512 hex):
+            # a real dimension row carries many attributes; without this
+            # the whole standing table dictionary-compresses to ~10 B/row
+            # and the rewrite-vs-pruned IO difference disappears into
+            # trigger overhead.
+            F.concat(
+                *(
+                    F.sha2(F.concat_ws("-", "user_id", F.lit(i)), 512)
+                    for i in range(4)
+                )
+            ).alias("payload"),
+        )
+    )
+    snap_swap = os.path.join(work_root, "upsert_swap")
+    snap_bkt = os.path.join(work_root, "upsert_bucketed")
+    latest.write.parquet(snap_swap)
+    latest.withColumn("bucket", _key_bucket(F.col("user_id"), n_buckets)).write.partitionBy(
+        "bucket"
+    ).parquet(snap_bkt)
+    standing_keys = spark.read.parquet(snap_swap).count()
+    out["upsert_standing_rows"] = standing_keys
+    out["upsert_standing_bytes"] = du(snap_swap)
+
+    max_eid = big.agg(F.max("event_id")).first()[0]
+    sparse_users = (
+        ev.select("user_id")
+        .distinct()
+        .filter(_key_bucket(F.col("user_id"), n_buckets).isin(list(sparse_buckets)))
+    )
+    upsert_batch = sparse_users.select(
+        "user_id",
+        (F.lit(max_eid) + F.col("user_id")).alias("event_id"),
+        F.lit("2026-01-01 00:00:00").alias("ts_s"),
+        F.lit("rehearsal_update").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+        F.concat(
+            *(
+                F.sha2(F.concat_ws("-", "user_id", F.lit(100 + i)), 512)
+                for i in range(4)
+            )
+        ).alias("payload"),
+        F.lit("u").alias("op"),
+    )
+    batch_keys = upsert_batch.count()
+    out["batch_keys"] = batch_keys
+    out["standing_to_batch_keys"] = round(standing_keys / batch_keys, 1)
+
+    fold_once(
+        "upsert_swap",
+        snap_swap,
+        upsert_batch,
+        "event_id",
+        lambda s, p, c: start_upsert_sink(
+            s, snapshot_path=p, checkpoint_path=c, key="user_id",
+            order_col="event_id", available_now=True,
+        ),
+    )
+    fold_once(
+        "upsert_bucketed",
+        snap_bkt,
+        upsert_batch,
+        "event_id",
+        lambda s, p, c: start_upsert_sink(
+            s, snapshot_path=p, checkpoint_path=c, key="user_id",
+            order_col="event_id", available_now=True, n_buckets=n_buckets,
+        ),
+    )
+
+    # ---- scd2 pair: standing = compressed version history ----
+    versions = scd2_versions(big.select("user_id", "event_type", "ts", "event_id"))
+    ver_swap = os.path.join(work_root, "scd2_swap")
+    ver_bkt = os.path.join(work_root, "scd2_bucketed")
+    versions.write.parquet(ver_swap)
+    versions.withColumn("bucket", _key_bucket(F.col("user_id"), n_buckets)).write.partitionBy(
+        "bucket"
+    ).parquet(ver_bkt)
+    out["scd2_standing_rows"] = spark.read.parquet(ver_swap).count()
+    out["scd2_standing_bytes"] = du(ver_swap)
+
+    max_ts_us = big.agg(F.max(F.unix_micros("ts"))).first()[0]
+    scd2_batch = sparse_users.select(
+        "user_id",
+        F.lit("rehearsal_update").alias("event_type"),
+        F.timestamp_micros(
+            (F.lit(max_ts_us) + F.lit(10**6) + F.col("user_id")).cast("bigint")
+        ).alias("ts"),
+        (F.lit(max_eid) + F.col("user_id")).alias("event_id"),
+    )
+    fold_once(
+        "scd2_swap",
+        ver_swap,
+        scd2_batch,
+        "event_id",
+        lambda s, p, c: start_scd2_sink(
+            s, versions_path=p, checkpoint_path=c, available_now=True
+        ),
+    )
+    fold_once(
+        "scd2_bucketed",
+        ver_bkt,
+        scd2_batch,
+        "event_id",
+        lambda s, p, c: start_scd2_sink(
+            s, versions_path=p, checkpoint_path=c, available_now=True,
+            n_buckets=n_buckets,
+        ),
+    )
+
+    shutil.rmtree(work_root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     k = int(os.environ.get("SPARK_GRAFT_REHEARSAL_K", "10"))
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,6 +325,14 @@ def main() -> None:
     spark = build_session(app_name="fdi-spark-scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
     registry._ensure_loaded()
+
+    if "--sinks" in sys.argv:
+        sink_k = int(os.environ.get("SPARK_GRAFT_REHEARSAL_SINK_K", "400"))
+        try:
+            print(json.dumps(sink_crossover(spark, src, sink_k)))
+        finally:
+            spark.stop()
+        return
 
     dest = tempfile.mkdtemp(prefix="scale_rehearsal_")
     try:
