@@ -321,7 +321,10 @@ def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # xxhash64-based — engine-specific hash, rows-only check
     doc="Shingle-level rolling fingerprint: xxhash64 of each 5-token window, "
     "min-pooled per doc (winnowing-style). Engine-specific hash => no SQL "
-    "oracle; stability is pytest-asserted.",
+    "oracle; partitioning-stability, an independent explode+groupBy "
+    "formulation of the shingle definition, and the >=5-token gate are "
+    "pinned by tests/test_operators.py::"
+    "test_rolling_hash_fingerprint_stability_and_shingle_semantics.",
     tags=("llm", "text", "dedup"),
 )
 def _rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

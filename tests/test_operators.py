@@ -1942,3 +1942,106 @@ def test_mixture_sample_clamp_under_extreme_weight_skew(spark, tmp_path):
     ok, msg = compare(out, con.sql(q.oracle))
     con.close()
     assert ok, msg
+
+
+def test_rolling_hash_fingerprint_stability_and_shingle_semantics(spark, sf_dir):
+    """rolling_hash_fingerprint is rows-only (xxhash64 has no DuckDB
+    twin) and its docstring claims pytest-asserted stability — which
+    round 10 found was never actually written. Pin it three ways: the
+    result is bit-identical under any input partitioning; the
+    array-transform formulation equals an INDEPENDENT explode+groupBy
+    formulation of the same 5-token-shingle definition (so the slice
+    indexing, the ' ' join, and the min/max pooling can't silently
+    drift); and the >=5-token gate is exact (4 tokens out, 5 tokens in
+    with min == max over the single shingle)."""
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+    from full_data_infrastructure_spark.operators.text import tokens
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    _ensure_loaded()
+    build = REGISTRY["rolling_hash_fingerprint"].build
+    got = {
+        r["doc_id"]: (r["min_shingle_hash"], r["max_shingle_hash"])
+        for r in build(spark, sf_dir).collect()
+    }
+    assert got, "corpus produced no >=5-token documents"
+
+    # Independent formulation: posexplode each doc's token positions,
+    # rebuild every 5-token shingle as a row, xxhash64 it, aggregate.
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    exploded = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 4)).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.xxhash64(F.concat_ws(" ", F.expr("slice(toks, pos, 5)"))).alias("h"),
+    )
+    want = {
+        r["doc_id"]: (r["mn"], r["mx"])
+        for r in exploded.groupBy("doc_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+    # Partitioning invariance: documents loader in a different layout.
+    repart = {
+        r["doc_id"]: (r["min_shingle_hash"], r["max_shingle_hash"])
+        for r in build(spark, sf_dir).repartition(13, "doc_id").collect()
+    }
+    assert repart == got
+
+    # Token-count gate edge.
+    edge = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    etoks = edge.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    n = F.size("toks") - 4
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, 5))),
+    )
+    rows = etoks.select(
+        "doc_id",
+        F.array_min(hashes).alias("mn"),
+        F.array_max(hashes).alias("mx"),
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    assert rows[0]["mn"] == rows[0]["mx"]
+
+
+def test_check_schema_verdicts_every_case(spark, sf_dir):
+    """validation_schema_check is rows-only (schema introspection has no
+    SQL oracle), and round 10's rows-only audit found check_schema itself
+    had no dedicated test. Pin its verdict semantics: matching column,
+    type mismatch, and absent column each produce the right (actual_type,
+    ok) row; row order follows the requirement dict; and the registered
+    query's expectations all hold on the real events table."""
+    from full_data_infrastructure_spark.operators.quality import check_schema
+    from full_data_infrastructure_spark.queries import REGISTRY, _ensure_loaded
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "a bigint, b string, c double")
+    out = check_schema(
+        df, {"a": "bigint", "b": "double", "missing": "string"}
+    ).collect()
+    assert [
+        (r["column"], r["expected_type"], r["actual_type"], r["ok"]) for r in out
+    ] == [
+        ("a", "bigint", "bigint", True),
+        ("b", "double", "string", False),
+        ("missing", "string", None, False),
+    ]
+
+    _ensure_loaded()
+    rows = REGISTRY["validation_schema_check"].build(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert all(r["ok"] for r in rows), [
+        (r["column"], r["actual_type"]) for r in rows if not r["ok"]
+    ]
