@@ -1534,6 +1534,7 @@ def _paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_operators.py. Bucket edges come from identical IEEE "
     "round/floor on both engines, so the hash matches bit-for-bit.",
     tags=("llm", "dedup", "vector", "quality"),
+    exact_float_cols=("bucket_low",),
 )
 def _cosine_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(

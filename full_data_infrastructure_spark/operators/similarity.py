@@ -1243,6 +1243,7 @@ def _kmeans_oracle() -> str:
     "shuffle-free and the training reduce moves K x dim decimals per "
     "partition per round.",
     tags=("llm", "vector"),
+    exact_float_cols=("cos",),
 )
 def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(

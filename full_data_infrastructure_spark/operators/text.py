@@ -521,6 +521,7 @@ def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table + one window. The keyword-extraction pass of a corpus "
     "profiler.",
     tags=("llm", "text"),
+    exact_float_cols=("score",),
 )
 def _tfidf_top_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -866,6 +866,7 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this fold for arbitrary micro-batch cuts in "
     "tests/test_properties.py).",
     tags=("extension", "window", "events"),
+    exact_float_cols=("ema_value",),
 )
 def _ema_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ema_fold(load_table(spark, sf_dir, "events"))

@@ -110,14 +110,24 @@ def test_exact_float_mode_has_teeth(spark):
 
 
 def test_bit_identity_queries_declare_exact_cols():
-    """The three queries whose docstrings claim unrounded bit-identity
-    must carry the exact_float_cols contract so every sweep enforces it."""
+    """Every query whose docstring claims bit-identity of a shipped FLOAT
+    column must carry the exact_float_cols contract so every sweep
+    enforces it (round 10 extended the original three with the four the
+    bit-identity audit found undeclared: kmeans' rounded cosine, the
+    histogram's IEEE bucket edges, tfidf's transcendental-free score,
+    and the EMA's raw exact-in-binary doubles)."""
     assert registry.REGISTRY["mad_outliers"].exact_float_cols == (
         "median_value",
         "mad_value",
     )
     assert registry.REGISTRY["winsorize_values"].exact_float_cols == ("winsorized",)
     assert registry.REGISTRY["pagerank_parts"].exact_float_cols == ("pagerank",)
+    assert registry.REGISTRY["embedding_kmeans"].exact_float_cols == ("cos",)
+    assert registry.REGISTRY["cosine_threshold_histogram"].exact_float_cols == (
+        "bucket_low",
+    )
+    assert registry.REGISTRY["tfidf_top_token"].exact_float_cols == ("score",)
+    assert registry.REGISTRY["ema_by_user"].exact_float_cols == ("ema_value",)
 
 
 def test_exact_cols_are_case_consistent(spark):
