@@ -322,6 +322,13 @@ def main() -> None:
     from full_data_infrastructure_spark import queries as registry
     from full_data_infrastructure_spark.session import build_session
 
+    # The 8g driver-heap default is sized for the TEST suite; a rehearsal
+    # JVM shares one unified memory pool across all 32 local task threads,
+    # and K>=30 corpora exhaust it (round 10: pagerank at 18M lineitem
+    # rows died with UNABLE_TO_ACQUIRE_MEMORY under 8g, clean under 32g).
+    # On a real cluster this pool is per-executor, so sizing the rehearsal
+    # JVM to the host is the faithful analogue, not a cheat.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = build_session(app_name="fdi-spark-scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
     registry._ensure_loaded()
@@ -353,7 +360,17 @@ def main() -> None:
                 print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
                 continue
             timings[name] = round(time.monotonic() - t0, 1)
+            rows[f"result:{name}"] = n
             print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            if n == 0:
+                # A zero-row result is a finding, not a timing: the wall
+                # number then measures an empty fast path (round 10: the
+                # full-pipeline chain decontaminates an inflated corpus
+                # to NOTHING at K>=10 because every copy-family has an
+                # eval-bucket member — the r9 SCALE.md ratio for it was
+                # measuring that). Surface it loudly.
+                print(f"# {name}: ZERO ROWS — wall measures the empty "
+                      "fast path; interpret accordingly", file=sys.stderr)
 
         print(
             json.dumps(
