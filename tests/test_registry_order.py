@@ -279,3 +279,45 @@ def test_load_latest_green_skips_errored_and_mismatched_rows(tmp_path):
     # err:null with hash_match:false is NOT green (ADVICE r6)
     assert "hash_mismatch" not in latest
     assert "mismatched_later" not in latest
+
+
+def test_untracked_correctness_file_does_not_shift_the_window():
+    """The driver drops each round's new CORRECTNESS file into the
+    worktree UNTRACKED, and in rounds 8 and 9 that mid-transition state
+    turned the three registry-order gates red at an otherwise-green tree
+    (judge-adjudicated mechanical both times). Evidence now comes from
+    git-TRACKED files only (rotation._correctness_paths): an untracked
+    future-round file must affect neither max_round nor the computed
+    window, while committed history keeps enforcing the atomic rotation
+    protocol exactly as before. (In a non-git tree the loader falls back
+    to the plain glob — exercised by the tmp_path test above.)"""
+    import json
+    import os
+
+    from full_data_infrastructure_spark.rotation import (
+        compute_from_repo,
+        load_max_round,
+    )
+
+    root = Path(registry.__file__).resolve().parent.parent
+    before_round = load_max_round(root)
+    before_window = compute_from_repo()
+    intruder = root / "CORRECTNESS_r99.json"
+    assert not intruder.exists(), "stale r99 fixture left behind?"
+    try:
+        intruder.write_text(
+            json.dumps(
+                {
+                    "flagship_benefits": {
+                        "err": None,
+                        "hash_match": True,
+                        "rows_match": True,
+                        "spark_rows": 1,
+                    }
+                }
+            )
+        )
+        assert load_max_round(root) == before_round
+        assert compute_from_repo() == before_window
+    finally:
+        os.unlink(intruder)
