@@ -297,11 +297,23 @@ EMBED_SCHEMA = "doc_id bigint, embedding array<double>"
 
 def fake_feature_extract(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
     """Deterministic stand-in for a neural feature extractor: L2-normalized
-    byte-value histogram folded into ``dim`` buckets."""
+    byte-value histogram folded into ``dim`` buckets.
+
+    The norm uses ``math.sqrt``, not ``** 0.5``: the histogram counts and
+    their square-sum are exact integers, IEEE ``sqrt`` of an exact value
+    is correctly rounded on every engine, and the one division after it
+    is too — so the emitted doubles are BIT-identical to the oracle's
+    ``x / sqrt(list_sum(...))``.  ``** 0.5`` is ``pow``, which is not
+    correctly rounded, and was the repo's single last-ulp cross-engine
+    divergence (round-10 exact-compare audit: 160/161 oracled queries
+    bit-identical on every float column at every tested SF; this was the
+    161st)."""
+    import math
+
     hist = [0] * dim
     for b in payload:
         hist[b % dim] += 1
-    norm = sum(h * h for h in hist) ** 0.5
+    norm = math.sqrt(sum(h * h for h in hist))
     return [h / norm for h in hist] if norm else [0.0] * dim
 
 
@@ -354,8 +366,11 @@ def extract_features(
     "seam), output exploded to (doc_id, dim_idx, value) scalars for the "
     "oracle compare. Completes decode -> feature-extract -> (dedup/ANN); "
     "oracle recomputes the histogram in SQL over the UTF-8 byte "
-    "expansion — byte-exact for multibyte text.",
+    "expansion — byte-exact for multibyte text, and the normalized "
+    "doubles are BIT-identical (integer histogram -> correctly-rounded "
+    "sqrt -> one division; see fake_feature_extract).",
     tags=("llm", "multimodal", "udf", "vector"),
+    exact_float_cols=("value",),
 )
 def _multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)

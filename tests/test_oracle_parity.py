@@ -25,10 +25,24 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, sf_dir, duck, name):
+    """Driver-replica parity on the STANDARD corpus: exact on EVERY float
+    column, not just the declared bit-identity set. The round-10 audit
+    measured all 161 oracled queries bit-identical on every float column
+    at sf0.001/sf0.01/sf0.1 once the one divergence was fixed
+    (multimodal_embed's ``** 0.5`` pow -> math.sqrt), so the tolerance
+    fallback would only ever hide a regression here. The adversarial
+    sweeps (null/extreme/tz/unicode/layout) keep the 1e-9 tolerance plus
+    the declared exact_float_cols — those corpora are about semantics,
+    not the driver's hash."""
     q = registry.REGISTRY[name]
     sdf = q.build(spark, sf_dir)
     rel = duck.sql(q.oracle)
-    ok, msg = compare(sdf, rel, exact_cols=q.exact_float_cols)
+    float_cols = tuple(
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() in ("double", "float")
+    )
+    ok, msg = compare(sdf, rel, exact_cols=float_cols)
     assert ok, f"{name}: {msg}"
 
 
@@ -128,6 +142,7 @@ def test_bit_identity_queries_declare_exact_cols():
     )
     assert registry.REGISTRY["tfidf_top_token"].exact_float_cols == ("score",)
     assert registry.REGISTRY["ema_by_user"].exact_float_cols == ("ema_value",)
+    assert registry.REGISTRY["multimodal_embed"].exact_float_cols == ("value",)
 
 
 def test_exact_cols_are_case_consistent(spark):
