@@ -25,24 +25,18 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, sf_dir, duck, name):
-    """Driver-replica parity on the STANDARD corpus: exact on EVERY float
-    column, not just the declared bit-identity set. The round-10 audit
-    measured all 161 oracled queries bit-identical on every float column
-    at sf0.001/sf0.01/sf0.1 once the one divergence was fixed
-    (multimodal_embed's ``** 0.5`` pow -> math.sqrt), so the tolerance
-    fallback would only ever hide a regression here. The adversarial
-    sweeps (null/extreme/tz/unicode/layout) keep the 1e-9 tolerance plus
-    the declared exact_float_cols — those corpora are about semantics,
-    not the driver's hash."""
+    """Driver-replica parity: compare() is exact (rel_tol=0) on every
+    float column since round 10 — the census measured all 161 oracled
+    queries bit-identical on every float column on EVERY corpus the
+    suite runs (standard at sf0.001/0.01/0.1 and all five adversarial
+    sweeps) once the one genuine divergence was fixed
+    (multimodal_embed's ``** 0.5`` pow -> math.sqrt). exact_cols passes
+    the declared bit-identity set purely for its absent-name
+    fail-loud."""
     q = registry.REGISTRY[name]
     sdf = q.build(spark, sf_dir)
     rel = duck.sql(q.oracle)
-    float_cols = tuple(
-        f.name
-        for f in sdf.schema.fields
-        if f.dataType.simpleString() in ("double", "float")
-    )
-    ok, msg = compare(sdf, rel, exact_cols=float_cols)
+    ok, msg = compare(sdf, rel, exact_cols=q.exact_float_cols)
     assert ok, f"{name}: {msg}"
 
 
@@ -96,24 +90,26 @@ def test_rows_only_executes(spark, sf_dir, name):
 
 
 def test_exact_float_mode_has_teeth(spark):
-    """ADVICE r8: bit-identity columns (exact_float_cols) must be compared
-    at rel_tol=0 locally, because the driver's value hash is exact. Pin
-    that the mode actually rejects a last-ulp divergence the default
-    1e-9 tolerance accepts, and that a typo'd column name is an error
-    rather than a silently-vacuous exactness claim."""
+    """Compare() is exact (rel_tol=0) on every float column since round
+    10 — the faithful replica of the driver's value hash (the census
+    measured zero genuine tolerance users on any corpus). Pin that a
+    last-ulp divergence is rejected WITHOUT any declaration, that a
+    bit-identical value passes, and that a typo'd exact_cols name is an
+    error rather than a silently-vacuous claim."""
     import duckdb
 
     con = duckdb.connect()
     # 0.1 + 0.2 differs from the 0.3 literal by one ulp — classic IEEE.
     sdf = spark.createDataFrame([(1, 0.1 + 0.2)], ["id", "v"])
-    ok, _ = compare(sdf, con.sql("SELECT 1 AS id, CAST(0.3 AS DOUBLE) AS v"))
-    assert ok, "tolerance mode must accept a last-ulp difference"
+    ok, msg = compare(sdf, con.sql("SELECT 1 AS id, CAST(0.3 AS DOUBLE) AS v"))
+    assert not ok and "v" in msg, f"default must reject a last-ulp diff: {msg}"
     ok, msg = compare(
         sdf,
-        con.sql("SELECT 1 AS id, CAST(0.3 AS DOUBLE) AS v"),
-        exact_cols=("v",),
+        con.sql(
+            "SELECT 1 AS id, CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS v"
+        ),
     )
-    assert not ok and "v" in msg, msg
+    assert ok, msg
     ok, msg = compare(
         sdf,
         con.sql("SELECT 1 AS id, CAST(0.3 AS DOUBLE) AS v"),
