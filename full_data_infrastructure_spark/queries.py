@@ -7,8 +7,11 @@ same parquet tables. The driver hash-compares the two at sf0.01
 (row count + column names + order-insensitive value hash), so:
 
 * every computed column is **aliased identically** on both sides;
-* double-valued aggregates are **rounded** on both sides (cross-engine float
-  sums differ in the last ulp; rounding to 2 decimals makes them comparable);
+* every float column is **bit-identical** cross-engine (the local compare
+  holds rel_tol=0 everywhere since round 10): order-sensitive float sums
+  go through DECIMAL partials or are rounded/quantized on BOTH sides,
+  norms use correctly-rounded sqrt (never pow), and per-row ratios keep
+  the identical IEEE op sequence;
 * no query depends on wall-clock, RNG, or row order (LIMIT always follows a
   total ORDER BY with a unique tiebreaker).
 """
