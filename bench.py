@@ -77,6 +77,27 @@ from r9 (quality_classifier, knn_bruteforce, streaming_upsert_snapshot
 at the tops of their bands) re-enters item-3 protocol only if any
 exceeds its band again at lower load.
 
+Round-11 ledger notes (VERDICT r10 items 2 and 5):
+* BENCH_r10 is annotated CONTENDED: it recorded at load_avg
+  [14.1, 13.7, 9.4] (vs r9's ~4-6) and nine queries printed +11-19%
+  with plans unchanged — read r10's numbers through that load line, not
+  as regressions.  The r9 ledger watch CLOSES: quality_classifier,
+  knn_bruteforce and streaming_upsert_snapshot all came back inside
+  band in r10 despite the contention.  New conditional watch:
+  dedup_semantic and join_dim_snowflake (+18% at load 14, plan
+  unchanged) enter item-3 protocol only if they exceed their bands
+  again at LOW load; at r10's load the +18% needs no explanation.
+* pagerank_parts 30x footnote — do NOT re-run the dead experiment: at
+  the 30x rehearsal tier pagerank needs a 32 GB rehearsal JVM
+  (SCALE.md round-10 finding 1; UNABLE_TO_ACQUIRE_MEMORY under the
+  suite-default 8 GB because local[32] splits one execution-memory pool
+  across 32 task threads, ~150 MB/task).  The shuffle-partitions lever
+  was tested and ruled out (commit 4aeb6d1).  Single-JVM artifact, not
+  a plan flaw: the per-iteration plan is one edge-keyed shuffle, and on
+  a real cluster each executor brings its own pool.  Its 128.5s at 30x
+  (6x wall for 3x data) is GC-dominated — quote it only with this
+  footnote.
+
 Round-7 bench additions (VERDICT r6 item 5): tpch_q5_region_volume (the
 canonical join-order benchmark), pagerank_parts (the only
 iterative-shuffle entry), streaming_scd2_snapshot (the heaviest new

@@ -99,76 +99,72 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 10 note: the round-9 FORCE_REFRESH family (mixture clamp)
-# landed green r9 rows and cleared; the two bucketed sink twins are
-# re-forced because their builders changed after their r9 rows — the
-# SCD2 replay-offset multiplier moved 2^44 -> 2^54 µs and both twins'
-# final read now applies the declared schema (ADVICE r9 items 1 and 3;
-# results identical at every tested SF, but policy is builder-changed
-# => re-attest).  multimodal_embed is also forced: the round-10
-# exact-compare audit found its ``** 0.5`` pow norm one ulp off the
-# oracle's sqrt at sf0.01/sf0.1 — fixed to math.sqrt, results changed
-# in the last ulp (cube_counts, freshly green r9, gives up its slot).
-# Both twins are also bench=True with now-stale-by-force
-# evidence, so they lead the fill.  The remaining slots drain the
-# r5-evidence tail the r9 VERDICT named (threshold_validation,
-# stratified_sample, train_val_test_split, zorder_key_lineitem,
-# validation_schema_check, the five
-# streaming_{dedup,ema,funnel,sliding,tumbling}_snapshot queries), then
-# the r6-attested set.  The staleness SLA
-# (tests/test_registry_order.py::test_staleness_sla) holds with every
-# registered query either windowed or green within the last 3 rounds.)
+# (Round 11 note: the round-10 FORCE_REFRESH trio (the two bucketed
+# sink twins + multimodal_embed) landed green r10 rows and cleared.
+# This round ALL FIVE streaming sink snapshot queries are forced:
+# ADVICE r10 item 2 threaded the declared data schema into every
+# standing-table read inside the sink folds (_read_touched_buckets,
+# the non-bucketed upsert/scd2 snapshot reads, the rollup partials
+# read) — builder changed since the last green row => re-attest, even
+# though results are identical at every tested SF (policy).  The rest
+# of the window drains the ENTIRE 37-query r7-evidence tail the r10
+# VERDICT named (cube_counts .. window_running_total below — their
+# newest green rows sit exactly at the staleness-SLA boundary this
+# round), then six r8-attested queries fill the remaining slots.  The
+# staleness SLA (tests/test_registry_order.py::test_staleness_sla)
+# holds: every registered query is either windowed or green within the
+# last 3 rounds.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "multimodal_embed",
+    "streaming_rollup_snapshot",
     "streaming_scd2_bucketed_snapshot",
-    "streaming_upsert_bucketed_snapshot",
-    "stratified_sample",
-    "streaming_dedup_snapshot",
-    "streaming_ema_snapshot",
-    "streaming_funnel_snapshot",
-    "streaming_sliding_snapshot",
-    "streaming_tumbling_snapshot",
-    "threshold_validation",
-    "train_val_test_split",
-    "validation_schema_check",
-    "zorder_key_lineitem",
-    "bpe_learn",
-    "bpe_tokenize_counts",
-    "conversation_assembly",
-    "date_format_concat",
-    "debezium_roundtrip",
-    "domain_cap_sample",
-    "embedding_kmeans",
-    "embedding_pca_project",
-    "event_cooccurrence_lift",
-    "gapfill_locf",
-    "hard_negative_mining",
-    "jsonl_documents_roundtrip",
-    "jsonl_quarantine_ingest",
-    "knn_pq",
-    "masked_projection",
-    "membership_validation",
-    "multimodal_frame_sample",
-    "pivot_event_counts",
-    "profile_columns",
-    "scalar_subquery_filter",
-    "scd2_history",
-    "scd2_incremental",
-    "sessionize_batch",
-    "snapshot_diff",
-    "token_budget_sample",
-    "triangle_count_parts",
-    "activity_heatmap",
-    "benford_first_digit",
-    "corpus_datacard",
-    "correlation_matrix",
-    "cosine_threshold_histogram",
-    "count_distinct",
-    "cte_self_join",
     "streaming_scd2_snapshot",
-    "tpch_q5_region_volume",
+    "streaming_upsert_bucketed_snapshot",
+    "streaming_upsert_snapshot",
+    "cube_counts",
+    "discount_band_quantity",
+    "dup_cluster_size_histogram",
+    "embedding_quantize_int8",
+    "event_gap_histogram",
+    "fingerprint_md5",
+    "fulfillment_latency_sla",
+    "funnel_three_step",
+    "fuzzy_match_suppliers",
+    "group_split_events",
+    "lang_confusion_matrix",
+    "lang_id",
+    "lang_id_trigram",
+    "max_staleness_by_user",
+    "profile_by_key",
+    "pseudonymize_customers",
+    "quality_score",
+    "rare_bigram_quality",
+    "repeat_customer_rate",
+    "repetition_signals",
+    "rolling_active_users",
+    "rolling_hash_fingerprint",
+    "rollup_counts",
+    "sample_hash",
+    "semi_join",
+    "session_overlap_pairs",
+    "tfidf_top_token",
+    "tpch_q3_shipping_priority",
+    "vector_norms",
+    "vocab_topk",
+    "weighted_sample_docs",
+    "window_dedup_latest",
+    "window_lag_delta",
+    "window_percent_rank",
+    "window_range_hour_sum",
+    "window_rank_topn",
+    "window_running_total",
+    "approx_count_distinct",
+    "c4_quality_filters",
+    "chunk_documents",
+    "cohort_retention",
+    "conditional_rate",
+    "pagerank_parts",
 )
 
 

@@ -78,25 +78,26 @@ EVIDENCE_STALE_AFTER = 2
 # anyway, so nothing to force.)
 # Round 10: the round-9 forces (mixture_sqrt_temperature clamp family)
 # all landed green r9 rows, so they clear; the two bucketed sink twins
-# are forced because their builders changed after their r9 green rows —
-# the SCD2 twin's replay-offset multiplier moved 2^44 -> 2^54 µs (ADVICE
-# r9 item 1: 2^44 µs is ~204 days, not 557 years, so wide-span corpora
-# interleaved the bucket bands), and BOTH twins read their final
-# snapshot through read_bucketed_snapshot, whose non-empty path now
-# applies the declared schema instead of footer inference (ADVICE r9
-# item 3).  Results are identical at every tested SF — the offset only
-# reorders the replay and the schema was never drifting — but policy is:
-# builder or oracle changed since the last green row => re-attest.
-# multimodal_embed's builder also changed after its r8 green row: the
-# round-10 exact-compare audit found its norm used ``** 0.5`` (pow, not
-# correctly rounded) and diverged from the oracle by one ulp at
-# sf0.01/sf0.1 — now math.sqrt, bit-identical at every tested SF, and
-# the emitted doubles genuinely changed in the last ulp => re-attest.
+# are forced because their builders changed after their r9 green rows.
+# Round 11: the round-10 forces (the two bucketed twins +
+# multimodal_embed) all landed green r10 rows, so they clear.  All five
+# streaming sink snapshot queries are forced this round: ADVICE r10
+# item 2 threaded the DECLARED data schema into every standing-table
+# read inside the folds — _read_touched_buckets (both bucketed twins),
+# the non-bucketed snapshot reads in the upsert merge() and scd2 fold()
+# (both swap twins), and the rollup fold's partials read
+# (streaming_rollup_snapshot) — where parquet footer inference
+# previously forked the first batch's batch-derived types from later
+# batches'.  Results are identical at every tested SF (the stored files
+# never drifted), but policy is: builder changed since the last green
+# row => re-attest.
 FORCE_REFRESH: frozenset[str] = frozenset(
     {
+        "streaming_scd2_snapshot",
+        "streaming_upsert_snapshot",
         "streaming_scd2_bucketed_snapshot",
         "streaming_upsert_bucketed_snapshot",
-        "multimodal_embed",
+        "streaming_rollup_snapshot",
     }
 )
 
@@ -114,7 +115,8 @@ _DEFER_ROUND = 10**6  # sorts after every real round
 
 
 def _correctness_paths(root: str | os.PathLike[str]) -> list[str]:
-    """CORRECTNESS_r*.json evidence files, restricted to git-TRACKED ones.
+    """CORRECTNESS_r*.json evidence files, restricted to COMMITTED ones
+    (present in HEAD and still on disk).
 
     The window policy is computed from committed history on purpose: the
     driver drops each round's new correctness file into the worktree
@@ -130,17 +132,25 @@ def _correctness_paths(root: str | os.PathLike[str]) -> list[str]:
     import subprocess
 
     try:
+        # ls-tree of HEAD, not ls-files: the index also lists files that are
+        # staged-but-uncommitted (contradicting the committed-only contract
+        # above) and files deleted from the worktree with plain ``rm``
+        # (ADVICE r10 — open() on one of those crashed the rotation).  The
+        # worktree-existence filter guards the read either way.
         out = subprocess.run(
-            ["git", "-C", str(root), "ls-files", "CORRECTNESS_r*.json"],
+            ["git", "-C", str(root), "ls-tree", "--name-only", "HEAD"],
             capture_output=True,
             text=True,
             timeout=10,
         )
         if out.returncode == 0:
+            import fnmatch
+
             return [
-                os.path.join(str(root), line)
+                path
                 for line in out.stdout.splitlines()
-                if line.strip()
+                if fnmatch.fnmatch(line.strip(), "CORRECTNESS_r*.json")
+                and os.path.exists(path := os.path.join(str(root), line.strip()))
             ]
     except (OSError, subprocess.TimeoutExpired):
         pass

@@ -131,16 +131,27 @@ def read_bucketed_snapshot(spark, path: str, schema, fmt: str = "parquet") -> Da
     )
 
 
-def _read_touched_buckets(spark, path: str, fmt: str, touched) -> DataFrame:
+def _read_touched_buckets(spark, path: str, fmt: str, touched, schema) -> DataFrame:
     """Standing-table read for a bucketed snapshot, pruned to the touched
     bucket partitions: ``bucket`` is a partition DIRECTORY column, so the
     ``isin`` filter is a partition filter — untouched bucket directories
     are never listed into the scan (plan-gated by
     tests/test_streaming.py::test_bucketed_snapshot_read_prunes_partitions).
     Per-batch read IO is touched/n_buckets of the table, the read half of
-    the write-amplification bound ``_swap_touched_buckets`` gives."""
+    the write-amplification bound ``_swap_touched_buckets`` gives.
+
+    ``schema`` is the declared DATA schema (without ``bucket``), applied to
+    the scan for the same reason :func:`read_bucketed_snapshot` applies it:
+    the fold's first batch derives its types from the batch DataFrame while
+    later batches would otherwise infer from parquet footers, and any drift
+    between the two forks the standing table's types mid-stream (ADVICE
+    r10 — the r9 fix covered only the consumer-side read)."""
+    schema_plus_bucket = T.StructType(
+        list(schema.fields) + [T.StructField("bucket", T.IntegerType())]
+    )
     return (
         spark.read.format(fmt)
+        .schema(schema_plus_bucket)
         .load(path)
         .filter(F.col("bucket").isin(list(touched)))
         .drop("bucket")
@@ -247,7 +258,12 @@ def start_upsert_sink(
         empty = spark.createDataFrame([], batch_df.drop("op", order_col).schema)
         if n_buckets is None:
             if os.path.exists(snapshot_path):
-                snapshot = spark.read.format(fmt).load(snapshot_path)
+                # Declared schema, not footer inference: keeps every batch's
+                # standing-table types identical to the first batch's
+                # batch-derived types (ADVICE r10).
+                snapshot = (
+                    spark.read.format(fmt).schema(empty.schema).load(snapshot_path)
+                )
             else:
                 snapshot = empty
             merged = apply_cdc_batch(
@@ -269,7 +285,9 @@ def start_upsert_sink(
             .collect()
         )
         if _bucketed_snapshot_nonempty(snapshot_path):
-            snapshot = _read_touched_buckets(spark, snapshot_path, fmt, touched)
+            snapshot = _read_touched_buckets(
+                spark, snapshot_path, fmt, touched, empty.schema
+            )
         else:
             snapshot = empty
         merged = apply_cdc_batch(snapshot, batch_df, key=key, order_col=order_col)
@@ -356,8 +374,12 @@ def start_rollup_sink(
             )
         )
         if os.path.exists(partials_path):
+            # Declared schema = the stabilized partials schema this fold
+            # writes (PARTIAL_SUM_TYPE fixes the decimal width), so footer
+            # inference can never fork the stored types (ADVICE r10).
             merged = (
                 spark.read.format(fmt)
+                .schema(batch_partials.schema)
                 .load(partials_path)
                 .unionByName(batch_partials)
                 .groupBy("bucket", *keys)
@@ -447,9 +469,16 @@ def start_scd2_sink(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("user_id", "event_type", "ts", "event_id")
+        # Declared standing-table schema: what scd2_versions emits for this
+        # batch's column types (analysis-only — no job runs).  Applied to
+        # every standing read so later batches can't fork types via parquet
+        # footer inference (ADVICE r10).
+        versions_schema = scd2_versions(batch).schema
         if n_buckets is None:
             if os.path.exists(versions_path):
-                standing = spark.read.format(fmt).load(versions_path)
+                standing = (
+                    spark.read.format(fmt).schema(versions_schema).load(versions_path)
+                )
                 merged = scd2_apply_batch(standing, batch)
             else:
                 merged = scd2_versions(batch)
@@ -471,7 +500,9 @@ def start_scd2_sink(
         if _bucketed_snapshot_nonempty(versions_path):
             # Partition pruning: only the touched bucket directories are
             # scanned — untouched buckets cost zero read AND zero write.
-            standing = _read_touched_buckets(spark, versions_path, fmt, touched)
+            standing = _read_touched_buckets(
+                spark, versions_path, fmt, touched, versions_schema
+            )
             merged = scd2_apply_batch(standing, batch)
         else:
             merged = scd2_versions(batch)

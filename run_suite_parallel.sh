@@ -41,23 +41,31 @@ for f in tests/test_*.py; do
     esac
 done
 
+# Per-invocation log paths: fixed names let two concurrent runs (or two
+# users on a shared host) clobber each other's logs and mis-tail the
+# summary (ADVICE r10).
+LOG_A="$(mktemp /tmp/fdi_suite_half_a.XXXXXX.log)"
+LOG_B="$(mktemp /tmp/fdi_suite_half_b.XXXXXX.log)"
+echo "half A -> $LOG_A"
+echo "half B -> $LOG_B"
+
 SPARK_GRAFT_CPUS="$SPARK_GRAFT_SUITE_CPUS" python -m pytest \
     tests/test_plans.py tests/test_operators.py tests/test_oracle_parity.py \
     tests/test_properties.py tests/test_registry_order.py tests/test_sources.py \
     tests/test_curation.py tests/test_unicode_semantics.py \
     tests/test_time_semantics.py tests/test_totality.py \
-    -q -p no:cacheprovider > /tmp/fdi_suite_half_a.log 2>&1 &
+    -q -p no:cacheprovider > "$LOG_A" 2>&1 &
 pa=$!
 SPARK_GRAFT_CPUS="$SPARK_GRAFT_SUITE_CPUS" python -m pytest \
     tests/test_streaming.py tests/test_null_semantics.py \
     tests/test_extreme_semantics.py tests/test_tz_semantics.py \
     tests/test_layout_invariance.py \
-    -q -p no:cacheprovider > /tmp/fdi_suite_half_b.log 2>&1 &
+    -q -p no:cacheprovider > "$LOG_B" 2>&1 &
 pb=$!
 
 ra=0; rb=0
 wait "$pa" || ra=$?
 wait "$pb" || rb=$?
-echo "--- half A (tail) ---"; tail -n 2 /tmp/fdi_suite_half_a.log
-echo "--- half B (tail) ---"; tail -n 2 /tmp/fdi_suite_half_b.log
+echo "--- half A (tail) ---"; tail -n 2 "$LOG_A"
+echo "--- half B (tail) ---"; tail -n 2 "$LOG_B"
 [ "$ra" -eq 0 ] && [ "$rb" -eq 0 ]

@@ -117,12 +117,15 @@ def sink_crossover(spark, src_dir: str, k: int) -> dict:
     pure overhead (documented in bench.py).  The operator's actual 100 TB
     claim — per-batch IO = touched/n_buckets of the TABLE
     (streaming/sinks.py) — only bites when the standing table dwarfs the
-    batch, the nightly-CDC shape.  Build a K-copy standing table (K=100
-    by default: ~600k upsert keys carrying an incompressible ~512 B
+    batch, the nightly-CDC shape.  Build a K-copy standing table (K=400
+    by default, the SPARK_GRAFT_REHEARSAL_SINK_K env var overrides;
+    K=400 gives ~600k upsert keys carrying an incompressible ~512 B
     payload so the table is big in BYTES, not just rows — parquet
     dictionary-compresses the synthetic events columns to ~10 B/row,
     which would let fixed trigger overhead swamp the IO difference the
-    experiment exists to measure — plus ~32M SCD2 version rows), then
+    experiment exists to measure — plus ~32M SCD2 version rows; the
+    SCALE.md round-10 table records both the K=100 and K=400 points),
+    then
     fold ONE key-sparse batch (every key in 2 of the 16 crc32 buckets,
     ~190 keys) through the real streaming sinks in both modes and record
     fold_sec (addBatch only) side by side.

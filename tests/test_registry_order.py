@@ -7,6 +7,7 @@ one representative of every operator family inside the window — otherwise
 a family silently loses its correctness attestation.
 """
 
+import os
 from pathlib import Path
 
 from full_data_infrastructure_spark import queries as registry
@@ -321,3 +322,60 @@ def test_untracked_correctness_file_does_not_shift_the_window():
         assert compute_from_repo() == before_window
     finally:
         os.unlink(intruder)
+
+
+def test_deleted_committed_evidence_does_not_crash_the_rotation(tmp_path):
+    """A committed CORRECTNESS file removed from the worktree with plain
+    ``rm`` (no ``git rm``) used to crash load_latest_green with
+    FileNotFoundError: ``git ls-files`` kept listing it (ADVICE r10).
+    Evidence now comes from HEAD with a worktree-existence filter, so the
+    deleted file simply stops counting; staged-but-uncommitted files are
+    likewise excluded (the committed-only contract)."""
+    import json
+    import subprocess
+
+    from full_data_infrastructure_spark.rotation import (
+        _correctness_paths,
+        load_latest_green,
+        load_max_round,
+    )
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *args],
+            check=True,
+            capture_output=True,
+            env={
+                "GIT_AUTHOR_NAME": "t",
+                "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t",
+                "GIT_COMMITTER_EMAIL": "t@t",
+                "HOME": str(tmp_path),
+                "PATH": os.environ["PATH"],
+            },
+        )
+
+    row = {"err": None, "hash_match": True, "rows_match": True, "spark_rows": 1}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"q_old": row}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"q_new": row}))
+    git("init", "-q")
+    git("add", "CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
+    git("commit", "-qm", "evidence")
+
+    # Baseline: both committed files count.
+    assert load_max_round(tmp_path) == 2
+
+    # Plain rm of a committed file: excluded, no crash.
+    os.unlink(tmp_path / "CORRECTNESS_r02.json")
+    assert [os.path.basename(p) for p in _correctness_paths(tmp_path)] == [
+        "CORRECTNESS_r01.json"
+    ]
+    assert load_latest_green(tmp_path) == {"q_old": 1}
+    assert load_max_round(tmp_path) == 1
+
+    # Staged-but-uncommitted: not evidence until committed.
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"q_staged": row}))
+    git("add", "CORRECTNESS_r03.json")
+    assert load_max_round(tmp_path) == 1
+    git("commit", "-qm", "r03")
+    assert load_max_round(tmp_path) == 3

@@ -1504,7 +1504,14 @@ def test_bucketed_snapshot_read_prunes_partitions(spark, tmp_path):
     ).parquet(snap)
 
     touched = [0, 3]
-    df = _read_touched_buckets(spark, snap, "parquet", touched)
+    df = _read_touched_buckets(spark, snap, "parquet", touched, rows.schema)
+    # The declared data schema must survive the pruned read — names and
+    # types verbatim; nullability is normalized to nullable by any file
+    # source read, so it is excluded (ADVICE r10: footer inference forked
+    # the types mid-stream).
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in rows.schema.fields
+    ], df.schema
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan, plan
     import re
