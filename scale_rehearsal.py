@@ -24,6 +24,10 @@ Run (takes minutes; keep the host otherwise idle):
 
     python scale_rehearsal.py            # K=10, heavy family
     SPARK_GRAFT_REHEARSAL_K=3 python scale_rehearsal.py   # smaller sweep
+    python scale_rehearsal.py --sinks            # bucketed-sink crossover
+    python scale_rehearsal.py --full-pipeline    # corpus_pipeline_full_lsh
+                     # on the DISTINCT-document inflation (non-degenerate
+                     # decontamination — see inflate_documents_distinct)
 
 Prints one JSON line: {"k": K, "rows": {...}, "queries": {name: sec},
 "errors": {...}}.  Results are transcribed to SCALE.md, not auto-written.
@@ -106,6 +110,131 @@ def inflate(spark, src_dir: str, dest_dir: str, k: int) -> dict[str, int]:
         out.write.parquet(table_path(dest_dir, name))
         rows[name] = spark.read.parquet(table_path(dest_dir, name)).count()
     return rows
+
+
+def inflate_documents_distinct(spark, src_dir: str, dest_dir: str, k: int) -> int:
+    """K-copy documents inflation where copies are DISTINCT documents —
+    a per-copy token BIJECTION (every token of copy i>0 gets the suffix
+    ``{i}x``; copy 0 is the base verbatim).
+
+    Why not the default :func:`inflate`?  Its copy-tag near-duplication
+    saturates the FULL pipelines' decontamination stage (SCALE.md
+    round-10 finding 2).  And why a vocabulary-expanding bijection
+    rather than, say, per-copy token shuffling?  Because the REAL
+    saturation mechanism is the synthetic corpus's 31-token vocabulary:
+    word-3-gram space is at most 31^3, the sf0.1 eval split alone emits
+    ~11k distinct shingles, and measured on the BASE sf0.1 corpus 97%
+    of train docs (4606/4733) already exceed the 0.25 contamination
+    threshold.  Any inflation that keeps the same vocabulary — shuffled,
+    regenerated, whatever — only deepens that saturation with corpus
+    size (this was measured: token-shuffled copies still decontaminate
+    to zero at K=10/sf0.1).  The suffix bijection instead gives each
+    copy its OWN 31-token vocabulary:
+
+    * across copies, every shingle carries its copy's tag, so trigram
+      sets are disjoint and decontamination only fires within a copy;
+    * within a copy, a token bijection is an isomorphism on n-grams —
+      every Jaccard similarity, exact-dup family, near-dup family and
+      eval/train shingle overlap of the base corpus is preserved
+      EXACTLY, so each copy independently exercises quality ->
+      decontaminate -> dedup with the base corpus's true structure
+      (each copy keeps ~the base's 3% uncontaminated tail, so the clean
+      corpus grows ~linearly in K instead of collapsing to zero);
+    * the suffix is digits+``x`` appended to an all-alphabetic
+      vocabulary, so the map is collision-free across copies.
+
+    All JVM-side (one ``regexp_replace``); only the documents table is
+    written (the FULL pipelines read nothing else).  Returns the
+    inflated row count.
+    """
+    from pyspark.sql import functions as F
+
+    from full_data_infrastructure_spark.sources.parquet import (
+        load_table,
+        table_path,
+    )
+
+    base = load_table(spark, src_dir, "documents")
+    copies = []
+    for i in range(k):
+        c = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**9))
+        if i > 0:
+            c = c.withColumn(
+                "text",
+                F.regexp_replace(F.col("text"), r"(?<t>\S+)", f"${{t}}{i}x"),
+            ).withColumn("n_chars", F.length("text").cast("bigint"))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    out.write.parquet(table_path(dest_dir, "documents"))
+    return spark.read.parquet(table_path(dest_dir, "documents")).count()
+
+
+def full_pipeline_rehearsal(spark, src_dir: str, k: int) -> dict:
+    """Non-degenerate scale point for corpus_pipeline_full_lsh (VERDICT
+    r10 item 3): inflate with :func:`inflate_documents_distinct`, run the
+    full quality -> decontaminate -> LSH dedup -> mixture -> pack chain
+    end-to-end COLD for the wall number, then re-walk the chain's stages
+    for the per-stage counts SCALE.md records (clean_corpus must be > 0
+    for the wall to mean anything — asserted here, not eyeballed)."""
+    from full_data_infrastructure_spark import queries as registry
+    from full_data_infrastructure_spark.cache import release_persisted
+    from full_data_infrastructure_spark.operators.curation import (
+        EVAL_BUCKET_MAX,
+        _decontaminate,
+        hash_bucket,
+    )
+    from full_data_infrastructure_spark.operators.packing import _clean_corpus
+    from full_data_infrastructure_spark.operators.text import qc_keep_col
+    from full_data_infrastructure_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    registry._ensure_loaded()
+    dest = tempfile.mkdtemp(prefix="scale_full_pipeline_")
+    try:
+        t0 = time.monotonic()
+        n_docs = inflate_documents_distinct(spark, src_dir, dest, k)
+        inflate_sec = round(time.monotonic() - t0, 1)
+
+        # Cold end-to-end wall first (stage counts would warm the persist).
+        build = registry.REGISTRY["corpus_pipeline_full_lsh"].build
+        t0 = time.monotonic()
+        packed = build(spark, dest).count()
+        wall = round(time.monotonic() - t0, 1)
+
+        docs = load_table(spark, dest, "documents")
+        quality_keep = docs.where(qc_keep_col(F.col("text"))).count()
+        non_eval = docs.where(
+            qc_keep_col(F.col("text"))
+            & (hash_bucket(F.col("doc_id")) > EVAL_BUCKET_MAX)
+        ).count()
+        contaminated = (
+            _decontaminate(spark, dest).filter("contaminated").count()
+        )
+        clean = _clean_corpus(spark, dest).count()
+        assert clean > 0, (
+            "clean corpus is EMPTY — the distinct-document inflation has "
+            "regressed to the saturating near-dup shape (finding 2)"
+        )
+        release_persisted()
+        return {
+            "mode": "full_pipeline",
+            "k": k,
+            "inflate_sec": inflate_sec,
+            "stages": {
+                "docs": n_docs,
+                "quality_keep": quality_keep,
+                "non_eval": non_eval,
+                "contaminated": contaminated,
+                "clean_corpus": clean,
+                "packed_rows": packed,
+            },
+            "wall_sec": wall,
+            "load_avg": [round(x, 2) for x in os.getloadavg()],
+        }
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
 
 
 def sink_crossover(spark, src_dir: str, k: int) -> dict:
@@ -340,6 +469,13 @@ def main() -> None:
         sink_k = int(os.environ.get("SPARK_GRAFT_REHEARSAL_SINK_K", "400"))
         try:
             print(json.dumps(sink_crossover(spark, src, sink_k)))
+        finally:
+            spark.stop()
+        return
+
+    if "--full-pipeline" in sys.argv:
+        try:
+            print(json.dumps(full_pipeline_rehearsal(spark, src, k)))
         finally:
             spark.stop()
         return

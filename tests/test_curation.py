@@ -296,3 +296,52 @@ def test_twostar_converges_logarithmically_on_deep_chain(spark):
     assert all(labels[v] == 0 for v in range(64))
     assert labels[100] == labels[101] == 100
     assert labels[200] == 200
+
+
+def test_distinct_inflation_is_a_per_copy_ngram_isomorphism(spark, sf_dir, tmp_path):
+    """The round-11 scale harness (scale_rehearsal.inflate_documents_distinct)
+    rests on two properties, pinned here so the non-degenerate
+    corpus_pipeline_full_lsh scale point can't silently regress to the
+    saturating shape (SCALE.md round-10 finding 2):
+
+    1. ACROSS copies the word-3-gram spaces are disjoint — every token of
+       copy i>0 carries the `{i}x` tag, so decontamination never fires
+       between copies;
+    2. WITHIN a copy the suffix map is a token bijection, i.e. stripping
+       the tag recovers the base text verbatim — each copy preserves the
+       base corpus's dup families and eval/train overlap structure
+       exactly (an n-gram isomorphism), which is what keeps every stage
+       of the full pipeline live at 10x/30x.
+    """
+    import re
+    import sys
+
+    sys.path.insert(0, ".")
+    from scale_rehearsal import inflate_documents_distinct
+
+    from full_data_infrastructure_spark.sources.parquet import load_table
+
+    dest = str(tmp_path / "inflated")
+    n = inflate_documents_distinct(spark, sf_dir, dest, k=3)
+    base = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert n == 3 * len(base)
+    inflated = load_table(spark, dest, "documents").collect()
+
+    for row in inflated:
+        copy, base_id = divmod(row["doc_id"], 10**9)
+        if copy == 0:
+            assert row["text"] == base[base_id]  # copy 0 verbatim
+            continue
+        toks = row["text"].split()
+        # every token carries exactly this copy's tag...
+        assert all(t.endswith(f"{copy}x") for t in toks), row["doc_id"]
+        # ...and stripping it recovers the base text verbatim (bijection)
+        stripped = " ".join(t[: -len(f"{copy}x")] for t in toks)
+        assert stripped == re.sub(r"\s+", " ", base[base_id].strip()), (
+            row["doc_id"]
+        )
+        # n_chars tracks the rewritten text
+        assert row["n_chars"] == len(row["text"])
