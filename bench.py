@@ -77,6 +77,19 @@ from r9 (quality_classifier, knn_bruteforce, streaming_upsert_snapshot
 at the tops of their bands) re-enters item-3 protocol only if any
 exceeds its band again at lower load.
 
+Round-11 drift adjudication: the idle re-record (load_avg 0.25 at
+start, total 50.9s) put corpus_pipeline_lsh at 4.578 — 9% above its
+historical max (4.268, itself recorded at load 14). Established
+protocol, idle best-of-5 at HEAD: best 4.528 / median 5.082; same
+five runs on the r9-bench tree (b3e01e7) in a worktree: best 4.955 /
+median 5.172 — the OLD tree is slower than HEAD on the same host, same
+hour. Verdict: host drift on recording day (the sixth consecutive
+adjudication to end there), not a code regression; no dedup/packing
+code changed in rounds 10-11. The other four above-r9 prints in the
+idle run (dedup_minhash_lsh 1.505, dedup_survivors_lsh 3.548,
+flagship_benefits 0.850, pagerank_parts 2.599) all sit inside their
+historical/adjudicated bands.
+
 Round-11 ledger notes (VERDICT r10 items 2 and 5):
 * BENCH_r10 is annotated CONTENDED: it recorded at load_avg
   [14.1, 13.7, 9.4] (vs r9's ~4-6) and nine queries printed +11-19%
