@@ -110,6 +110,15 @@ Round-11 ledger notes (VERDICT r10 items 2 and 5):
   a real cluster each executor brings its own pool.  Its 128.5s at 30x
   (6x wall for 3x data) is GC-dominated — quote it only with this
   footnote.
+* corpus_pipeline_full_lsh's sf0.1 bench wall is SCAN-dominated, by
+  corpus construction: the synthetic 31-token vocabulary saturates the
+  word-3-gram space, so 97% of the base sf0.1 train docs are (rightly)
+  flagged contaminated and the chain's dedup/mixture/pack tail runs on
+  ~127 clean docs (measured, SCALE.md round-11). The number is still a
+  valid regression tripwire for the two corpus-wide scans it measures;
+  the full-chain-under-load evidence is the round-11 distinct-document
+  rehearsal table (clean_corpus 873/3,018 at 10x/30x, 1.3x wall for 3x
+  data).
 
 Round-7 bench additions (VERDICT r6 item 5): tpch_q5_region_volume (the
 canonical join-order benchmark), pagerank_parts (the only
