@@ -96,10 +96,10 @@ Round-11 ledger notes (VERDICT r10 items 2 and 5):
   with plans unchanged — read r10's numbers through that load line, not
   as regressions.  The r9 ledger watch CLOSES: quality_classifier,
   knn_bruteforce and streaming_upsert_snapshot all came back inside
-  band in r10 despite the contention.  New conditional watch:
-  dedup_semantic and join_dim_snowflake (+18% at load 14, plan
-  unchanged) enter item-3 protocol only if they exceed their bands
-  again at LOW load; at r10's load the +18% needs no explanation.
+  band in r10 despite the contention.  The r10 candidates for a new
+  watch (dedup_semantic, join_dim_snowflake, +18% at load 14) both
+  came back inside band in the round-11 IDLE re-record (0.609 vs r9
+  0.541; 0.359 vs r9 0.369) — no watch needed, the +18% was the load.
 * pagerank_parts 30x footnote — do NOT re-run the dead experiment: at
   the 30x rehearsal tier pagerank needs a 32 GB rehearsal JVM
   (SCALE.md round-10 finding 1; UNABLE_TO_ACQUIRE_MEMORY under the
