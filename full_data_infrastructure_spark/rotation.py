@@ -152,6 +152,20 @@ def _correctness_paths(root: str | os.PathLike[str]) -> list[str]:
                 if fnmatch.fnmatch(line.strip(), "CORRECTNESS_r*.json")
                 and os.path.exists(path := os.path.join(str(root), line.strip()))
             ]
+        # ls-tree fails for two distinguishable reasons: not a git repo
+        # (fall through to the glob — the exported-tree case the fallback
+        # exists for), or a repo whose HEAD is unborn (init, no commit).
+        # The latter IS a repo with zero committed evidence, and falling
+        # through to the glob there would count untracked files as
+        # evidence — the exact contract this function enforces.
+        probe = subprocess.run(
+            ["git", "-C", str(root), "rev-parse", "--git-dir"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if probe.returncode == 0:
+            return []
     except (OSError, subprocess.TimeoutExpired):
         pass
     return sorted(glob.glob(os.path.join(str(root), "CORRECTNESS_r*.json")))

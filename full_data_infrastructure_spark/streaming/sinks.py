@@ -104,6 +104,16 @@ def _bucketed_snapshot_nonempty(path: str) -> bool:
     return any(entry.startswith("bucket=") for entry in os.listdir(path))
 
 
+def _schema_plus_bucket(schema) -> T.StructType:
+    """The declared scan schema for a bucket-partitioned snapshot: the
+    data schema plus the ``bucket`` partition-directory column.  One
+    definition shared by every standing read so the consumer-side and
+    fold-side paths cannot drift on the partition column's type."""
+    return T.StructType(
+        list(schema.fields) + [T.StructField("bucket", T.IntegerType())]
+    )
+
+
 def read_bucketed_snapshot(spark, path: str, schema, fmt: str = "parquet") -> DataFrame:
     """Consumer-side read of a bucketed snapshot table that is TOTAL on
     the empty cases a live pipeline produces: a stream that has not yet
@@ -123,11 +133,11 @@ def read_bucketed_snapshot(spark, path: str, schema, fmt: str = "parquet") -> Da
     (ADVICE r9)."""
     if not _bucketed_snapshot_nonempty(path):
         return spark.createDataFrame([], schema)
-    schema_plus_bucket = T.StructType(
-        list(schema.fields) + [T.StructField("bucket", T.IntegerType())]
-    )
     return (
-        spark.read.format(fmt).schema(schema_plus_bucket).load(path).drop("bucket")
+        spark.read.format(fmt)
+        .schema(_schema_plus_bucket(schema))
+        .load(path)
+        .drop("bucket")
     )
 
 
@@ -146,12 +156,9 @@ def _read_touched_buckets(spark, path: str, fmt: str, touched, schema) -> DataFr
     later batches would otherwise infer from parquet footers, and any drift
     between the two forks the standing table's types mid-stream (ADVICE
     r10 — the r9 fix covered only the consumer-side read)."""
-    schema_plus_bucket = T.StructType(
-        list(schema.fields) + [T.StructField("bucket", T.IntegerType())]
-    )
     return (
         spark.read.format(fmt)
-        .schema(schema_plus_bucket)
+        .schema(_schema_plus_bucket(schema))
         .load(path)
         .filter(F.col("bucket").isin(list(touched)))
         .drop("bucket")

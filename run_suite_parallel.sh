@@ -68,4 +68,11 @@ wait "$pa" || ra=$?
 wait "$pb" || rb=$?
 echo "--- half A (tail) ---"; tail -n 2 "$LOG_A"
 echo "--- half B (tail) ---"; tail -n 2 "$LOG_B"
-[ "$ra" -eq 0 ] && [ "$rb" -eq 0 ]
+if [ "$ra" -eq 0 ] && [ "$rb" -eq 0 ]; then
+    # Passing runs clean up their logs (mktemp names would otherwise
+    # accumulate in /tmp forever); failing runs keep them for diagnosis.
+    rm -f "$LOG_A" "$LOG_B"
+    exit 0
+fi
+echo "FAILED — logs kept: $LOG_A $LOG_B" >&2
+exit 1

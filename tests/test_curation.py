@@ -309,14 +309,16 @@ def test_distinct_inflation_is_a_per_copy_ngram_isomorphism(spark, sf_dir, tmp_p
        between copies;
     2. WITHIN a copy the suffix map is a token bijection, i.e. stripping
        the tag recovers the base text verbatim — each copy preserves the
-       base corpus's dup families and eval/train overlap structure
-       exactly (an n-gram isomorphism), which is what keeps every stage
-       of the full pipeline live at 10x/30x.
+       base corpus's dup families and pairwise shingle-overlap structure
+       exactly (an n-gram isomorphism; the eval/train SPLIT itself is
+       re-rolled per copy because doc_ids shift), which is what keeps
+       every stage of the full pipeline live at 10x/30x.
     """
     import re
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from scale_rehearsal import inflate_documents_distinct
 
     from full_data_infrastructure_spark.sources.parquet import load_table

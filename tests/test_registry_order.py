@@ -350,7 +350,8 @@ def test_deleted_committed_evidence_does_not_crash_the_rotation(tmp_path):
                 "GIT_AUTHOR_EMAIL": "t@t",
                 "GIT_COMMITTER_NAME": "t",
                 "GIT_COMMITTER_EMAIL": "t@t",
-                "HOME": str(tmp_path),
+                "GIT_CONFIG_NOSYSTEM": "1",  # /etc/gitconfig (gpgsign,
+                "HOME": str(tmp_path),  # hooks) must not leak in
                 "PATH": os.environ["PATH"],
             },
         )
@@ -359,6 +360,13 @@ def test_deleted_committed_evidence_does_not_crash_the_rotation(tmp_path):
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"q_old": row}))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"q_new": row}))
     git("init", "-q")
+
+    # Unborn HEAD (repo initialized, nothing committed): a repo with zero
+    # committed evidence — the files on disk are untracked and must NOT
+    # count (the glob fallback is for non-repos only).
+    assert _correctness_paths(tmp_path) == []
+    assert load_max_round(tmp_path) == 0
+
     git("add", "CORRECTNESS_r01.json", "CORRECTNESS_r02.json")
     git("commit", "-qm", "evidence")
 
