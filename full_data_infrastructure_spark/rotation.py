@@ -80,26 +80,18 @@ EVIDENCE_STALE_AFTER = 2
 # all landed green r9 rows, so they clear; the two bucketed sink twins
 # are forced because their builders changed after their r9 green rows.
 # Round 11: the round-10 forces (the two bucketed twins +
-# multimodal_embed) all landed green r10 rows, so they clear.  All five
-# streaming sink snapshot queries are forced this round: ADVICE r10
-# item 2 threaded the DECLARED data schema into every standing-table
-# read inside the folds — _read_touched_buckets (both bucketed twins),
-# the non-bucketed snapshot reads in the upsert merge() and scd2 fold()
-# (both swap twins), and the rollup fold's partials read
-# (streaming_rollup_snapshot) — where parquet footer inference
-# previously forked the first batch's batch-derived types from later
-# batches'.  Results are identical at every tested SF (the stored files
-# never drifted), but policy is: builder changed since the last green
-# row => re-attest.
-FORCE_REFRESH: frozenset[str] = frozenset(
-    {
-        "streaming_scd2_snapshot",
-        "streaming_upsert_snapshot",
-        "streaming_scd2_bucketed_snapshot",
-        "streaming_upsert_bucketed_snapshot",
-        "streaming_rollup_snapshot",
-    }
-)
+# multimodal_embed) all landed green r10 rows, so they cleared; the
+# five streaming sink snapshot queries were then forced (ADVICE r10
+# item 2: declared-schema reads threaded into every sink fold).
+# Round 12: all five sink forces landed green r11 rows, so they clear.
+# No builder or oracle changed since r11's rotation commit, so nothing
+# is forced this round — by design: the r12 window is oversubscribed
+# (38 r8-evidence queries + 16 stale-bench pins + 2 flagship = 56
+# candidates for 50 slots; ~6 r8 queries spill stalest-first to r13),
+# and r13 then absorbs the 44-query r9 tail + that spill as an
+# exactly-full window with ZERO slack — any discretionary force in
+# r12/r13 would push a query past the staleness SLA.
+FORCE_REFRESH: frozenset[str] = frozenset()
 
 # Queries registered AFTER the current round's attestation payload froze
 # (the VERDICT names the exact queries whose first driver rows are due this
@@ -152,12 +144,29 @@ def _correctness_paths(root: str | os.PathLike[str]) -> list[str]:
                 if fnmatch.fnmatch(line.strip(), "CORRECTNESS_r*.json")
                 and os.path.exists(path := os.path.join(str(root), line.strip()))
             ]
-        # ls-tree fails for two distinguishable reasons: not a git repo
-        # (fall through to the glob — the exported-tree case the fallback
-        # exists for), or a repo whose HEAD is unborn (init, no commit).
-        # The latter IS a repo with zero committed evidence, and falling
-        # through to the glob there would count untracked files as
-        # evidence — the exact contract this function enforces.
+        # ls-tree failed — three distinguishable cases (ADVICE r11):
+        #  * a repo whose HEAD *verifies* yet ls-tree still failed
+        #    (corrupt object store, transient git error): UNEXPECTED —
+        #    raise loudly rather than silently report zero committed
+        #    evidence, which would reset max_round to 0 and zero the
+        #    rotation window;
+        #  * a repo whose HEAD is unborn (init, no commit): a repo with
+        #    zero committed evidence — return [] so untracked files
+        #    never count (the contract this function enforces);
+        #  * not a git repo at all: fall through to the glob (the
+        #    exported-tree case the fallback exists for).
+        head = subprocess.run(
+            ["git", "-C", str(root), "rev-parse", "--verify", "-q", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if head.returncode == 0:
+            raise RuntimeError(
+                "git ls-tree HEAD failed in a repository whose HEAD "
+                "verifies — refusing to report zero committed evidence: "
+                + out.stderr.strip()
+            )
         probe = subprocess.run(
             ["git", "-C", str(root), "rev-parse", "--git-dir"],
             capture_output=True,

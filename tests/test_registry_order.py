@@ -387,3 +387,31 @@ def test_deleted_committed_evidence_does_not_crash_the_rotation(tmp_path):
     assert load_max_round(tmp_path) == 1
     git("commit", "-qm", "r03")
     assert load_max_round(tmp_path) == 3
+
+
+def test_ls_tree_failure_with_valid_head_raises(monkeypatch, tmp_path):
+    """ls-tree failing while HEAD verifies (corrupt object store, transient
+    git error) must RAISE, not silently return zero committed evidence —
+    returning [] there resets max_round to 0 and zeroes the rotation
+    window (ADVICE r11).  Unborn HEAD and non-repo keep their documented
+    behaviors (return [] / glob fallback, pinned by the tests above)."""
+    import subprocess
+
+    import pytest
+
+    from full_data_infrastructure_spark.rotation import _correctness_paths
+
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kwargs):
+        if "ls-tree" in cmd:
+            return subprocess.CompletedProcess(
+                cmd, returncode=128, stdout="", stderr="fatal: bad tree object"
+            )
+        if "--verify" in cmd:
+            return subprocess.CompletedProcess(cmd, returncode=0, stdout="", stderr="")
+        return real_run(cmd, **kwargs)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(RuntimeError, match="refusing to report zero committed"):
+        _correctness_paths(tmp_path)
