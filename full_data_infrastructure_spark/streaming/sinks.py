@@ -257,17 +257,22 @@ def start_upsert_sink(
             .execute()
         )
 
+    # Declared snapshot schema from the DECODED STREAM, fixed once at sink
+    # start rather than re-derived per batch (ADVICE r11) — see the scd2
+    # sink's rationale.
+    snapshot_schema = decoded.drop("op", order_col).schema
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if fmt == "delta":
             merge_delta(batch_df, batch_id)
             return
-        empty = spark.createDataFrame([], batch_df.drop("op", order_col).schema)
+        empty = spark.createDataFrame([], snapshot_schema)
         if n_buckets is None:
             if os.path.exists(snapshot_path):
                 # Declared schema, not footer inference: keeps every batch's
-                # standing-table types identical to the first batch's
-                # batch-derived types (ADVICE r10).
+                # standing-table types identical to the declared stream
+                # types (ADVICE r10).
                 snapshot = (
                     spark.read.format(fmt).schema(empty.schema).load(snapshot_path)
                 )
@@ -361,6 +366,22 @@ def start_rollup_sink(
             "sum_value", F.col("sum_value").cast(PARTIAL_SUM_TYPE)
         )
 
+    # Declared partials schema from the INCOMING STREAM's types, fixed once
+    # at sink start (analysis-only over an empty frame) rather than
+    # re-derived from each batch (ADVICE r11); PARTIAL_SUM_TYPE fixes the
+    # decimal width, so footer inference can never fork the stored types
+    # (ADVICE r10) and a mid-stream upstream type change errors in the
+    # unionByName below instead of silently re-typing the standing read.
+    partials_schema = _stabilize(
+        rollup_partials(
+            events.sparkSession.createDataFrame([], events.schema),
+            unit=unit,
+            keys=keys,
+            ts_col=ts_col,
+            value_col=value_col,
+        )
+    ).schema
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(partials_path, marker_name)
         # Migration: deployments created before the fence moved inside the
@@ -381,12 +402,9 @@ def start_rollup_sink(
             )
         )
         if os.path.exists(partials_path):
-            # Declared schema = the stabilized partials schema this fold
-            # writes (PARTIAL_SUM_TYPE fixes the decimal width), so footer
-            # inference can never fork the stored types (ADVICE r10).
             merged = (
                 spark.read.format(fmt)
-                .schema(batch_partials.schema)
+                .schema(partials_schema)
                 .load(partials_path)
                 .unionByName(batch_partials)
                 .groupBy("bucket", *keys)
@@ -473,14 +491,24 @@ def start_scd2_sink(
         scd2_versions,
     )
 
+    # Declared standing-table schema: what scd2_versions emits for the
+    # DECODED STREAM's column types, computed ONCE at sink start
+    # (analysis-only over an empty frame — no job runs) rather than per
+    # batch (ADVICE r11).  Applied to every standing read so no batch can
+    # fork types via parquet footer inference (ADVICE r10), and so that
+    # if an upstream decode change ever altered a batch's types
+    # mid-stream the fold surfaces the drift loudly instead of silently
+    # re-reading old files with the new batch's types.
+    _change_cols = ("user_id", "event_type", "ts", "event_id")
+    versions_schema = scd2_versions(
+        changes.sparkSession.createDataFrame(
+            [], changes.select(*_change_cols).schema
+        )
+    ).schema
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select("user_id", "event_type", "ts", "event_id")
-        # Declared standing-table schema: what scd2_versions emits for this
-        # batch's column types (analysis-only — no job runs).  Applied to
-        # every standing read so later batches can't fork types via parquet
-        # footer inference (ADVICE r10).
-        versions_schema = scd2_versions(batch).schema
+        batch = batch_df.select(*_change_cols)
         if n_buckets is None:
             if os.path.exists(versions_path):
                 standing = (

@@ -43,9 +43,11 @@ done
 
 # Per-invocation log paths: fixed names let two concurrent runs (or two
 # users on a shared host) clobber each other's logs and mis-tail the
-# summary (ADVICE r10).
-LOG_A="$(mktemp /tmp/fdi_suite_half_a.XXXXXX.log)"
-LOG_B="$(mktemp /tmp/fdi_suite_half_b.XXXXXX.log)"
+# summary (ADVICE r10).  No suffix after the X's: that form is a GNU
+# coreutils extension, and under busybox/minimal mktemp this #!/bin/sh
+# script would die at startup via set -e (ADVICE r11).
+LOG_A="$(mktemp /tmp/fdi_suite_half_a.XXXXXX)"
+LOG_B="$(mktemp /tmp/fdi_suite_half_b.XXXXXX)"
 echo "half A -> $LOG_A"
 echo "half B -> $LOG_B"
 

@@ -146,9 +146,21 @@ def inflate_documents_distinct(spark, src_dir: str, dest_dir: str, k: int) -> in
       keeps a ~3% uncontaminated tail and the clean corpus grows
       ~linearly in K instead of collapsing to zero (a pathological
       re-rolled split CAN contaminate ~all of one copy — the harness's
-      clean_corpus>0 gate is what certifies the run, not this prose);
-    * the suffix is digits+``x`` appended to an all-alphabetic
-      vocabulary, so the map is collision-free across copies.
+      clean_corpus>0 gate is what certifies the run, not this prose).
+      For the same reason the copies are not quality-homogeneous: the
+      LCG gram-hash quality weights re-rolled over each copy's fresh
+      token set are not centered, so copy 0 keeps ~90% of docs through
+      the quality stage while re-rolled copies keep ~34% (~40%
+      blended) — per-stage counts at 10x/30x reflect this corpus
+      construction, not a classifier regression;
+    * the suffix is digits+``x`` appended to an all-ALPHABETIC
+      vocabulary, so the map is collision-free across copies for any
+      K.  That precondition is ENFORCED, not assumed (ADVICE r11): a
+      digit-bearing base token would make tags ambiguous (base
+      ``foo1`` in copy 1 and base ``foo`` in copy 11 both become
+      ``foo11x``, silently reintroducing cross-copy contamination), so
+      the function raises ``ValueError`` if any base text contains a
+      digit.
 
     All JVM-side (one ``regexp_replace``); only the documents table is
     written (the FULL pipelines read nothing else).  Returns the
@@ -162,6 +174,16 @@ def inflate_documents_distinct(spark, src_dir: str, dest_dir: str, k: int) -> in
     )
 
     base = load_table(spark, src_dir, "documents")
+    # Collision-freedom precondition (see docstring): the `{i}x` tags are
+    # only unambiguous over a digit-free base vocabulary.
+    if k > 1 and base.where(F.col("text").rlike("[0-9]")).limit(1).count() > 0:
+        raise ValueError(
+            "inflate_documents_distinct requires a digit-free base "
+            "vocabulary: a digit-bearing token makes the per-copy "
+            "`{i}x` tags ambiguous across copies (e.g. 'foo1'+'1x' == "
+            "'foo'+'11x'), silently reintroducing the cross-copy "
+            "contamination the bijection exists to remove"
+        )
     copies = []
     for i in range(k):
         c = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**9))

@@ -347,3 +347,29 @@ def test_distinct_inflation_is_a_per_copy_ngram_isomorphism(spark, sf_dir, tmp_p
         )
         # n_chars tracks the rewritten text
         assert row["n_chars"] == len(row["text"])
+
+
+def test_distinct_inflation_rejects_digit_bearing_vocabulary(spark, tmp_path):
+    """The `{i}x` copy tags are only unambiguous over a DIGIT-FREE base
+    vocabulary: token 'foo1' in copy 1 and token 'foo' in copy 11 both
+    become 'foo11x', silently reintroducing cross-copy contamination
+    (ADVICE r11).  The precondition is enforced at runtime, not assumed
+    of the synthetic corpus."""
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scale_rehearsal import inflate_documents_distinct
+
+    src = tmp_path / "digit_corpus"
+    spark.createDataFrame(
+        [(1, "foo1 bar baz", 12), (2, "plain alpha text", 16)],
+        "doc_id bigint, text string, n_chars bigint",
+    ).write.parquet(str(src / "documents.parquet"))
+    with pytest.raises(ValueError, match="digit-free base"):
+        inflate_documents_distinct(spark, str(src), str(tmp_path / "out"), k=12)
+    # k=1 (no tagged copies) stays legal on the same corpus
+    n = inflate_documents_distinct(spark, str(src), str(tmp_path / "out1"), k=1)
+    assert n == 2
