@@ -90,6 +90,25 @@ idle run (dedup_minhash_lsh 1.505, dedup_survivors_lsh 3.548,
 flagship_benefits 0.850, pagerank_parts 2.599) all sit inside their
 historical/adjudicated bands.
 
+Round-12 drift adjudication: the pre-record idle sweep (load_avg ~1)
+printed corpus_pipeline_full_lsh at 3.605 — 10% above its historical
+max (3.288, r7) — and dedup_semantic at 0.696 (1% above its 0.689 r7
+max).  Established protocol: dedup_semantic re-measured idle best-of-5
+at 0.637, back inside band.  corpus_pipeline_full_lsh stayed high in
+two isolated best-of-5 runs (3.425/3.487 at HEAD vs 3.163/3.218 on the
+r11-bench tree cd7fed0 in a worktree), which looked like a repeatable
+gap — but a directory-controlled three-tree ALTERNATING cycle
+(r11-bench tree, the mid rotation commit, HEAD, each from a /tmp
+worktree, best-of-5 per visit) dissolved it: HEAD printed 3.177 and
+2.969 (inside band, FASTER than the r11 tree's 3.438/3.024 in the same
+cycles) and the mid tree printed both the slowest (3.933) and a fast
+(3.112) number.  No ordering survives alternation, and no code in the
+query's path changed in r12 (the round touched streaming sink schema
+derivation, rotation, and the rehearsal harness only).  Verdict: host
+drift on the early prints — the seventh consecutive adjudication to
+end there; the alternating-tree cycle is the stronger protocol when an
+isolated A/B looks repeatable.
+
 Round-11 ledger notes (VERDICT r10 items 2 and 5):
 * BENCH_r10 is annotated CONTENDED: it recorded at load_avg
   [14.1, 13.7, 9.4] (vs r9's ~4-6) and nine queries printed +11-19%
