@@ -16,157 +16,17 @@ steady-state number a long-running cluster sees. Plan-shape regressions
 are caught by tests/test_plans.py; treat residual cross-run deltas as
 noise.
 
-Round-6 drift adjudication (VERDICT r5 item 3): the dedup_minhash_lsh
-+39% (r4 1.001s -> r5 1.388s) was re-measured under SPARK_GRAFT_BENCH_REPEATS=5
-on an idle host (1.437s), then the r4 bench commit (3cab237) was checked out
-into a worktree and the SAME query micro-benched back-to-back with HEAD on
-the same host, 7 repeats each: r4 code best 1.39s / median 1.72s vs HEAD
-best 1.438s / median 1.56s — indistinguishable. The r4-recorded 1.001s was
-host state on recording day, not a plan change; untouched queries
-(knn_bruteforce +40%, flagship +17%) drifted identically in the controlled
-run, corroborating. Verdict: variance, not regression.
-
-Round-7 drift adjudication (VERDICT r6 item 6): asof_join +47% (r5 0.272s
--> r6 0.399s; judge-verified zero asof code changes) re-measured with the
-same protocol — the pre-r5-bench tree (af5758e~1) checked out into a
-worktree and micro-benched back-to-back with HEAD on the same host, 7
-repeats each after codegen warmup: r5 code best 0.429s / median 0.503s vs
-HEAD best 0.448s / median 0.519s — indistinguishable; both slower than
-either recorded number, so the r5-recorded 0.272s was fast-host state on
-recording day. Verdict: variance, not regression.
-
-Round-8 drift adjudication: BENCH_r07's shared-17 sum drifted +23% vs r6
-with NO query improved beyond noise — the uniform signature of a slow host
-on the driver's recording run, not a plan change.  The extreme outlier,
-dedup_survivors_lsh +50% (r6 2.474s -> r7 3.721s), was re-measured with
-the established protocol: idle-host best-of-5 at HEAD (2.93s) and the r6
-bench commit (c5c7ae6) checked out into a worktree and micro-benched
-back-to-back on the same host (best 2.899s) — identical, and the round-7
-dedup.py diff never touched the survivors path (only the cosine-histogram
-twin).  Both recorded numbers bracket the same code: r6's 2.474s was a
-fast host, r7's 3.721s a slow one.  Companion drifts re-measured in the
-same run all landed at-or-below their r6 numbers (dedup_semantic 0.549s,
-flagship_benefits 0.383s, quality_classifier 1.154s, knn_bruteforce
-0.646s, corpus_pipeline_lsh 3.246s).  Verdict: variance, not regression.
-
-Round-9 drift adjudication (VERDICT r8 item 2): pagerank_parts +10%
-(r7 2.17s -> r8 2.39s best) was the only regressed query whose plan
-actually changed in r8 (ROUND(double,12) -> integer 1e-12 BIGINT
-quantization), so the variance presumption didn't apply. Re-measured
-with the established protocol, best-of-5 back-to-back on the same host:
-HEAD best 2.522s / median 2.839s vs the pre-quantization tree
-(3eb4498^ in a worktree) best 2.447s / median 3.067s — the
-distributions overlap (HEAD's median is LOWER), so the BIGINT
-quantization costs at most ~3% of best-case, within host variance.
-Verdict: variance plus a small acceptable exactness cost; the
-quantization stays (it is what makes the hash bit-stable at any scale).
-Also noted for the ledger: r8 ran at load_avg 4.2-6.6, so the two
-microbench regressions it recorded (topk_group_count +65 ms,
-multi_aggregate +53 ms) have a recorded contention explanation;
-re-measure only if they regress again on an idle host.
-
-Round-10 drift adjudication (VERDICT r9 item 3): knn_ivfpq +32%
-(r8 1.596s -> r9 2.103s best, above its historical max 1.885s) with
-similarity.py untouched. Re-measured with the established protocol,
-idle-host best-of-5 at HEAD (load_avg 2.3): best 1.581s / median
-1.621s — at-or-below the r8 number, no worktree diff needed (the plan
-never changed and HEAD already brackets the fast end). Verdict:
-variance; the r9 recording run's 1-minute load snapshot (3.9) evidently
-missed a contended stretch during this query's three runs. Ledger watch
-from r9 (quality_classifier, knn_bruteforce, streaming_upsert_snapshot
-at the tops of their bands) re-enters item-3 protocol only if any
-exceeds its band again at lower load.
-
-Round-11 drift adjudication: the idle re-record (load_avg 0.25 at
-start, total 50.9s) put corpus_pipeline_lsh at 4.578 — 9% above its
-historical max (4.268, itself recorded at load 14). Established
-protocol, idle best-of-5 at HEAD: best 4.528 / median 5.082; same
-five runs on the r9-bench tree (b3e01e7) in a worktree: best 4.955 /
-median 5.172 — the OLD tree is slower than HEAD on the same host, same
-hour. Verdict: host drift on recording day (the sixth consecutive
-adjudication to end there), not a code regression; no dedup/packing
-code changed in rounds 10-11. The other four above-r9 prints in the
-idle run (dedup_minhash_lsh 1.505, dedup_survivors_lsh 3.548,
-flagship_benefits 0.850, pagerank_parts 2.599) all sit inside their
-historical/adjudicated bands.
-
-Round-12 drift adjudication: the pre-record idle sweep (load_avg ~1)
-printed corpus_pipeline_full_lsh at 3.605 — 10% above its historical
-max (3.288, r7) — and dedup_semantic at 0.696 (1% above its 0.689 r7
-max).  Established protocol: dedup_semantic re-measured idle best-of-5
-at 0.637, back inside band.  corpus_pipeline_full_lsh stayed high in
-two isolated best-of-5 runs (3.425/3.487 at HEAD vs 3.163/3.218 on the
-r11-bench tree cd7fed0 in a worktree), which looked like a repeatable
-gap — but a directory-controlled three-tree ALTERNATING cycle
-(r11-bench tree, the mid rotation commit, HEAD, each from a /tmp
-worktree, best-of-5 per visit) dissolved it: HEAD printed 3.177 and
-2.969 (inside band, FASTER than the r11 tree's 3.438/3.024 in the same
-cycles) and the mid tree printed both the slowest (3.933) and a fast
-(3.112) number.  No ordering survives alternation, and no code in the
-query's path changed in r12 (the round touched streaming sink schema
-derivation, rotation, and the rehearsal harness only).  Verdict: host
-drift on the early prints — the seventh consecutive adjudication to
-end there; the alternating-tree cycle is the stronger protocol when an
-isolated A/B looks repeatable.
-
-Round-11 ledger notes (VERDICT r10 items 2 and 5):
-* BENCH_r10 is annotated CONTENDED: it recorded at load_avg
-  [14.1, 13.7, 9.4] (vs r9's ~4-6) and nine queries printed +11-19%
-  with plans unchanged — read r10's numbers through that load line, not
-  as regressions.  The r9 ledger watch CLOSES: quality_classifier,
-  knn_bruteforce and streaming_upsert_snapshot all came back inside
-  band in r10 despite the contention.  The r10 candidates for a new
-  watch (dedup_semantic, join_dim_snowflake, +18% at load 14) both
-  came back inside band in the round-11 IDLE re-record (0.609 vs r9
-  0.541; 0.359 vs r9 0.369) — no watch needed, the +18% was the load.
-* pagerank_parts 30x footnote — do NOT re-run the dead experiment: at
-  the 30x rehearsal tier pagerank needs a 32 GB rehearsal JVM
-  (SCALE.md round-10 finding 1; UNABLE_TO_ACQUIRE_MEMORY under the
-  suite-default 8 GB because local[32] splits one execution-memory pool
-  across 32 task threads, ~150 MB/task).  The shuffle-partitions lever
-  was tested and ruled out (commit 4aeb6d1).  Single-JVM artifact, not
-  a plan flaw: the per-iteration plan is one edge-keyed shuffle, and on
-  a real cluster each executor brings its own pool.  Its 128.5s at 30x
-  (6x wall for 3x data) is GC-dominated — quote it only with this
-  footnote.
-* corpus_pipeline_full_lsh's sf0.1 bench wall is SCAN-dominated, by
-  corpus construction: the synthetic 31-token vocabulary saturates the
-  word-3-gram space, so 97% of the base sf0.1 train docs are (rightly)
-  flagged contaminated and the chain's dedup/mixture/pack tail runs on
-  ~127 clean docs (measured, SCALE.md round-11). The number is still a
-  valid regression tripwire for the two corpus-wide scans it measures;
-  the full-chain-under-load evidence is the round-11 distinct-document
-  rehearsal table (clean_corpus 873/3,018 at 10x/30x, 1.3x wall for 3x
-  data).
-
-Round-7 bench additions (VERDICT r6 item 5): tpch_q5_region_volume (the
-canonical join-order benchmark), pagerank_parts (the only
-iterative-shuffle entry), streaming_scd2_snapshot (the heaviest new
-streaming path, with the fold_sec split like the upsert sink), plus
-knn_ivfpq (flipped to bench=True the same round so the IVF+PQ scale path
-is perf-tracked alongside knn_bruteforce) — 21 benched queries total.
-
-Round-9 bench additions (VERDICT r8 item 4): streaming_upsert_bucketed_
-snapshot and streaming_scd2_bucketed_snapshot — the n_buckets=16 sink
-variants (the actual 100 TB write path) under bucket-grouped key-sparse
-replays, so BENCH carries bucketed fold_sec beside the full-rewrite
-twins' — 23 benched queries total.  Expected shape of those numbers AT
-THIS SF: the bucketed fold_sec is HIGHER than the swap twin's (round-9
-local: scd2 6.6s vs 4.6s, upsert 5.8s vs 4.3s) because the sf0.1
-standing table is batch-sized, so per-bucket directory listing/commit
-overhead dominates while the pruning saves almost nothing.  The
-crossover the variant exists for is standing >> batch: the swap fold
-rewrites the WHOLE standing table every trigger (cost grows with table
-size, unbounded), the bucketed fold's IO is touched/n_buckets of it
-(bounded by the batch's key spread — plan-gated in
-tests/test_streaming.py).  Track the bucketed number for regressions in
-the constant factor, not as a race against the swap twin.  Round 10
-MEASURED the crossover in its winning regime (`python
-scale_rehearsal.py --sinks`, SCALE.md round-10 section): at a 316 MB /
-3158:1 standing:batch upsert table the bucketed fold is 1.662s vs the
-swap's 2.312s, scd2 2.454s vs 3.753s, and 4x table growth adds ~5-8x
-more to the swap folds than the bucketed ones — the swap side scales
-O(table), the bucketed side O(touched/n_buckets).
+Drift-adjudication history lives in BENCH_LEDGER.md (split out round 12,
+VERDICT r11 note 3, when the in-docstring ledger neared 200 lines): every
+band-breach print since round 6, the protocol run that adjudicated it
+(idle best-of-5, worktree A/B, and — since r12 — the three-tree
+alternating cycle for gaps that survive an isolated A/B), plus the
+recording-condition annotations (BENCH_r10 CONTENDED, the pagerank 30x
+single-JVM memory footnote, corpus_pipeline_full_lsh's scan-dominated
+sf0.1 wall) and the bench-set growth history (21 entries r7, 23 r9).
+Seven consecutive adjudications have ended "host drift, not regression";
+a new breach enters that protocol, and its writeup goes in the ledger
+file, not here.
 
 Schema additions (round 6):
 * "groups" — per-family subtotals (relational / dedup / ann / text /
