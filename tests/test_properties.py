@@ -9,10 +9,14 @@ that must hold for any input, not just the synthetic fixtures:
 
 Examples are kept tiny (Spark job per example); max_examples is low on
 purpose — these probe edge shapes (empty sides, duplicate keys, all-equal
-timestamps), not statistical volume.
+timestamps), not statistical volume.  SPARK_GRAFT_HYPOTHESIS_EXAMPLES
+overrides the count for an occasional deep-fuzz pass (e.g. =100 once per
+round); the suite default stays 5 so the parallel-runner wall holds.
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -23,7 +27,7 @@ from full_data_infrastructure_spark.operators.joins import asof_join, salted_joi
 from full_data_infrastructure_spark.streaming.cdc import apply_cdc_batch
 
 SETTINGS = settings(
-    max_examples=5,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "5")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
