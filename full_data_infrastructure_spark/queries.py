@@ -99,78 +99,67 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 12 note: the round-11 FORCE_REFRESH five (all streaming sink
-# snapshot queries) landed green r11 rows, cleared — and were
-# GENUINELY re-forced: the r12 ADVICE pass hoisted every sink fold's
-# declared-schema derivation from per-batch to sink-start
-# (streaming/sinks.py), a builder change after their r11 rows =>
-# re-attest (policy, identical results included).  The rest is the
-# OVERSUBSCRIBED window the r11 VERDICT scheduled: the fill takes 22
-# of the 38 r8-evidence queries (alphabetical tie-break among the
-# equally stale), the 16 stale-bench pins hold their slots, and tag
-# repair swaps in five r9-evidence family representatives
-# (distinct_projection, enrichment_distance, generator_activities,
-# range_join, set_union_except_intersect — their families' freshest
-# rows are r9, past the horizon) evicting five r8 queries whose tags
-# stay covered.  Sixteen r8 queries therefore spill to r13; the
-# schedule was verified mechanically before landing (simulate r12
-# evidence, recompute r13: all 16 spills fit, and a projected r14
-# shows zero SLA violations) — but r13 has NO remaining slack: no
-# further forces in r13 unless a builder genuinely changes.  The
-# staleness SLA (tests/test_registry_order.py::test_staleness_sla)
-# holds: every registered query is either windowed or green within
-# the last 3 rounds.)
+# (Round 13 note: the round-12 forces (five streaming sink snapshots,
+# re-attested after the declared-schema hoist) all landed green r12
+# rows and cleared — FORCE_REFRESH is empty.  This is the zero-slack
+# window the r11/r12 VERDICTs scheduled: the 16-query r8 spill leads
+# the fill, stale-bench pins hold their slots, and the remainder
+# drains the r9 cohort stalest-first; no discretionary force was
+# added.  The staleness SLA
+# (tests/test_registry_order.py::test_staleness_sla) holds: every
+# registered query is either windowed or green within the last 3
+# rounds.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "streaming_rollup_snapshot",
-    "streaming_scd2_bucketed_snapshot",
-    "streaming_scd2_snapshot",
-    "streaming_upsert_bucketed_snapshot",
-    "streaming_upsert_snapshot",
-    "constraint_violations",
-    "dedup_cluster_cc",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_incremental_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_span_removal",
-    "dedup_survivors",
-    "dup_span_signal",
-    "embedding_lang_drift",
-    "exists_subquery",
-    "funnel_conversion",
-    "groupby_count_avg",
-    "grouping_sets_counts",
-    "histogram_buckets",
-    "hypertable_rollup_hourly",
-    "hypertable_rollup_merge",
-    "in_subquery",
-    "multimodal_decode",
-    "asof_join",
-    "corpus_pipeline_full_lsh",
-    "corpus_pipeline_lsh",
-    "decontaminate_overlap",
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "dedup_survivors_lsh",
-    "distinct_projection",
-    "enrichment_distance",
-    "generator_activities",
-    "join_dim_snowflake",
-    "knn_bruteforce",
-    "knn_ivfpq",
-    "multi_aggregate",
-    "paragraph_dedup",
-    "quality_classifier",
-    "range_join",
-    "set_union_except_intersect",
-    "text_stats",
-    "topk_group_count",
-    "window_moving_avg",
+    "knn_ivf",
+    "knn_label_consistency",
+    "knn_lsh",
+    "mad_outliers",
+    "multimodal_payload_dedup",
+    "notnull_filter",
+    "ordered_limit",
+    "pack_bin_stats",
+    "pack_sequences",
+    "percentile_stats",
+    "rfm_segments",
+    "shard_manifest",
+    "trend_by_event_type",
+    "validation_suite",
+    "winnowing_fingerprint",
+    "winsorize_values",
+    "anti_join",
+    "bpe_pair_counts",
+    "case_flag_arithmetic",
+    "compact_small_files",
+    "corpus_pipeline",
+    "corpus_pipeline_full",
+    "ema_by_user",
+    "heavy_hitters_tokens",
+    "json_extract",
+    "k_anonymity_violations",
+    "mixture_sample",
+    "mixture_sqrt_temperature",
+    "multimodal_join",
+    "multimodal_resize",
+    "not_exists_subquery",
+    "ntile_price_quartiles",
+    "pii_redact",
+    "proportional_sample",
+    "runtime_filtered_join",
+    "scalar_count",
+    "select_prune_cast",
+    "streaming_sessionize_snapshot",
+    "unpivot_lineitem",
+    "activity_heatmap",
+    "benford_first_digit",
+    "bpe_learn",
+    "bpe_tokenize_counts",
+    "conversation_assembly",
+    "corpus_datacard",
+    "correlation_matrix",
+    "cosine_threshold_histogram",
+    "tpch_q5_region_volume",
 )
 
 

@@ -83,29 +83,15 @@ EVIDENCE_STALE_AFTER = 2
 # multimodal_embed) all landed green r10 rows, so they cleared; the
 # five streaming sink snapshot queries were then forced (ADVICE r10
 # item 2: declared-schema reads threaded into every sink fold).
-# Round 12: all five sink forces landed green r11 rows, so they clear
-# — and are immediately re-forced, GENUINELY (not discretionary): the
-# r12 ADVICE pass hoisted every sink fold's declared-schema derivation
-# from per-batch to sink-start (streaming/sinks.py — scd2
-# versions_schema, upsert snapshot_schema, rollup partials_schema), so
-# the builders changed after their r11 green rows => re-attest
-# (policy: including changes with identical results).  The window was
-# already oversubscribed (38 r8-evidence queries + 16 stale-bench pins
-# + 2 flagship), so with these five forces 16 r8 queries spill
-# stalest-first to r13.  The schedule was verified mechanically before
-# landing: simulating r12 evidence, ALL 16 spills fit the r13 window
-# and the staleness SLA holds through a projected r14 with zero
-# violations — but r13 has NO remaining slack: add no further forces
-# in r13 unless a builder genuinely changes.
-FORCE_REFRESH: frozenset[str] = frozenset(
-    {
-        "streaming_scd2_snapshot",
-        "streaming_upsert_snapshot",
-        "streaming_scd2_bucketed_snapshot",
-        "streaming_upsert_bucketed_snapshot",
-        "streaming_rollup_snapshot",
-    }
-)
+# Round 13: the round-12 forces (the five streaming sink snapshots,
+# re-forced after the declared-schema hoist) all landed green r12 rows
+# — CORRECTNESS_r12 is 43 hash-green + 7 rows-only + 0 errors — so they
+# clear.  r13 is the zero-slack round: the 16-query r8 spill leads the
+# window and, with the bench pins + flagship, consumes ~41 of 50 slots;
+# NO discretionary force may be added (a genuine builder change is the
+# only legitimate force, and requires re-simulating the r14 schedule
+# before landing — VERDICT r12 item 1).
+FORCE_REFRESH: frozenset[str] = frozenset()
 
 # Queries registered AFTER the current round's attestation payload froze
 # (the VERDICT names the exact queries whose first driver rows are due this
