@@ -71,26 +71,25 @@ FLAGSHIP: tuple[str, ...] = ("flagship_benefits", "bu_salary_dashboard")
 # the slot goes to the backlog instead (see module docstring).
 EVIDENCE_STALE_AFTER = 2
 
-# Queries whose builder or oracle changed since their last green driver row:
-# they need a re-attestation even though an old row stands.  Reset to empty
-# once the refreshed row lands.  (Round 6: profile_columns and
-# event_cooccurrence_lift changed per ADVICE r5, but both are never-attested
-# anyway, so nothing to force.)
-# Round 10: the round-9 forces (mixture_sqrt_temperature clamp family)
-# all landed green r9 rows, so they clear; the two bucketed sink twins
-# are forced because their builders changed after their r9 green rows.
-# Round 11: the round-10 forces (the two bucketed twins +
-# multimodal_embed) all landed green r10 rows, so they cleared; the
-# five streaming sink snapshot queries were then forced (ADVICE r10
-# item 2: declared-schema reads threaded into every sink fold).
-# Round 13: the round-12 forces (the five streaming sink snapshots,
-# re-forced after the declared-schema hoist) all landed green r12 rows
-# — CORRECTNESS_r12 is 43 hash-green + 7 rows-only + 0 errors — so they
-# clear.  r13 is the zero-slack round: the 16-query r8 spill leads the
-# window and, with the bench pins + flagship, consumes ~41 of 50 slots;
-# NO discretionary force may be added (a genuine builder change is the
-# only legitimate force, and requires re-simulating the r14 schedule
-# before landing — VERDICT r12 item 1).
+# Queries whose builder or oracle changed since their last green driver
+# row: they need a re-attestation even though an old row stands.  Reset to
+# empty once the refreshed row lands.
+#
+# STEADY-STATE INVARIANT (the full per-round history lives in git): the
+# window is always flagship + stale-bench pins + stalest-first fill + tag
+# repair.  Forces are legitimate ONLY for a genuine builder/oracle change
+# since the query's last green row — never discretionary — and any force
+# displaces a stale query into the next round's mandatory set, so before
+# adding one, re-simulate the next round's window (simulate this round's
+# evidence, recompute, assert zero projected SLA violations) and record
+# the result in the round-note below.
+#
+# Round 12: the five streaming sink snapshots were genuinely re-forced
+# (the declared-schema derivation was hoisted to sink-start after their
+# r11 rows), oversubscribing the window and spilling 16 r8 queries.
+# Round 13: all five forces landed green r12 rows and cleared; the
+# 16-query r8 spill leads the zero-slack window; no force added, and the
+# projected r14 schedule re-simulated clean before landing.
 FORCE_REFRESH: frozenset[str] = frozenset()
 
 # Queries registered AFTER the current round's attestation payload froze

@@ -28,8 +28,29 @@ from pyspark.sql import functions as F
 from full_data_infrastructure_spark.operators.joins import asof_join, salted_join
 from full_data_infrastructure_spark.streaming.cdc import apply_cdc_batch
 
+def _max_examples() -> int:
+    """Parse the deep-fuzz override, failing with a clear message.
+
+    A malformed or non-positive value would otherwise raise at import
+    time (ValueError from int(), or hypothesis rejecting <=0), failing
+    collection of the whole module with an opaque traceback (ADVICE r12).
+    """
+    raw = os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "5")
+    try:
+        n = int(raw)
+    except ValueError:
+        raise pytest.UsageError(
+            f"SPARK_GRAFT_HYPOTHESIS_EXAMPLES must be a positive integer, got {raw!r}"
+        ) from None
+    if n <= 0:
+        raise pytest.UsageError(
+            f"SPARK_GRAFT_HYPOTHESIS_EXAMPLES must be a positive integer, got {raw!r}"
+        )
+    return n
+
+
 SETTINGS = settings(
-    max_examples=int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "5")),
+    max_examples=_max_examples(),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
