@@ -91,6 +91,48 @@ def test_staleness_sla():
     )
 
 
+def test_projected_next_round_schedule_fits():
+    """The NEXT round's window must fit the staleness SLA, projected
+    mechanically: assume every query in the committed window attests
+    green this round (historically always true — twelve rounds without a
+    red row), recompute the window for the following round with forces
+    cleared (they land with this round's rows), and assert zero queries
+    would sit outside it with over-horizon evidence.
+
+    This is the standing form of the by-hand simulation rounds 11-13 ran
+    before landing oversubscribed windows (VERDICT r12 item 1): any
+    FORCE_REFRESH addition, registry growth, or bench-pin change that
+    would overflow the next round's schedule fails HERE, at commit time,
+    instead of surfacing as a red SLA mid-round."""
+    from full_data_infrastructure_spark import rotation
+
+    root = Path(__file__).resolve().parents[1]
+    latest = dict(rotation.load_latest_green(root))
+    nxt = rotation.load_max_round(root) + 1
+    for name in registry.DRIVER_WINDOW:
+        latest[name] = nxt
+    projected = set(
+        rotation.compute_driver_window(
+            names=registry.REGISTRY,
+            bench_names=[n for n, q in registry.REGISTRY.items() if q.bench],
+            tags_by_name={n: q.tags for n, q in registry.REGISTRY.items()},
+            latest_green=latest,
+            force_refresh=frozenset(),
+            max_round=nxt,
+        )
+    )
+    violations = {
+        name: latest.get(name, 0)
+        for name in registry.REGISTRY
+        if name not in projected and latest.get(name, 0) < nxt - 3
+    }
+    assert not violations, (
+        f"projected r{nxt + 1} window cannot absorb these over-horizon "
+        f"queries — the current window/forces overcommit the schedule: "
+        f"{violations}"
+    )
+
+
 def test_window_queries_are_oracle_checked_where_possible():
     """Inside the window, only the by-design rows-only queries may lack an
     oracle (approximate sketches whose output is engine-specific)."""
