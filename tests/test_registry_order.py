@@ -431,6 +431,106 @@ def test_deleted_committed_evidence_does_not_crash_the_rotation(tmp_path):
     assert load_max_round(tmp_path) == 3
 
 
+def test_rotation_window_invariants_hold_on_random_registries():
+    """Property-sweep compute_driver_window on synthetic registries — the
+    rotation is the likeliest silent-mistake site in the repo (module
+    docstring), and the function is pure, so hypothesis can check every
+    structural invariant the hand-written cases above assume:
+
+      1. flagship leads, in order;
+      2. no duplicate names, and every non-flagship member is registered;
+      3. the window size is min(cap, registry size);
+      4. every STALE benched query is in the window (the pin contract);
+      5. every operator-family tag is either represented in the window or
+         holds fresh standing evidence (the tag-repair postcondition);
+      6. the computation is deterministic.
+
+    Overflow conditions (pinned set exceeding the cap; tag repair with no
+    evictable slot) are allowed to raise ValueError — that is the
+    documented loud-failure contract — but must not raise anything else.
+    Pure Python, no Spark: hundreds of examples run in seconds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from full_data_infrastructure_spark.rotation import (
+        EVIDENCE_STALE_AFTER,
+        FLAGSHIP,
+        compute_driver_window,
+    )
+
+    name_st = st.text(alphabet="abcdef", min_size=1, max_size=3)
+    tag_st = st.sampled_from(["t1", "t2", "t3", "t4"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        extra=st.dictionaries(
+            name_st,
+            st.tuples(
+                st.lists(tag_st, min_size=0, max_size=2),  # tags
+                st.integers(min_value=0, max_value=6),  # latest green round
+                st.booleans(),  # benched?
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        flag_tags=st.lists(tag_st, min_size=0, max_size=1),
+        cap=st.integers(min_value=2, max_value=8),
+        max_round=st.integers(min_value=0, max_value=6),
+        forced=st.sets(name_st, max_size=3),
+    )
+    def check(extra, flag_tags, cap, max_round, forced):
+        regs = {f: (tuple(flag_tags), max_round, False) for f in FLAGSHIP}
+        for n, (tags, rnd, bench) in extra.items():
+            if n not in regs:
+                regs[n] = (tuple(tags), rnd, bench)
+        names = list(regs)
+        tags_by_name = {n: regs[n][0] for n in names}
+        latest = {n: regs[n][1] for n in names if regs[n][1] > 0}
+        bench = [n for n in names if regs[n][2]]
+        kwargs = dict(
+            names=names,
+            bench_names=bench,
+            tags_by_name=tags_by_name,
+            latest_green=latest,
+            cap=cap,
+            force_refresh=frozenset(forced),
+            max_round=max_round,
+        )
+        try:
+            window = compute_driver_window(**kwargs)
+        except ValueError:
+            return  # documented overflow contract
+        # 1. flagship leads
+        assert window[: len(FLAGSHIP)] == FLAGSHIP
+        # 2. unique, registered
+        assert len(window) == len(set(window))
+        assert set(window) <= set(names)
+        # 3. exact size
+        assert len(window) == min(cap, len(names))
+        # 4. stale-bench pin contract
+        for n in bench:
+            stale = (0 if n in forced else latest.get(n, 0)) <= (
+                max_round - EVIDENCE_STALE_AFTER
+            )
+            if stale:
+                assert n in window, f"stale benched {n!r} not pinned"
+        # 5. tag coverage postcondition
+        covered = set()
+        for n in window:
+            covered.update(tags_by_name[n])
+        for tag in {t for ts in tags_by_name.values() for t in ts}:
+            fresh = any(
+                latest.get(n, 0) > max_round - EVIDENCE_STALE_AFTER
+                for n in names
+                if tag in tags_by_name[n]
+            )
+            assert tag in covered or fresh, f"family {tag!r} unattested"
+        # 6. determinism
+        assert compute_driver_window(**kwargs) == window
+
+    check()
+
+
 def test_ls_tree_failure_with_valid_head_raises(monkeypatch, tmp_path):
     """ls-tree failing while HEAD verifies (corrupt object store, transient
     git error) must RAISE, not silently return zero committed evidence —
