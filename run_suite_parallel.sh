@@ -29,7 +29,8 @@ cd "$(dirname "$0")"
 
 # Fail loudly if a test file exists that neither half runs — an explicit
 # file list must never silently shrink coverage as the suite grows.
-listed="test_plans test_operators test_oracle_parity test_properties \
+listed="test_plans test_operators test_oracle_parity test_oracle_check \
+test_properties \
 test_registry_order test_sources test_curation test_unicode_semantics \
 test_time_semantics test_totality test_streaming test_null_semantics \
 test_extreme_semantics test_tz_semantics test_layout_invariance"
@@ -61,7 +62,7 @@ pa=$!
 SPARK_GRAFT_CPUS="$SPARK_GRAFT_SUITE_CPUS" python -m pytest \
     tests/test_streaming.py tests/test_null_semantics.py \
     tests/test_extreme_semantics.py tests/test_tz_semantics.py \
-    tests/test_layout_invariance.py \
+    tests/test_layout_invariance.py tests/test_oracle_check.py \
     -q -p no:cacheprovider > "$LOG_B" 2>&1 &
 pb=$!
 

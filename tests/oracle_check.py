@@ -148,11 +148,18 @@ def compare(
     honest."""
     spark_pdf = spark_df.toPandas()
     duck_pdf = duck_rel.fetchdf()
-    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
-    if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
-        return False, f"schema mismatch: spark={s_cols} duckdb={d_cols}"
+    # Lowercase BEFORE sorting: DuckDB lowercases unquoted aliases while
+    # Spark preserves the written case, and ASCII sorts uppercase before
+    # lowercase — sorting the original-case names made column ALIGNMENT
+    # depend on the case mix (a one-column case difference passed while a
+    # three-column one false-alarmed as a schema mismatch).  Lowercased
+    # sort is computed identically on both sides, so this cannot mask a
+    # value difference — it only makes the alignment deterministic.
     spark_pdf.columns = [c.lower() for c in spark_pdf.columns]
     duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        return False, f"schema mismatch: spark={s_cols} duckdb={d_cols}"
     repr_err = check_repr_parity(spark_pdf, duck_pdf)
     if repr_err is not None:
         return False, repr_err

@@ -1,0 +1,174 @@
+"""Negative controls for the correctness gate itself.
+
+Every parity test in this suite trusts ``oracle_check.compare`` to ring
+when Spark and DuckDB disagree.  Until round 13 that trust was untested:
+a regression in the compare (a broken row sort, a normalization that
+started coercing a real difference away, a dropped column check) would
+turn the whole suite quietly green.  These tests inject known mismatches
+through tiny pandas shims — no Spark, no DuckDB connection — and assert
+the alarm rings, plus pin the deliberate equivalences (row/column order,
+column-name case, None-vs-NaN, integral float vs int) so a future
+"fix" cannot silently tighten them either.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.oracle_check import compare, normalize_frame
+
+
+class _Spark:
+    """Shim for the only method compare calls on a Spark DataFrame."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self._pdf = pdf
+
+    def toPandas(self) -> pd.DataFrame:
+        return self._pdf.copy()
+
+
+class _Duck:
+    """Shim for the only method compare calls on a DuckDB relation."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self._pdf = pdf
+
+    def fetchdf(self) -> pd.DataFrame:
+        return self._pdf.copy()
+
+
+def _frame(**cols) -> pd.DataFrame:
+    return pd.DataFrame(dict(cols))
+
+
+BASE = _frame(
+    k=["a", "b", "c"],
+    n=[1, 2, 3],
+    x=[0.5, 1.25, -2.75],
+)
+
+
+def test_identical_frames_pass():
+    ok, msg = compare(_Spark(BASE), _Duck(BASE))
+    assert ok, msg
+
+
+def test_row_order_and_column_order_are_normalized():
+    shuffled = BASE.iloc[[2, 0, 1]][["x", "k", "n"]]
+    ok, msg = compare(_Spark(BASE), _Duck(shuffled))
+    assert ok, msg
+
+
+def test_column_name_case_is_insensitive():
+    upper = BASE.rename(columns={"k": "K", "x": "X"})
+    ok, msg = compare(_Spark(upper), _Duck(BASE))
+    assert ok, msg
+
+
+def test_none_and_nan_are_equivalent_and_integral_float_matches_int():
+    a = _frame(k=["a", "b"], v=[float("nan"), 2.0])
+    b = _frame(k=["a", "b"], v=[None, 2])
+    ok, msg = compare(_Spark(a), _Duck(b))
+    assert ok, msg
+
+
+def test_one_ulp_float_drift_rings():
+    """The exact (rel_tol=0) contract: the smallest representable
+    difference must fail — a tolerance regression here is exactly the
+    masked-divergence failure mode the round-10 census retired."""
+    drift = BASE.copy()
+    drift.loc[1, "x"] = math.nextafter(1.25, 2.0)
+    ok, msg = compare(_Spark(BASE), _Duck(drift))
+    assert not ok
+    assert "value mismatch" in msg and "'x'" in msg
+
+
+def test_row_count_mismatch_rings():
+    ok, msg = compare(_Spark(BASE), _Duck(BASE.iloc[:2]))
+    assert not ok
+    assert "row count mismatch" in msg
+
+
+def test_schema_mismatch_rings():
+    renamed = BASE.rename(columns={"x": "y"})
+    ok, msg = compare(_Spark(BASE), _Duck(renamed))
+    assert not ok
+    assert "schema mismatch" in msg
+
+
+def test_decimal_vs_float_representation_rings():
+    """The round-2 hypertable failure mode: numerically identical cells
+    whose materialized classes differ (Decimal vs float64) hash-differ at
+    the driver, so the local gate must flag them even though a
+    cell-by-cell value compare would pass."""
+    dec = _frame(k=["a"], v=[decimal.Decimal("1.5")])
+    flt = _frame(k=["a"], v=[1.5])
+    ok, msg = compare(_Spark(dec), _Duck(flt))
+    assert not ok
+    assert "representation mismatch" in msg
+
+
+def test_declared_exact_col_absent_rings():
+    ok, msg = compare(_Spark(BASE), _Duck(BASE), exact_cols=("ghost",))
+    assert not ok
+    assert "exact_cols" in msg
+
+
+def test_none_vs_value_rings():
+    a = _frame(k=["a", "b"], v=[1.0, None])
+    b = _frame(k=["a", "b"], v=[1.0, 2.0])
+    ok, msg = compare(_Spark(a), _Duck(b))
+    assert not ok
+
+
+_CELL = st.one_of(
+    st.integers(min_value=-5, max_value=5),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(alphabet="xyz", max_size=3),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(st.tuples(_CELL, _CELL), min_size=1, max_size=6),
+    idx=st.data(),
+)
+def test_any_single_cell_perturbation_rings(rows, idx):
+    """Property: perturbing exactly one cell of an otherwise identical
+    result must always be detected, regardless of row order, duplicate
+    rows, or mixed cell types — the sorted-row zip walk has no blind
+    spot."""
+    # dtype=object keeps raw Python cells, so perturbing one never
+    # silently retypes a whole column.
+    pdf = pd.DataFrame(rows, columns=["a", "b"], dtype=object)
+    i = idx.draw(st.integers(min_value=0, max_value=len(rows) - 1))
+    col = idx.draw(st.sampled_from(["a", "b"]))
+    perturbed = pdf.copy()
+    v = perturbed.at[i, col]
+    if isinstance(v, str):
+        perturbed.at[i, col] = v + "!"
+    elif isinstance(v, float):
+        # nextafter always yields a bit-different float; for integral
+        # floats normalization maps both to exact (distinct) ints.  A
+        # naive +1.0 is a NO-OP at 2**53 — hypothesis found exactly that.
+        perturbed.at[i, col] = math.nextafter(v, math.inf)
+    else:
+        perturbed.at[i, col] = v + 1
+    ok, _ = compare(_Spark(pdf), _Duck(pdf))
+    assert ok
+    ok, msg = compare(_Spark(pdf), _Duck(perturbed))
+    assert not ok, f"perturbation at ({i},{col}) went undetected: {msg}"
+
+
+def test_normalize_frame_sorts_total_order_with_nones():
+    """Rows containing None sort deterministically (None-last per cell via
+    the (is None, str) key), so the zip walk compares like with like."""
+    pdf = _frame(a=[None, "b", "a"], b=[1, None, 2])
+    rows = normalize_frame(pdf)
+    assert rows == sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
