@@ -348,6 +348,30 @@ def test_registry_wide_plan_anti_patterns(registry_audit):
     assert not offenders, f"plan anti-patterns crept in: {offenders}"
 
 
+def test_anti_pattern_markers_still_match_spark_output(spark):
+    """Canary for the registry-wide grep above: build one deliberately bad
+    plan of each class and assert its marker string still appears in the
+    explain output.  The gate matches literal physical-node names, so a
+    Spark upgrade that renamed ``CartesianProduct`` or ``BatchEvalPython``
+    would otherwise DISARM the sweep silently — every query would pass not
+    because the plans are clean but because the grep matches nothing."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Defeat the broadcast fallback so the cross join compiles to the
+        # un-broadcast CartesianProduct node the gate hunts.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cross = spark.range(3).crossJoin(spark.range(3).withColumnRenamed("id", "id2"))
+        assert "CartesianProduct" in plan_of(cross)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+    from pyspark.sql.functions import udf
+
+    rowwise = udf(lambda x: x + 1, "long")
+    bad_udf = spark.range(3).select(rowwise("id").alias("v"))
+    assert "BatchEvalPython" in plan_of(bad_udf)
+
+
 def test_pack_sequences_shuffles_counts_not_text(qplan):
     """Sequence packing must compute token counts BEFORE the bucket
     shuffle: only (doc_id, bucket, n_tok, ord_key) cross the exchange —
