@@ -91,6 +91,47 @@ def test_staleness_sla():
     )
 
 
+def test_bench_set_is_the_graded_23():
+    """The ``bench=True`` set IS the graded perf surface: it decides the
+    keys of every ``BENCH_r*.json``, the judge's band history, and the
+    rotation's pin set.  Nothing pinned it until round 13, so one flag
+    accidentally flipped in a refactor would have silently shrunk the
+    recorded bench.  Growing or shrinking the set must be deliberate:
+    update this literal together with ``bench.py``'s group map and a
+    BENCH_LEDGER.md bench-set-history note (as rounds 7 and 9 did)."""
+    expected = {
+        "asof_join",
+        "corpus_pipeline_full_lsh",
+        "corpus_pipeline_lsh",
+        "decontaminate_overlap",
+        "dedup_minhash_lsh",
+        "dedup_semantic",
+        "dedup_survivors_lsh",
+        "flagship_benefits",
+        "join_dim_snowflake",
+        "knn_bruteforce",
+        "knn_ivfpq",
+        "multi_aggregate",
+        "pagerank_parts",
+        "paragraph_dedup",
+        "quality_classifier",
+        "streaming_scd2_bucketed_snapshot",
+        "streaming_scd2_snapshot",
+        "streaming_upsert_bucketed_snapshot",
+        "streaming_upsert_snapshot",
+        "text_stats",
+        "topk_group_count",
+        "tpch_q5_region_volume",
+        "window_moving_avg",
+    }
+    actual = {n for n, q in registry.REGISTRY.items() if q.bench}
+    assert actual == expected, (
+        f"graded bench set changed: added={sorted(actual - expected)} "
+        f"removed={sorted(expected - actual)} — if deliberate, update this "
+        f"literal, bench.py's groups, and BENCH_LEDGER.md together"
+    )
+
+
 def test_projected_next_round_schedule_fits():
     """The NEXT round's window must fit the staleness SLA, projected
     mechanically: assume every query in the committed window attests
