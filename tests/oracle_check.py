@@ -72,13 +72,22 @@ def _cells_equal(a: Any, b: Any, exact: bool = False) -> bool:
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return False
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            # A float against a non-numeric cell (a mixed-type object
+            # column whose rows sorted differently after a real mismatch)
+            # is a MISMATCH, not a crash — float('x') used to raise here
+            # and abort the compare instead of localizing the difference
+            # (found by the round-13 perturbation property).
+            return False
         if exact:
             # Bit-identity contract (EngineQuery.exact_float_cols): the
             # query's docstring claims both engines execute the identical
             # IEEE expression sequence, so the driver's value hash — and
             # therefore this compare — tolerates zero ulps of drift.
-            return float(a) == float(b)
-        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+            return af == bf
+        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
     return a == b
 
 
