@@ -166,6 +166,26 @@ def test_any_single_cell_perturbation_rings(rows, idx):
     assert not ok, f"perturbation at ({i},{col}) went undetected: {msg}"
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    left=st.lists(st.tuples(_CELL, _CELL), min_size=0, max_size=5),
+    right=st.lists(st.tuples(_CELL, _CELL), min_size=0, max_size=5),
+)
+def test_compare_is_exactly_normalized_multiset_equality(left, right):
+    """Two-sided property: for arbitrary PAIRS of same-schema frames,
+    compare passes iff the normalized row multisets are equal — sound
+    (no false alarm on a reordered-but-equal result) AND complete (any
+    multiset difference rings, including row-association breaks that
+    per-column hashing would miss).  The cell strategy keeps str(cell)
+    collision-free across types ('xyz' strings never look numeric), so
+    sort ties only occur between genuinely equal cells."""
+    lf = pd.DataFrame(left, columns=["a", "b"], dtype=object)
+    rf = pd.DataFrame(right, columns=["a", "b"], dtype=object)
+    expected = normalize_frame(lf) == normalize_frame(rf)
+    ok, msg = compare(_Spark(lf), _Duck(rf))
+    assert ok == expected, f"compare={ok} multiset_equal={expected}: {msg}"
+
+
 def test_normalize_frame_sorts_total_order_with_nones():
     """Rows containing None sort deterministically (None-last per cell via
     the (is None, str) key), so the zip walk compares like with like."""
