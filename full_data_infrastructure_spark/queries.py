@@ -99,67 +99,60 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 13 note: the round-12 forces (five streaming sink snapshots,
-# re-attested after the declared-schema hoist) all landed green r12
-# rows and cleared — FORCE_REFRESH is empty.  This is the zero-slack
-# window the r11/r12 VERDICTs scheduled: the 16-query r8 spill leads
-# the fill, stale-bench pins hold their slots, and the remainder
-# drains the r9 cohort stalest-first; no discretionary force was
-# added.  The staleness SLA
-# (tests/test_registry_order.py::test_staleness_sla) holds: every
-# registered query is either windowed or green within the last 3
-# rounds.)
+# (Round 14 note: the big drain the r12/r13 VERDICTs scheduled — the
+# full 36-query r10 cohort re-attests this round, no forces; per-round
+# history lives in git.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "knn_ivf",
-    "knn_label_consistency",
-    "knn_lsh",
-    "mad_outliers",
-    "multimodal_payload_dedup",
-    "notnull_filter",
-    "ordered_limit",
-    "pack_bin_stats",
-    "pack_sequences",
-    "percentile_stats",
-    "rfm_segments",
-    "shard_manifest",
-    "trend_by_event_type",
-    "validation_suite",
-    "winnowing_fingerprint",
-    "winsorize_values",
-    "anti_join",
-    "bpe_pair_counts",
-    "case_flag_arithmetic",
-    "compact_small_files",
-    "corpus_pipeline",
-    "corpus_pipeline_full",
-    "ema_by_user",
-    "heavy_hitters_tokens",
-    "json_extract",
-    "k_anonymity_violations",
-    "mixture_sample",
-    "mixture_sqrt_temperature",
-    "multimodal_join",
-    "multimodal_resize",
-    "not_exists_subquery",
-    "ntile_price_quartiles",
-    "pii_redact",
-    "proportional_sample",
-    "runtime_filtered_join",
-    "scalar_count",
-    "select_prune_cast",
-    "streaming_sessionize_snapshot",
-    "unpivot_lineitem",
-    "activity_heatmap",
-    "benford_first_digit",
-    "bpe_learn",
-    "bpe_tokenize_counts",
-    "conversation_assembly",
-    "corpus_datacard",
-    "correlation_matrix",
-    "cosine_threshold_histogram",
-    "tpch_q5_region_volume",
+    "count_distinct",
+    "cte_self_join",
+    "date_format_concat",
+    "debezium_roundtrip",
+    "domain_cap_sample",
+    "embedding_kmeans",
+    "embedding_pca_project",
+    "event_cooccurrence_lift",
+    "gapfill_locf",
+    "hard_negative_mining",
+    "jsonl_documents_roundtrip",
+    "jsonl_quarantine_ingest",
+    "knn_pq",
+    "masked_projection",
+    "membership_validation",
+    "multimodal_embed",
+    "multimodal_frame_sample",
+    "pivot_event_counts",
+    "profile_columns",
+    "scalar_subquery_filter",
+    "scd2_history",
+    "scd2_incremental",
+    "sessionize_batch",
+    "snapshot_diff",
+    "stratified_sample",
+    "streaming_dedup_snapshot",
+    "streaming_ema_snapshot",
+    "streaming_funnel_snapshot",
+    "streaming_sliding_snapshot",
+    "streaming_tumbling_snapshot",
+    "threshold_validation",
+    "token_budget_sample",
+    "train_val_test_split",
+    "triangle_count_parts",
+    "validation_schema_check",
+    "zorder_key_lineitem",
+    "approx_count_distinct",
+    "c4_quality_filters",
+    "chunk_documents",
+    "cohort_retention",
+    "conditional_rate",
+    "cube_counts",
+    "discount_band_quantity",
+    "dup_cluster_size_histogram",
+    "embedding_quantize_int8",
+    "event_gap_histogram",
+    "fingerprint_md5",
+    "pagerank_parts",
 )
 
 
