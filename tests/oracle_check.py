@@ -72,6 +72,13 @@ def _cells_equal(a: Any, b: Any, exact: bool = False) -> bool:
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return False
+        if isinstance(a, str) != isinstance(b, str):
+            # A float against a numeric-LOOKING string (1.5 vs '1.5') is a
+            # type-class mismatch the driver's value hash would reject;
+            # coercing both through float() silently equated them (ADVICE
+            # r13).  The non-numeric-string case below only caught strings
+            # float() rejects.
+            return False
         try:
             af, bf = float(a), float(b)
         except (TypeError, ValueError):
@@ -166,6 +173,14 @@ def compare(
     # value difference — it only makes the alignment deterministic.
     spark_pdf.columns = [c.lower() for c in spark_pdf.columns]
     duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
+    # Fail fast if case-folding collapsed two columns into one label: the
+    # df[cols] reindex below would then duplicate columns and the per-column
+    # access would return a DataFrame instead of a Series, misbehaving
+    # instead of reporting a clean schema error (ADVICE r13).
+    for side, pdf in (("spark", spark_pdf), ("duckdb", duck_pdf)):
+        if len(set(pdf.columns)) != len(pdf.columns):
+            dupes = sorted({c for c in pdf.columns if list(pdf.columns).count(c) > 1})
+            return False, f"duplicate column names after case-folding ({side}): {dupes}"
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if s_cols != d_cols:
         return False, f"schema mismatch: spark={s_cols} duckdb={d_cols}"

@@ -127,6 +127,31 @@ def test_none_vs_value_rings():
     assert not ok
 
 
+def test_float_vs_numeric_string_rings():
+    """A float against a numeric-LOOKING string (1.5 vs '1.5') is a
+    type-class mismatch the driver's value hash would reject; coercing
+    both through float() silently equated them (ADVICE r13 — the r13 fix
+    only caught strings float() REJECTS, and the perturbation property
+    deliberately uses non-numeric strings so it cannot see this)."""
+    flt = _frame(k=["a"], v=pd.Series([1.5], dtype=object))
+    txt = _frame(k=["a"], v=pd.Series(["1.5"], dtype=object))
+    ok, msg = compare(_Spark(flt), _Duck(txt))
+    assert not ok
+    assert "value mismatch" in msg
+
+
+def test_duplicate_columns_after_case_folding_ring_cleanly():
+    """Two result columns differing only in case collapse into one label
+    after the lowercase normalization; the reindex below would then
+    duplicate columns and per-column access would return a DataFrame
+    instead of a Series (ADVICE r13).  Must be a clean reported error,
+    not a crash or a silent pass."""
+    dup = pd.DataFrame([[1, 2]], columns=["V", "v"])
+    ok, msg = compare(_Spark(dup), _Duck(dup))
+    assert not ok
+    assert "duplicate column names after case-folding" in msg
+
+
 _CELL = st.one_of(
     st.integers(min_value=-5, max_value=5),
     st.floats(allow_nan=False, allow_infinity=False, width=32),
