@@ -72,12 +72,12 @@ def _cells_equal(a: Any, b: Any, exact: bool = False) -> bool:
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return False
-        if isinstance(a, str) != isinstance(b, str):
+        if isinstance(a, (str, bytes)) != isinstance(b, (str, bytes)):
             # A float against a numeric-LOOKING string (1.5 vs '1.5') is a
             # type-class mismatch the driver's value hash would reject;
             # coercing both through float() silently equated them (ADVICE
             # r13).  The non-numeric-string case below only caught strings
-            # float() rejects.
+            # float() rejects.  bytes included: float(b'1.5') also parses.
             return False
         try:
             af, bf = float(a), float(b)

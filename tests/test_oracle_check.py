@@ -134,10 +134,11 @@ def test_float_vs_numeric_string_rings():
     only caught strings float() REJECTS, and the perturbation property
     deliberately uses non-numeric strings so it cannot see this)."""
     flt = _frame(k=["a"], v=pd.Series([1.5], dtype=object))
-    txt = _frame(k=["a"], v=pd.Series(["1.5"], dtype=object))
-    ok, msg = compare(_Spark(flt), _Duck(txt))
-    assert not ok
-    assert "value mismatch" in msg
+    for textual in ("1.5", b"1.5"):  # float() parses BOTH
+        txt = _frame(k=["a"], v=pd.Series([textual], dtype=object))
+        ok, msg = compare(_Spark(flt), _Duck(txt))
+        assert not ok, f"float 1.5 vs {textual!r} must ring"
+        assert "value mismatch" in msg
 
 
 def test_duplicate_columns_after_case_folding_ring_cleanly():
