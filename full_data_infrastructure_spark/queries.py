@@ -81,27 +81,21 @@ def bench_queries() -> dict[str, QueryBuilder]:
 
 _LOADED = False
 
-# The external verify driver attests exactly the FIRST 50 registered queries
-# (dict insertion order), so the registry is explicitly re-ordered after
-# loading and the window ROTATES each round: queries that already hold a
-# green correctness row from an earlier round move past the cap (their rows
-# persist as evidence) to make room for queries that have none yet.
-#
-# The rotation is COMPUTED, not hand-curated (VERDICT r5 item 2): the
-# policy lives in full_data_infrastructure_spark/rotation.py — flagship
-# queries first, every bench=True query pinned, then never-attested /
-# force-refreshed / stalest-first by the committed CORRECTNESS_r*.json
-# history, with a final repair pass guaranteeing every operator-family tag
-# one window representative.  Regenerate this literal after each round's
-# CORRECTNESS file lands with:
+# The external verify driver attests exactly the FIRST 50 registered
+# queries (dict insertion order), so the registry is re-ordered so this
+# window leads.  The window is COMPUTED, not hand-curated: the policy
+# (flagship first, stale-bench pins, never-attested / stalest-first fill
+# from the committed CORRECTNESS_r*.json history, operator-family tag
+# repair) lives in full_data_infrastructure_spark/rotation.py, alongside
+# the full policy rationale.  Regenerate after each round's CORRECTNESS
+# file lands with:
 #
 #     python -m full_data_infrastructure_spark.rotation
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 14 note: the big drain the r12/r13 VERDICTs scheduled — the
-# full 36-query r10 cohort re-attests this round, no forces; per-round
-# history lives in git.)
+# (Round 14 note: the big drain the r12/r13 VERDICTs scheduled — the full
+# 36-query r10 cohort re-attests; no forces; history lives in git.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
