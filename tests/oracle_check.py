@@ -69,6 +69,13 @@ def normalize_frame(df: pd.DataFrame) -> list[tuple]:
 def _cells_equal(a: Any, b: Any, exact: bool = False) -> bool:
     if a is None and b is None:
         return True
+    if isinstance(a, bool) != isinstance(b, bool):
+        # Python equates True == 1 (and float(True) == 1.0), but the
+        # driver's value hash sees 'True' vs '1' — a boolean column on one
+        # engine against an int column on the other must ring here too.
+        # _normalize_cell never produces bools from numerics, so this only
+        # fires on genuine type divergence (round-14 self-review).
+        return False
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return False

@@ -141,6 +141,19 @@ def test_float_vs_numeric_string_rings():
         assert "value mismatch" in msg
 
 
+def test_bool_vs_int_rings():
+    """Python equates True == 1 and float(True) == 1.0, but the driver's
+    value hash sees 'True' vs '1' — a boolean column on one engine
+    against a numeric column on the other must ring locally too
+    (round-14 self-review)."""
+    for num in (1, 1.0):
+        boo = _frame(k=["a"], v=pd.Series([True], dtype=object))
+        ints = _frame(k=["a"], v=pd.Series([num], dtype=object))
+        ok, msg = compare(_Spark(boo), _Duck(ints))
+        assert not ok, f"bool True vs {num!r} must ring"
+        assert "value mismatch" in msg
+
+
 def test_duplicate_columns_after_case_folding_ring_cleanly():
     """Two result columns differing only in case collapse into one label
     after the lowercase normalization; the reindex below would then
