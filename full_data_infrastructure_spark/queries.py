@@ -99,54 +99,54 @@ _LOADED = False
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "count_distinct",
-    "cte_self_join",
-    "date_format_concat",
-    "debezium_roundtrip",
-    "domain_cap_sample",
-    "embedding_kmeans",
-    "embedding_pca_project",
-    "event_cooccurrence_lift",
-    "gapfill_locf",
-    "hard_negative_mining",
-    "jsonl_documents_roundtrip",
-    "jsonl_quarantine_ingest",
-    "knn_pq",
-    "masked_projection",
-    "membership_validation",
-    "multimodal_embed",
-    "multimodal_frame_sample",
-    "pivot_event_counts",
-    "profile_columns",
-    "scalar_subquery_filter",
-    "scd2_history",
-    "scd2_incremental",
-    "sessionize_batch",
-    "snapshot_diff",
-    "stratified_sample",
-    "streaming_dedup_snapshot",
-    "streaming_ema_snapshot",
-    "streaming_funnel_snapshot",
-    "streaming_sliding_snapshot",
-    "streaming_tumbling_snapshot",
-    "threshold_validation",
-    "token_budget_sample",
-    "train_val_test_split",
-    "triangle_count_parts",
-    "validation_schema_check",
-    "zorder_key_lineitem",
-    "approx_count_distinct",
-    "c4_quality_filters",
-    "chunk_documents",
-    "cohort_retention",
-    "conditional_rate",
-    "cube_counts",
-    "discount_band_quantity",
-    "dup_cluster_size_histogram",
-    "embedding_quantize_int8",
-    "event_gap_histogram",
-    "fingerprint_md5",
-    "pagerank_parts",
+    "fulfillment_latency_sla",
+    "funnel_three_step",
+    "fuzzy_match_suppliers",
+    "group_split_events",
+    "lang_confusion_matrix",
+    "lang_id",
+    "lang_id_trigram",
+    "max_staleness_by_user",
+    "profile_by_key",
+    "pseudonymize_customers",
+    "quality_score",
+    "rare_bigram_quality",
+    "repeat_customer_rate",
+    "repetition_signals",
+    "rolling_active_users",
+    "rolling_hash_fingerprint",
+    "rollup_counts",
+    "sample_hash",
+    "semi_join",
+    "session_overlap_pairs",
+    "tfidf_top_token",
+    "tpch_q3_shipping_priority",
+    "vector_norms",
+    "asof_join",
+    "corpus_pipeline_full_lsh",
+    "corpus_pipeline_lsh",
+    "decontaminate_overlap",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "dedup_survivors_lsh",
+    "distinct_projection",
+    "enrichment_distance",
+    "generator_activities",
+    "join_dim_snowflake",
+    "knn_bruteforce",
+    "knn_ivfpq",
+    "multi_aggregate",
+    "paragraph_dedup",
+    "quality_classifier",
+    "range_join",
+    "set_union_except_intersect",
+    "streaming_scd2_bucketed_snapshot",
+    "streaming_scd2_snapshot",
+    "streaming_upsert_bucketed_snapshot",
+    "streaming_upsert_snapshot",
+    "text_stats",
+    "topk_group_count",
+    "window_moving_avg",
 )
 
 
