@@ -178,16 +178,24 @@ def compare(
     # three-column one false-alarmed as a schema mismatch).  Lowercased
     # sort is computed identically on both sides, so this cannot mask a
     # value difference — it only makes the alignment deterministic.
+    orig_cols = {"spark": list(spark_pdf.columns), "duckdb": list(duck_pdf.columns)}
     spark_pdf.columns = [c.lower() for c in spark_pdf.columns]
     duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
-    # Fail fast if case-folding collapsed two columns into one label: the
-    # df[cols] reindex below would then duplicate columns and the per-column
-    # access would return a DataFrame instead of a Series, misbehaving
-    # instead of reporting a clean schema error (ADVICE r13).
+    # Fail fast if the labels are not unique: the df[cols] reindex below
+    # would then duplicate columns and the per-column access would return a
+    # DataFrame instead of a Series, misbehaving instead of reporting a
+    # clean schema error (ADVICE r13).  Say whether the duplicates existed
+    # before lowercasing or were introduced by it (ADVICE r14).
     for side, pdf in (("spark", spark_pdf), ("duckdb", duck_pdf)):
         if len(set(pdf.columns)) != len(pdf.columns):
             dupes = sorted({c for c in pdf.columns if list(pdf.columns).count(c) > 1})
-            return False, f"duplicate column names after case-folding ({side}): {dupes}"
+            orig = orig_cols[side]
+            cause = (
+                "duplicate column names"
+                if len(set(orig)) != len(orig)
+                else "duplicate column names after case-folding"
+            )
+            return False, f"{cause} ({side}): {dupes}"
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if s_cols != d_cols:
         return False, f"schema mismatch: spark={s_cols} duckdb={d_cols}"

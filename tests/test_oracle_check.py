@@ -166,6 +166,17 @@ def test_duplicate_columns_after_case_folding_ring_cleanly():
     assert "duplicate column names after case-folding" in msg
 
 
+def test_duplicate_columns_before_case_folding_say_so():
+    """Labels that were ALREADY duplicated before lowercasing must not be
+    blamed on case-folding — the message drops the 'after case-folding'
+    qualifier for that cause (ADVICE r14)."""
+    dup = pd.DataFrame([[1, 2]], columns=["v", "v"])
+    ok, msg = compare(_Spark(dup), _Duck(dup))
+    assert not ok
+    assert "duplicate column names" in msg
+    assert "after case-folding" not in msg
+
+
 _CELL = st.one_of(
     st.integers(min_value=-5, max_value=5),
     st.floats(allow_nan=False, allow_infinity=False, width=32),
