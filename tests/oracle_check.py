@@ -127,11 +127,27 @@ def _repr_class(series: pd.Series) -> str:
     return "other"
 
 
+def _has_scaled_decimal(series: pd.Series) -> bool:
+    if series.dtype != object:
+        return False
+    return any(
+        isinstance(v, decimal.Decimal) and v.as_tuple().exponent < 0 for v in series
+    )
+
+
 def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
     """Return an error string if any shared column materializes as Decimal
     on one side and float on the other (driver hash-red even when values
     match). Fix pattern: CAST the final projection to DOUBLE on BOTH sides,
-    keeping DECIMAL internal where order-independence matters."""
+    keeping DECIMAL internal where order-independence matters.
+
+    Also rings on Decimal-with-scale vs int: Decimal('3.00') == 3 in
+    Python, so the cell compare would equate them, but a
+    representation-sensitive value hash sees '3.00' vs '3' — the same
+    failure family as the round-2 decimal/float case.  A scale-0 Decimal
+    against an int is allowed (both render '3').  The round-15 census
+    measured zero occurrences of either shape across all 161 oracled
+    queries, so this is a tripwire for future queries, not a live fix."""
     for col in spark_pdf.columns:
         if col not in duck_pdf.columns:
             continue
@@ -142,6 +158,16 @@ def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | 
                 f"duckdb={d_cls} — driver value-hash will fail even if cells "
                 f"are equal; CAST the final projection to DOUBLE on both sides"
             )
+        if {s_cls, d_cls} == {"decimal", "other"}:
+            dec_side = spark_pdf[col] if s_cls == "decimal" else duck_pdf[col]
+            if _has_scaled_decimal(dec_side):
+                return (
+                    f"representation mismatch in col '{col}': spark={s_cls} "
+                    f"duckdb={d_cls} — a scale-bearing DECIMAL renders with "
+                    f"trailing zeros ('3.00' vs '3'), so the driver value-hash "
+                    f"will fail even if cells are numerically equal; CAST both "
+                    f"sides to the same type"
+                )
     return None
 
 

@@ -166,6 +166,35 @@ def test_duplicate_columns_after_case_folding_ring_cleanly():
     assert "duplicate column names after case-folding" in msg
 
 
+def test_scaled_decimal_vs_int_rings():
+    """Decimal('3.00') == 3 in Python, so the cell compare alone would
+    equate a scale-bearing DECIMAL column with an int column — but a
+    representation-sensitive value hash sees '3.00' vs '3' (the round-2
+    decimal/float failure family; round-15 census hardening)."""
+    import decimal
+
+    dec = _frame(k=["a"], v=pd.Series([decimal.Decimal("3.00")], dtype=object))
+    ints = _frame(k=["a"], v=pd.Series([3], dtype=object))
+    ok, msg = compare(_Spark(dec), _Duck(ints))
+    assert not ok
+    assert "representation mismatch" in msg
+    # symmetric: decimal on the duckdb side must ring too
+    ok, msg = compare(_Spark(ints), _Duck(dec))
+    assert not ok
+    assert "representation mismatch" in msg
+
+
+def test_scale_zero_decimal_vs_int_passes():
+    """A scale-0 Decimal renders identically to the int ('3' vs '3'), so
+    the tripwire must NOT fire — only trailing-zero scales diverge."""
+    import decimal
+
+    dec = _frame(k=["a"], v=pd.Series([decimal.Decimal("3")], dtype=object))
+    ints = _frame(k=["a"], v=pd.Series([3], dtype=object))
+    ok, msg = compare(_Spark(dec), _Duck(ints))
+    assert ok, msg
+
+
 def test_duplicate_columns_before_case_folding_say_so():
     """Labels that were ALREADY duplicated before lowercasing must not be
     blamed on case-folding — the message drops the 'after case-folding'
