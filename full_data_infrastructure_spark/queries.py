@@ -94,59 +94,60 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 14 note: the big drain the r12/r13 VERDICTs scheduled — the full
-# 36-query r10 cohort re-attests; no forces; history lives in git.)
+# (Round 16 note: the 8 r11-evidence queries at the SLA horizon —
+# vocab_topk through window_running_total — absorb exactly as the r15
+# VERDICT's judge simulation projected; no forces; history lives in git.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "fulfillment_latency_sla",
-    "funnel_three_step",
-    "fuzzy_match_suppliers",
-    "group_split_events",
-    "lang_confusion_matrix",
-    "lang_id",
-    "lang_id_trigram",
-    "max_staleness_by_user",
-    "profile_by_key",
-    "pseudonymize_customers",
-    "quality_score",
-    "rare_bigram_quality",
-    "repeat_customer_rate",
-    "repetition_signals",
-    "rolling_active_users",
-    "rolling_hash_fingerprint",
-    "rollup_counts",
-    "sample_hash",
-    "semi_join",
-    "session_overlap_pairs",
-    "tfidf_top_token",
-    "tpch_q3_shipping_priority",
-    "vector_norms",
-    "asof_join",
-    "corpus_pipeline_full_lsh",
-    "corpus_pipeline_lsh",
-    "decontaminate_overlap",
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "dedup_survivors_lsh",
-    "distinct_projection",
-    "enrichment_distance",
-    "generator_activities",
-    "join_dim_snowflake",
-    "knn_bruteforce",
-    "knn_ivfpq",
-    "multi_aggregate",
-    "paragraph_dedup",
-    "quality_classifier",
-    "range_join",
-    "set_union_except_intersect",
-    "streaming_scd2_bucketed_snapshot",
-    "streaming_scd2_snapshot",
-    "streaming_upsert_bucketed_snapshot",
-    "streaming_upsert_snapshot",
-    "text_stats",
-    "topk_group_count",
-    "window_moving_avg",
+    "vocab_topk",
+    "weighted_sample_docs",
+    "window_dedup_latest",
+    "window_lag_delta",
+    "window_percent_rank",
+    "window_range_hour_sum",
+    "window_rank_topn",
+    "window_running_total",
+    "constraint_violations",
+    "dedup_cluster_cc",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_incremental_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_span_removal",
+    "dedup_survivors",
+    "dup_span_signal",
+    "embedding_lang_drift",
+    "exists_subquery",
+    "funnel_conversion",
+    "groupby_count_avg",
+    "grouping_sets_counts",
+    "histogram_buckets",
+    "hypertable_rollup_hourly",
+    "hypertable_rollup_merge",
+    "in_subquery",
+    "multimodal_decode",
+    "streaming_rollup_snapshot",
+    "activity_heatmap",
+    "anti_join",
+    "benford_first_digit",
+    "bpe_learn",
+    "bpe_pair_counts",
+    "bpe_tokenize_counts",
+    "case_flag_arithmetic",
+    "compact_small_files",
+    "conversation_assembly",
+    "corpus_datacard",
+    "corpus_pipeline",
+    "corpus_pipeline_full",
+    "correlation_matrix",
+    "cosine_threshold_histogram",
+    "ema_by_user",
+    "heavy_hitters_tokens",
+    "tpch_q5_region_volume",
 )
 
 
