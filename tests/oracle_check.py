@@ -128,11 +128,33 @@ def _repr_class(series: pd.Series) -> str:
 
 
 def _has_scaled_decimal(series: pd.Series) -> bool:
+    """True if any cell is a finite Decimal whose render diverges from the
+    int render of the same value: negative exponent (trailing zeros,
+    '3.00' vs '3') or positive exponent (engineering notation, '3E+2' vs
+    '300').  Only exponent-0 Decimals render exactly like ints.  The
+    is_finite() guard matters: Decimal('NaN')/Decimal('Infinity') store a
+    str exponent ('n'/'F'), so the comparison would raise instead of
+    reporting (ADVICE r15); a non-finite Decimal can never cell-equal a
+    non-float 'other' value, so the ordinary value compare reports it."""
     if series.dtype != object:
         return False
     return any(
-        isinstance(v, decimal.Decimal) and v.as_tuple().exponent < 0 for v in series
+        isinstance(v, decimal.Decimal)
+        and v.is_finite()
+        and v.as_tuple().exponent != 0
+        for v in series
     )
+
+
+def _decimal_exponents(series: pd.Series) -> set:
+    """Distinct exponents among finite Decimal cells (empty if none)."""
+    if series.dtype != object:
+        return set()
+    return {
+        v.as_tuple().exponent
+        for v in series
+        if isinstance(v, decimal.Decimal) and v.is_finite()
+    }
 
 
 def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
@@ -145,9 +167,12 @@ def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | 
     Python, so the cell compare would equate them, but a
     representation-sensitive value hash sees '3.00' vs '3' — the same
     failure family as the round-2 decimal/float case.  A scale-0 Decimal
-    against an int is allowed (both render '3').  The round-15 census
-    measured zero occurrences of either shape across all 161 oracled
-    queries, so this is a tripwire for future queries, not a live fix."""
+    against an int is allowed (both render '3'); a positive-exponent
+    Decimal ('3E+2' vs '300') rings too.  Decimal-vs-Decimal with
+    differing materialized scales ('3.00' vs '3.0') also rings (ADVICE
+    r15).  The round-15 census measured zero occurrences of any of these
+    shapes across all 161 oracled queries, so this is a tripwire for
+    future queries, not a live fix."""
     for col in spark_pdf.columns:
         if col not in duck_pdf.columns:
             continue
@@ -167,6 +192,27 @@ def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | 
                     f"trailing zeros ('3.00' vs '3'), so the driver value-hash "
                     f"will fail even if cells are numerically equal; CAST both "
                     f"sides to the same type"
+                )
+        if s_cls == d_cls == "decimal":
+            # Decimal on BOTH sides but with differing materialized scales:
+            # Decimal('3.00') == Decimal('3.0') in Python, so the cell
+            # compare equates them, yet a representation-sensitive value
+            # hash sees '3.00' vs '3.0' — the nearest remaining shape in
+            # the round-2 failure family (ADVICE r15).  Plausible whenever
+            # the engines infer different result scales (decimal division,
+            # AVG over DECIMAL).  Engine-materialized DECIMAL(p,s) columns
+            # carry one uniform exponent per side, so comparing the
+            # exponent SETS is exact, not heuristic.
+            s_exp = _decimal_exponents(spark_pdf[col])
+            d_exp = _decimal_exponents(duck_pdf[col])
+            if s_exp and d_exp and s_exp != d_exp:
+                return (
+                    f"representation mismatch in col '{col}': both sides "
+                    f"materialize Decimal but with differing scales "
+                    f"(spark exponents {sorted(s_exp)} vs duckdb "
+                    f"{sorted(d_exp)}) — '3.00' vs '3.0' hash-differs even "
+                    f"though the cells compare equal; align the result "
+                    f"scale (CAST/quantize) on both sides"
                 )
     return None
 

@@ -195,6 +195,60 @@ def test_scale_zero_decimal_vs_int_passes():
     assert ok, msg
 
 
+def test_nonfinite_decimal_reports_instead_of_crashing():
+    """Decimal('NaN')/Decimal('Infinity') store a str exponent ('n'/'F'),
+    so the pre-r16 scale probe raised TypeError on 'exponent < 0' instead
+    of letting the compare report the mismatch (ADVICE r15).  Unreachable
+    from engine-materialized DECIMAL columns (SQL DECIMAL has no NaN),
+    but the probe scans arbitrary object cells — it must stay a clean
+    reported mismatch, never a crash."""
+    import decimal
+
+    for special in (decimal.Decimal("NaN"), decimal.Decimal("Infinity")):
+        dec = _frame(k=["a"], v=pd.Series([special], dtype=object))
+        ints = _frame(k=["a"], v=pd.Series([3], dtype=object))
+        ok, msg = compare(_Spark(dec), _Duck(ints))
+        assert not ok, f"{special!r} vs 3 must ring, not crash"
+        assert "mismatch" in msg
+
+
+def test_positive_exponent_decimal_vs_int_rings():
+    """Decimal('3E+2') renders '3E+2' while int 300 renders '300' — a
+    render divergence the pre-r16 'exponent < 0' test missed (ADVICE
+    r15).  Theoretical for engine materializations (always exponent <=
+    0), closed because the probe scans arbitrary object cells."""
+    import decimal
+
+    dec = _frame(k=["a"], v=pd.Series([decimal.Decimal("3E+2")], dtype=object))
+    ints = _frame(k=["a"], v=pd.Series([300], dtype=object))
+    ok, msg = compare(_Spark(dec), _Duck(ints))
+    assert not ok
+    assert "representation mismatch" in msg
+
+
+def test_decimal_vs_decimal_scale_divergence_rings():
+    """Decimal('3.00') == Decimal('3.0') in Python, so the cell compare
+    equates them, but a representation-sensitive value hash sees '3.00'
+    vs '3.0' (ADVICE r15 — the nearest remaining shape in the round-2
+    failure family; plausible when the engines infer different result
+    scales for decimal division or AVG)."""
+    import decimal
+
+    a = _frame(k=["a"], v=pd.Series([decimal.Decimal("3.00")], dtype=object))
+    b = _frame(k=["a"], v=pd.Series([decimal.Decimal("3.0")], dtype=object))
+    ok, msg = compare(_Spark(a), _Duck(b))
+    assert not ok
+    assert "differing scales" in msg
+    # symmetric
+    ok, msg = compare(_Spark(b), _Duck(a))
+    assert not ok
+    assert "differing scales" in msg
+    # same scale on both sides stays green — uniform DECIMAL(p,s)
+    # materializations must not false-positive
+    ok, msg = compare(_Spark(a), _Duck(a.copy()))
+    assert ok, msg
+
+
 def test_duplicate_columns_before_case_folding_say_so():
     """Labels that were ALREADY duplicated before lowercasing must not be
     blamed on case-folding — the message drops the 'after case-folding'
