@@ -16,6 +16,7 @@ import os
 from typing import Any
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = (
@@ -157,6 +158,23 @@ def _decimal_exponents(series: pd.Series) -> set:
     }
 
 
+def _neg_zero_count(series: pd.Series) -> int:
+    """Count of negative-zero float cells (np.float64 subclasses float).
+
+    Vectorized for float dtypes so the sf0.1 parity tier's wall doesn't
+    grow; the object-dtype fallback loops (mixed columns are small)."""
+    if pd.api.types.is_float_dtype(series):
+        arr = series.to_numpy()
+        return int((np.signbit(arr) & (arr == 0.0)).sum())
+    if series.dtype != object:
+        return 0
+    return sum(
+        1
+        for v in series
+        if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0.0
+    )
+
+
 def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
     """Return an error string if any shared column materializes as Decimal
     on one side and float on the other (driver hash-red even when values
@@ -170,9 +188,11 @@ def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | 
     against an int is allowed (both render '3'); a positive-exponent
     Decimal ('3E+2' vs '300') rings too.  Decimal-vs-Decimal with
     differing materialized scales ('3.00' vs '3.0') also rings (ADVICE
-    r15).  The round-15 census measured zero occurrences of any of these
-    shapes across all 161 oracled queries, so this is a tripwire for
-    future queries, not a live fix."""
+    r15), as does a per-column negative-zero count divergence ('-0.0' vs
+    '0.0', round-16 self-review).  The round-15/16 censuses measured
+    zero occurrences of any of these shapes across all 161 oracled
+    queries at all three SF tiers, so these are tripwires for future
+    queries, not live fixes."""
     for col in spark_pdf.columns:
         if col not in duck_pdf.columns:
             continue
@@ -214,6 +234,28 @@ def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | 
                     f"though the cells compare equal; align the result "
                     f"scale (CAST/quantize) on both sides"
                 )
+        # Signed zero: -0.0 == 0.0 (and _normalize_cell folds the whole
+        # float -0.0 to int 0), so the cell compare equates a signed-zero
+        # divergence — but a representation-sensitive value hash sees
+        # '-0.0' vs '0.0' (round-16 self-review, same round-2 family).
+        # Comparing per-side COUNTS is exact, not heuristic: rows are
+        # compared as sorted multisets, so equal counts mean the sorted
+        # value sequences render identically; no materialization can
+        # conjure -0.0 from an int column, so a count divergence is
+        # render-divergent under any driver coercion.  Deliberately NOT
+        # a cell-level ring: the whole-float-vs-int equivalence (3.0 vs
+        # 3, pandas null-coercion symmetry) stays allowed.
+        s_nz = _neg_zero_count(spark_pdf[col])
+        d_nz = _neg_zero_count(duck_pdf[col])
+        if s_nz != d_nz:
+            return (
+                f"representation mismatch in col '{col}': negative-zero "
+                f"count differs (spark={s_nz} duckdb={d_nz}) — -0.0 "
+                f"renders '-0.0' vs '0.0'/'0', so the driver value-hash "
+                f"will fail even though -0.0 == 0.0; normalize the sign "
+                f"(e.g. + 0.0, or abs() where the value is provably zero) "
+                f"on both sides"
+            )
     return None
 
 

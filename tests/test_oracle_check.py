@@ -249,6 +249,42 @@ def test_decimal_vs_decimal_scale_divergence_rings():
     assert ok, msg
 
 
+def test_negative_zero_divergence_rings():
+    """-0.0 == 0.0 in Python (and _normalize_cell folds the whole float
+    -0.0 to int 0), so the cell compare alone equates a signed-zero
+    divergence — but a representation-sensitive value hash sees '-0.0'
+    vs '0.0' (round-16 self-review; same family as the round-2
+    decimal/float case).  Counts are compared per column: equal counts
+    mean the sorted multisets render identically, and no materialization
+    can conjure -0.0 from an int column."""
+    neg = _frame(k=["a"], v=pd.Series([-0.0], dtype=float))
+    pos = _frame(k=["a"], v=pd.Series([0.0], dtype=float))
+    ok, msg = compare(_Spark(neg), _Duck(pos))
+    assert not ok
+    assert "negative-zero" in msg
+    # symmetric
+    ok, msg = compare(_Spark(pos), _Duck(neg))
+    assert not ok
+    assert "negative-zero" in msg
+    # -0.0 against an INT zero diverges too ('-0.0' vs '0')
+    intz = _frame(k=["a"], v=pd.Series([0], dtype=object))
+    negobj = _frame(k=["a"], v=pd.Series([-0.0], dtype=object))
+    ok, msg = compare(_Spark(negobj), _Duck(intz))
+    assert not ok
+    assert "negative-zero" in msg
+    # matched signed zeros on both sides stay green (same expression on
+    # both engines yields the same sign) — as does plain 0.0-vs-0.0
+    ok, msg = compare(_Spark(neg), _Duck(neg.copy()))
+    assert ok, msg
+    ok, msg = compare(_Spark(pos), _Duck(pos.copy()))
+    assert ok, msg
+    # NaN cells must not perturb the count (signbit(NaN) is undefined)
+    nan_a = _frame(k=["a", "b"], v=pd.Series([float("nan"), 0.0], dtype=float))
+    nan_b = _frame(k=["a", "b"], v=pd.Series([float("nan"), 0.0], dtype=float))
+    ok, msg = compare(_Spark(nan_a), _Duck(nan_b))
+    assert ok, msg
+
+
 def test_duplicate_columns_before_case_folding_say_so():
     """Labels that were ALREADY duplicated before lowercasing must not be
     blamed on case-folding — the message drops the 'after case-folding'
