@@ -159,7 +159,9 @@ def _decimal_exponents(series: pd.Series) -> set:
 
 
 def _neg_zero_count(series: pd.Series) -> int:
-    """Count of negative-zero float cells (np.float64 subclasses float).
+    """Count of negative-zero cells: float -0.0 and Decimal('-0') alike
+    (np.float64 subclasses float; Decimal('-0.00') == Decimal('0.00')
+    is True yet renders '-0.00').
 
     Vectorized for float dtypes so the sf0.1 parity tier's wall doesn't
     grow; the object-dtype fallback loops (mixed columns are small)."""
@@ -168,11 +170,15 @@ def _neg_zero_count(series: pd.Series) -> int:
         return int((np.signbit(arr) & (arr == 0.0)).sum())
     if series.dtype != object:
         return 0
-    return sum(
-        1
-        for v in series
-        if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0.0
-    )
+    n = 0
+    for v in series:
+        if isinstance(v, float):
+            if v == 0.0 and math.copysign(1.0, v) < 0.0:
+                n += 1
+        elif isinstance(v, decimal.Decimal):
+            if v.is_finite() and v == 0 and v.is_signed():
+                n += 1
+    return n
 
 
 def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:

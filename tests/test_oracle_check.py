@@ -285,6 +285,27 @@ def test_negative_zero_divergence_rings():
     assert ok, msg
 
 
+def test_negative_zero_decimal_divergence_rings():
+    """The Decimal sibling of the float signed-zero gap:
+    Decimal('-0.00') == Decimal('0.00') is True (and both carry the same
+    exponent, so the scale-set ring stays silent) yet they render
+    '-0.00' vs '0.00' to a representation-sensitive value hash."""
+    import decimal
+
+    neg = _frame(k=["a"], v=pd.Series([decimal.Decimal("-0.00")], dtype=object))
+    pos = _frame(k=["a"], v=pd.Series([decimal.Decimal("0.00")], dtype=object))
+    ok, msg = compare(_Spark(neg), _Duck(pos))
+    assert not ok
+    assert "negative-zero" in msg
+    # matched signs on both sides stay green
+    ok, msg = compare(_Spark(neg), _Duck(neg.copy()))
+    assert ok, msg
+    # a NEGATIVE non-zero decimal is not a negative zero
+    negval = _frame(k=["a"], v=pd.Series([decimal.Decimal("-1.00")], dtype=object))
+    ok, msg = compare(_Spark(negval), _Duck(negval.copy()))
+    assert ok, msg
+
+
 def test_duplicate_columns_before_case_folding_say_so():
     """Labels that were ALREADY duplicated before lowercasing must not be
     blamed on case-folding — the message drops the 'after case-folding'
