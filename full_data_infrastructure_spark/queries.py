@@ -100,54 +100,54 @@ _LOADED = False
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "vocab_topk",
-    "weighted_sample_docs",
-    "window_dedup_latest",
-    "window_lag_delta",
-    "window_percent_rank",
-    "window_range_hour_sum",
-    "window_rank_topn",
-    "window_running_total",
-    "constraint_violations",
-    "dedup_cluster_cc",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_incremental_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_span_removal",
-    "dedup_survivors",
-    "dup_span_signal",
-    "embedding_lang_drift",
-    "exists_subquery",
-    "funnel_conversion",
-    "groupby_count_avg",
-    "grouping_sets_counts",
-    "histogram_buckets",
-    "hypertable_rollup_hourly",
-    "hypertable_rollup_merge",
-    "in_subquery",
-    "multimodal_decode",
-    "streaming_rollup_snapshot",
-    "activity_heatmap",
-    "anti_join",
-    "benford_first_digit",
-    "bpe_learn",
-    "bpe_pair_counts",
-    "bpe_tokenize_counts",
-    "case_flag_arithmetic",
-    "compact_small_files",
-    "conversation_assembly",
-    "corpus_datacard",
-    "corpus_pipeline",
-    "corpus_pipeline_full",
-    "correlation_matrix",
-    "cosine_threshold_histogram",
-    "ema_by_user",
-    "heavy_hitters_tokens",
-    "tpch_q5_region_volume",
+    "json_extract",
+    "k_anonymity_violations",
+    "knn_ivf",
+    "knn_label_consistency",
+    "knn_lsh",
+    "mad_outliers",
+    "mixture_sample",
+    "mixture_sqrt_temperature",
+    "multimodal_join",
+    "multimodal_payload_dedup",
+    "multimodal_resize",
+    "not_exists_subquery",
+    "notnull_filter",
+    "ntile_price_quartiles",
+    "ordered_limit",
+    "pack_bin_stats",
+    "pack_sequences",
+    "percentile_stats",
+    "pii_redact",
+    "proportional_sample",
+    "rfm_segments",
+    "runtime_filtered_join",
+    "scalar_count",
+    "select_prune_cast",
+    "shard_manifest",
+    "streaming_sessionize_snapshot",
+    "trend_by_event_type",
+    "unpivot_lineitem",
+    "validation_suite",
+    "winnowing_fingerprint",
+    "winsorize_values",
+    "approx_count_distinct",
+    "c4_quality_filters",
+    "chunk_documents",
+    "cohort_retention",
+    "conditional_rate",
+    "count_distinct",
+    "cte_self_join",
+    "cube_counts",
+    "date_format_concat",
+    "debezium_roundtrip",
+    "discount_band_quantity",
+    "domain_cap_sample",
+    "dup_cluster_size_histogram",
+    "embedding_kmeans",
+    "embedding_pca_project",
+    "embedding_quantize_int8",
+    "pagerank_parts",
 )
 
 
