@@ -166,7 +166,13 @@ def _neg_zero_count(series: pd.Series) -> int:
     Vectorized for float dtypes so the sf0.1 parity tier's wall doesn't
     grow; the object-dtype fallback loops (mixed columns are small)."""
     if pd.api.types.is_float_dtype(series):
-        arr = series.to_numpy()
+        # is_float_dtype is also True for pandas NULLABLE Float64, whose
+        # bare to_numpy() yields an object array carrying pd.NA — signbit
+        # would then raise TypeError and crash the compare instead of
+        # reporting (ADVICE r16).  Converting with na_value=np.nan keeps
+        # the fast path total: signbit(nan) may be anything, but nan ==
+        # 0.0 is False, so the mask excludes nulls either way.
+        arr = series.to_numpy(dtype=float, na_value=np.nan)
         return int((np.signbit(arr) & (arr == 0.0)).sum())
     if series.dtype != object:
         return 0
@@ -179,6 +185,47 @@ def _neg_zero_count(series: pd.Series) -> int:
             if v.is_finite() and v == 0 and v.is_signed():
                 n += 1
     return n
+
+
+def _zero_sign(v: Any) -> str:
+    """'-' for a negative zero (float -0.0 or a signed Decimal zero), ''
+    for everything else — including positive zeros, so the deliberate
+    0.0-vs-int-0 equivalence is untouched.  np.float64 subclasses float;
+    NaN fails ``v == 0.0`` so signbit(NaN) never matters."""
+    if isinstance(v, float):
+        return "-" if v == 0.0 and math.copysign(1.0, v) < 0.0 else ""
+    if isinstance(v, decimal.Decimal):
+        return "-" if v.is_finite() and v == 0 and v.is_signed() else ""
+    return ""
+
+
+def _signed_zero_rows(df: pd.DataFrame) -> list[tuple]:
+    """Rows as sorted multisets of (normalized sort key, zero sign) cell
+    pairs — the positional companion to the per-column negative-zero
+    COUNT tripwire in check_repr_parity.
+
+    Equal counts alone are not positional (ADVICE r16): with spark rows
+    (a, -0.0), (b, 0.0) and duckdb rows (a, 0.0), (b, -0.0) the
+    per-column counts match and every cell compares equal (-0.0 == 0.0),
+    yet the driver's order-insensitive value hash sees the multiset
+    {'a,-0.0', 'b,0.0'} vs {'a,0.0', 'b,-0.0'} and diverges.  Comparing
+    the multiset of rows AUGMENTED with each cell's zero sign is exact
+    for that shape: two sides agree iff the rows can be matched 1:1 with
+    identical normalized renders AND an identical signed-zero pattern —
+    which also covers the multi-zero-column shape where per-column
+    multisets of (row-key, sign) would still pass.  Ties sort as
+    multisets, so sides that distribute the same signs across
+    identically-keyed rows in a different input order stay equal, exactly
+    as the driver's sorted-render hash would."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(
+            ((x is None, str(x)), _zero_sign(v))
+            for v, x in ((v, _normalize_cell(v)) for v in row)
+        )
+        for row in df[cols].itertuples(index=False)
+    ]
+    return sorted(rows)
 
 
 def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
@@ -244,11 +291,14 @@ def check_repr_parity(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | 
         # float -0.0 to int 0), so the cell compare equates a signed-zero
         # divergence — but a representation-sensitive value hash sees
         # '-0.0' vs '0.0' (round-16 self-review, same round-2 family).
-        # Comparing per-side COUNTS is exact, not heuristic: rows are
-        # compared as sorted multisets, so equal counts mean the sorted
-        # value sequences render identically; no materialization can
-        # conjure -0.0 from an int column, so a count divergence is
-        # render-divergent under any driver coercion.  Deliberately NOT
+        # A count divergence is always render-divergent (no
+        # materialization can conjure -0.0 from an int column), so this
+        # ring never false-alarms — but equal counts are NOT sufficient
+        # for multi-column results (ADVICE r16): signs can sit on
+        # differently-keyed rows on each side with the counts matching.
+        # That positional shape is caught by the _signed_zero_rows
+        # multiset backstop in compare(); this per-column count stays as
+        # the fast, column-localizing first alarm.  Deliberately NOT
         # a cell-level ring: the whole-float-vs-int equivalence (3.0 vs
         # 3, pandas null-coercion symmetry) stays allowed.
         s_nz = _neg_zero_count(spark_pdf[col])
@@ -342,4 +392,32 @@ def compare(
                     f"value mismatch at sorted-row {i} col '{col}': "
                     f"spark={sv!r} duckdb={dv!r} (spark row: {sr}, duck row: {dr})"
                 )
+    # Positional signed-zero backstop (ADVICE r16): the per-column
+    # negative-zero COUNT tripwire in check_repr_parity already ran and
+    # agreed, but equal counts can still hide signs sitting on
+    # differently-keyed rows in a multi-column result (every cell
+    # compares equal because -0.0 == 0.0, yet the sorted rendered
+    # multisets the driver hashes diverge).  Gated on any negative zero
+    # being present at all, so the 161-query census (zero occurrences)
+    # pays one vectorized signbit pass and nothing more.
+    if any(_neg_zero_count(spark_pdf[c]) > 0 for c in cols_sorted):
+        s_aug = _signed_zero_rows(spark_pdf)
+        d_aug = _signed_zero_rows(duck_pdf)
+        if s_aug != d_aug:
+            diff_cols = sorted(
+                {
+                    cols_sorted[j]
+                    for sr, dr in zip(s_aug, d_aug)
+                    for j in range(len(cols_sorted))
+                    if sr[j] != dr[j]
+                }
+            )
+            return False, (
+                f"representation mismatch: negative zeros sit on "
+                f"differently-keyed rows (cols {diff_cols}) — per-column "
+                f"counts match and every cell compares equal, but the "
+                f"sorted rendered multisets the driver hashes diverge "
+                f"('a,-0.0' vs 'a,0.0'); normalize the sign (e.g. + 0.0) "
+                f"on both sides"
+            )
     return True, f"ok ({len(s_rows)} rows)"

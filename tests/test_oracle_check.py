@@ -20,7 +20,7 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from tests.oracle_check import compare, normalize_frame
+from tests.oracle_check import _neg_zero_count, _signed_zero_rows, compare, normalize_frame
 
 
 class _Spark:
@@ -306,6 +306,56 @@ def test_negative_zero_decimal_divergence_rings():
     assert ok, msg
 
 
+def test_negative_zero_positional_divergence_rings():
+    """ADVICE r16: the per-column negative-zero COUNT tripwire is blind
+    to signs sitting on differently-keyed rows — spark (a,-0.0),(b,0.0)
+    vs duckdb (a,0.0),(b,-0.0) has matching counts and every cell
+    compares equal, yet the driver's sorted-render hash sees
+    {'a,-0.0','b,0.0'} vs {'a,0.0','b,-0.0'} and diverges.  The
+    _signed_zero_rows multiset backstop in compare() must ring."""
+    sp = _frame(k=["a", "b"], v=pd.Series([-0.0, 0.0], dtype=float))
+    du = _frame(k=["a", "b"], v=pd.Series([0.0, -0.0], dtype=float))
+    ok, msg = compare(_Spark(sp), _Duck(du))
+    assert not ok
+    assert "differently-keyed rows" in msg
+    # symmetric
+    ok, msg = compare(_Spark(du), _Duck(sp))
+    assert not ok
+    assert "differently-keyed rows" in msg
+    # the multi-zero-column shape where even per-column (row-key, sign)
+    # multisets would agree: spark rows (-0.0, 0.0),(0.0, -0.0) vs duck
+    # (0.0, 0.0),(-0.0, -0.0) — only the full augmented-row multiset
+    # separates them
+    sp2 = _frame(
+        x=pd.Series([-0.0, 0.0], dtype=float), y=pd.Series([0.0, -0.0], dtype=float)
+    )
+    du2 = _frame(
+        x=pd.Series([0.0, -0.0], dtype=float), y=pd.Series([0.0, -0.0], dtype=float)
+    )
+    ok, msg = compare(_Spark(sp2), _Duck(du2))
+    assert not ok
+    assert "differently-keyed rows" in msg
+    # identically-distributed signs in a different INPUT order stay green
+    # (ties sort as multisets, exactly like the driver's sorted renders)
+    sp3 = _frame(k=["a", "a"], v=pd.Series([-0.0, 0.0], dtype=float))
+    du3 = _frame(k=["a", "a"], v=pd.Series([0.0, -0.0], dtype=float))
+    ok, msg = compare(_Spark(sp3), _Duck(du3))
+    assert ok, msg
+
+
+def test_neg_zero_count_handles_nullable_float_dtype():
+    """ADVICE r16: pandas NULLABLE Float64 satisfies is_float_dtype, but
+    its bare to_numpy() yields an object array carrying pd.NA — signbit
+    on that raised TypeError and would crash the compare instead of
+    reporting.  The na_value=np.nan conversion keeps the fast path
+    total: nulls never count (nan == 0.0 is False)."""
+    s = pd.Series([-0.0, None, 0.0, -0.0], dtype="Float64")
+    assert _neg_zero_count(s) == 2
+    assert _neg_zero_count(pd.Series([None, None], dtype="Float64")) == 0
+    # numpy-backed float64 path unchanged
+    assert _neg_zero_count(pd.Series([-0.0, float("nan"), 0.0], dtype=float)) == 1
+
+
 def test_duplicate_columns_before_case_folding_say_so():
     """Labels that were ALREADY duplicated before lowercasing must not be
     blamed on case-folding — the message drops the 'after case-folding'
@@ -363,15 +413,23 @@ def test_any_single_cell_perturbation_rings(rows, idx):
 )
 def test_compare_is_exactly_normalized_multiset_equality(left, right):
     """Two-sided property: for arbitrary PAIRS of same-schema frames,
-    compare passes iff the normalized row multisets are equal — sound
-    (no false alarm on a reordered-but-equal result) AND complete (any
-    multiset difference rings, including row-association breaks that
-    per-column hashing would miss).  The cell strategy keeps str(cell)
+    compare passes iff the normalized row multisets are equal AND the
+    signed-zero-augmented row multisets are equal — sound (no false
+    alarm on a reordered-but-equal result) AND complete (any multiset
+    difference rings, including row-association breaks that per-column
+    hashing would miss).  The second conjunct entered with the round-16
+    signed-zero rings: -0.0 normalizes to int 0, so plain multiset
+    equality calls a signed-zero divergence 'equal' while compare (and
+    the driver's render hash) correctly rejects it — the strategy DOES
+    generate -0.0, so the old one-conjunct claim was latently flaky
+    (round-17 self-review).  The cell strategy keeps str(cell)
     collision-free across types ('xyz' strings never look numeric), so
     sort ties only occur between genuinely equal cells."""
     lf = pd.DataFrame(left, columns=["a", "b"], dtype=object)
     rf = pd.DataFrame(right, columns=["a", "b"], dtype=object)
-    expected = normalize_frame(lf) == normalize_frame(rf)
+    expected = normalize_frame(lf) == normalize_frame(rf) and _signed_zero_rows(
+        lf
+    ) == _signed_zero_rows(rf)
     ok, msg = compare(_Spark(lf), _Duck(rf))
     assert ok == expected, f"compare={ok} multiset_equal={expected}: {msg}"
 
