@@ -51,13 +51,58 @@ def _normalize_cell(v: Any) -> Any:
         return ts.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
-    if hasattr(v, "item") and not isinstance(v, (list, tuple, str, bytes)):
+    if isinstance(v, np.ndarray):
+        # Array-valued result cells: DuckDB LIST reaches fetchdf as a
+        # numpy (Masked)ndarray per cell, Spark ArrayType reaches
+        # toPandas as an ndarray per cell.  The .item() path below would
+        # CRASH on size>1 ('can only convert an array of size 1') and
+        # silently SCALARIZE size 1 (a 1-element array would equal a
+        # bare scalar) — round-17 self-review, same crash-instead-of-
+        # report family as the nullable-Float64 and non-finite-Decimal
+        # fixes.  Normalize to a tuple of per-ELEMENT normalized values:
+        # order is part of an array's value, and MaskedArray.tolist()
+        # yields None for masked elements, matching NULL.
+        return tuple(_normalize_array_element(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize_array_element(x) for x in v)
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
         v = v.item()
     if isinstance(v, bool):
         return v
     if isinstance(v, float) and v.is_integer():
         return int(v)
     return v
+
+
+def _normalize_array_element(x: Any) -> Any:
+    """Per-element normalization for ARRAY interiors — like
+    _normalize_cell but WITHOUT the whole-float → int fold.
+
+    The scalar fold exists to absorb a pandas artifact: a SCALAR int
+    column acquires float dtype when any row is null, so 3.0-vs-3 across
+    engines is usually toPandas coercion, not a render divergence.
+    Array elements keep their engine types inside the object cell — no
+    coercion ever retypes them — so a float-vs-int divergence inside an
+    array ('[3.0]' vs '[3]') is genuine and must stay visible to the
+    class-sensitive element compare.  NaN → None (both engines render
+    array nulls as absent values), timestamps/dates → isoformat, numpy
+    scalars unwrap, nested arrays recurse."""
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return None
+    if isinstance(x, (pd.Timestamp, dt.datetime)):
+        ts = pd.Timestamp(x)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(x, dt.date):
+        return x.isoformat()
+    if isinstance(x, np.ndarray):
+        return tuple(_normalize_array_element(e) for e in x.tolist())
+    if isinstance(x, (list, tuple)):
+        return tuple(_normalize_array_element(e) for e in x)
+    if hasattr(x, "item") and not isinstance(x, (str, bytes)):
+        x = x.item()
+    return x
 
 
 def normalize_frame(df: pd.DataFrame) -> list[tuple]:
@@ -67,9 +112,49 @@ def normalize_frame(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def _array_elements_equal(a: Any, b: Any) -> bool:
+    """Exact, type-CLASS-sensitive equality for array interiors.
+
+    The scalar cell path deliberately equates 3.0 with 3 and leaves
+    representation policing to the column-level tripwires
+    (check_repr_parity), because pandas null-coercion retypes whole
+    SCALAR columns.  Array elements suffer no such artifact, and no
+    column hook exists for them — so any class divergence (float vs
+    int, Decimal vs anything, bool vs int, str vs bytes) is a genuine
+    render divergence the driver hash rejects, and rings HERE at the
+    cell.  Decimal pairs additionally require equal exponents
+    (render identity: '3.00' vs '3.0' hash-differs though == is True).
+    Signed zeros stay the backstop's job: -0.0 == 0.0 passes here and
+    _zero_sign's recursion rings positionally, same as scalars."""
+    if a is None and b is None:
+        return True
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            _array_elements_equal(x, y) for x, y in zip(a, b)
+        )
+    for cls in (tuple, bool, int, float, str, bytes, decimal.Decimal):
+        if isinstance(a, cls) != isinstance(b, cls):
+            return False
+    if isinstance(a, decimal.Decimal) and isinstance(b, decimal.Decimal):
+        if not (a.is_finite() and b.is_finite()):
+            return str(a) == str(b)
+        return a == b and a.as_tuple().exponent == b.as_tuple().exponent
+    return a == b
+
+
 def _cells_equal(a: Any, b: Any, exact: bool = False) -> bool:
     if a is None and b is None:
         return True
+    if isinstance(a, tuple) or isinstance(b, tuple):
+        # Normalized array cells (tuples after _normalize_cell).  Bare
+        # ``a == b`` would compare tuples elementwise with Python ==,
+        # equating inside arrays every shape the harness polices at the
+        # scalar level (True == 1, 3.0 == 3, Decimal('3.00') == 3).  A
+        # tuple against a non-tuple (1-element array vs bare scalar,
+        # array vs NULL) is a shape mismatch, reported not crashed.
+        if not (isinstance(a, tuple) and isinstance(b, tuple)):
+            return False
+        return _array_elements_equal(a, b)
     if isinstance(a, bool) != isinstance(b, bool):
         # Python equates True == 1 (and float(True) == 1.0), but the
         # driver's value hash sees 'True' vs '1' — a boolean column on one
@@ -176,26 +261,42 @@ def _neg_zero_count(series: pd.Series) -> int:
         return int((np.signbit(arr) & (arr == 0.0)).sum())
     if series.dtype != object:
         return 0
-    n = 0
-    for v in series:
-        if isinstance(v, float):
-            if v == 0.0 and math.copysign(1.0, v) < 0.0:
-                n += 1
-        elif isinstance(v, decimal.Decimal):
-            if v.is_finite() and v == 0 and v.is_signed():
-                n += 1
-    return n
+    return sum(_neg_zeros_in(v) for v in series)
 
 
-def _zero_sign(v: Any) -> str:
+def _neg_zeros_in(v: Any) -> int:
+    """Negative zeros in one cell — recursing into array cells (ndarray/
+    list/tuple) so a -0.0 INSIDE an array opens the positional backstop
+    gate in compare() just like a scalar one (round-17 self-review;
+    without the recursion the gate stayed closed and array-interior
+    signed-zero divergence passed silently)."""
+    if isinstance(v, float):
+        return 1 if v == 0.0 and math.copysign(1.0, v) < 0.0 else 0
+    if isinstance(v, decimal.Decimal):
+        return 1 if v.is_finite() and v == 0 and v.is_signed() else 0
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return sum(_neg_zeros_in(x) for x in v)
+    return 0
+
+
+def _zero_sign(v: Any) -> str | tuple:
     """'-' for a negative zero (float -0.0 or a signed Decimal zero), ''
     for everything else — including positive zeros, so the deliberate
-    0.0-vs-int-0 equivalence is untouched.  np.float64 subclasses float;
-    NaN fails ``v == 0.0`` so signbit(NaN) never matters."""
+    0.0-vs-int-0 equivalence is untouched.  Array cells yield the tuple
+    of their elements' signs.  np.float64 subclasses float; NaN fails
+    ``v == 0.0`` so signbit(NaN) never matters."""
     if isinstance(v, float):
         return "-" if v == 0.0 and math.copysign(1.0, v) < 0.0 else ""
     if isinstance(v, decimal.Decimal):
         return "-" if v.is_finite() and v == 0 and v.is_signed() else ""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        # Array cells carry a POSITIONAL sign pattern (order is part of
+        # the array's render): [-0.0, 0.0] vs [0.0, -0.0] hash-differs.
+        return tuple(_zero_sign(x) for x in v)
     return ""
 
 

@@ -356,6 +356,118 @@ def test_neg_zero_count_handles_nullable_float_dtype():
     assert _neg_zero_count(pd.Series([-0.0, float("nan"), 0.0], dtype=float)) == 1
 
 
+def test_array_cells_compare_instead_of_crashing():
+    """Array-valued result cells (Spark ArrayType → ndarray per cell,
+    DuckDB LIST → numpy MaskedArray per cell) used to CRASH the compare:
+    _normalize_cell's .item() raised ValueError on size>1 and silently
+    SCALARIZED size 1 (round-17 self-review, same crash-instead-of-
+    report family as the nullable-Float64 and non-finite-Decimal
+    fixes).  Arrays now normalize to tuples and compare exactly."""
+    import numpy as np
+
+    # ndarray vs plain list vs MaskedArray — all equal
+    sp = _frame(k=["a"], v=pd.Series([np.array([1.0, 2.0])], dtype=object))
+    du = _frame(k=["a"], v=pd.Series([[1.0, 2.0]], dtype=object))
+    ok, msg = compare(_Spark(sp), _Duck(du))
+    assert ok, msg
+    masked = np.ma.MaskedArray([1.0, 2.0], mask=[False, False])
+    du_m = _frame(k=["a"], v=pd.Series([masked], dtype=object))
+    ok, msg = compare(_Spark(sp), _Duck(du_m))
+    assert ok, msg
+    # element value mismatch rings (reported, not crashed)
+    du_bad = _frame(k=["a"], v=pd.Series([[1.0, 2.5]], dtype=object))
+    ok, msg = compare(_Spark(sp), _Duck(du_bad))
+    assert not ok
+    assert "value mismatch" in msg
+    # length mismatch rings
+    du_short = _frame(k=["a"], v=pd.Series([[1.0]], dtype=object))
+    ok, msg = compare(_Spark(sp), _Duck(du_short))
+    assert not ok
+    # a 1-element array is NOT its bare scalar ('[1.0]' vs '1.0')
+    one = _frame(k=["a"], v=pd.Series([np.array([1.0])], dtype=object))
+    scal = _frame(k=["a"], v=pd.Series([1.0], dtype=object))
+    ok, msg = compare(_Spark(one), _Duck(scal))
+    assert not ok
+    # an array is not NULL
+    nul = _frame(k=["a"], v=pd.Series([None], dtype=object))
+    ok, msg = compare(_Spark(one), _Duck(nul))
+    assert not ok
+    # masked (NULL) elements equal None elements; NaN folds to null too
+    sp_n = _frame(k=["a"], v=pd.Series([[1.0, None]], dtype=object))
+    du_n = _frame(
+        k=["a"],
+        v=pd.Series([np.ma.MaskedArray([1.0, 9.0], mask=[False, True])], dtype=object),
+    )
+    ok, msg = compare(_Spark(sp_n), _Duck(du_n))
+    assert ok, msg
+    nan_n = _frame(k=["a"], v=pd.Series([[1.0, float("nan")]], dtype=object))
+    ok, msg = compare(_Spark(sp_n), _Duck(nan_n))
+    assert ok, msg
+    # nested arrays recurse
+    sp2 = _frame(k=["a"], v=pd.Series([[[1, 2], [3]]], dtype=object))
+    du2 = _frame(k=["a"], v=pd.Series([[[1, 2], [3]]], dtype=object))
+    ok, msg = compare(_Spark(sp2), _Duck(du2))
+    assert ok, msg
+    du2_bad = _frame(k=["a"], v=pd.Series([[[1, 2], [4]]], dtype=object))
+    ok, msg = compare(_Spark(sp2), _Duck(du2_bad))
+    assert not ok
+
+
+def test_array_interiors_are_type_class_sensitive():
+    """Array elements keep their engine types (no pandas null-coercion
+    ever retypes them), so class divergences INSIDE arrays are genuine
+    render divergences with no column-level hook — the element compare
+    rings where the scalar path deliberately equates: [3.0] vs [3]
+    ('[3.0]' vs '[3]'), [true] vs [1], Decimal interiors with differing
+    scales, and Decimal-vs-float."""
+    import decimal
+
+    fl = _frame(k=["a"], v=pd.Series([[3.0]], dtype=object))
+    it = _frame(k=["a"], v=pd.Series([[3]], dtype=object))
+    ok, msg = compare(_Spark(fl), _Duck(it))
+    assert not ok
+    # matched classes stay green
+    ok, msg = compare(_Spark(fl), _Duck(fl.copy()))
+    assert ok, msg
+    ok, msg = compare(_Spark(it), _Duck(it.copy()))
+    assert ok, msg
+    bl = _frame(k=["a"], v=pd.Series([[True]], dtype=object))
+    one = _frame(k=["a"], v=pd.Series([[1]], dtype=object))
+    ok, msg = compare(_Spark(bl), _Duck(one))
+    assert not ok
+    d300 = _frame(k=["a"], v=pd.Series([[decimal.Decimal("3.00")]], dtype=object))
+    d30 = _frame(k=["a"], v=pd.Series([[decimal.Decimal("3.0")]], dtype=object))
+    ok, msg = compare(_Spark(d300), _Duck(d30))
+    assert not ok
+    ok, msg = compare(_Spark(d300), _Duck(d300.copy()))
+    assert ok, msg
+    dvf = _frame(k=["a"], v=pd.Series([[decimal.Decimal("3.0")]], dtype=object))
+    ok, msg = compare(_Spark(dvf), _Duck(fl))
+    assert not ok
+
+
+def test_negative_zero_inside_arrays_rings():
+    """-0.0 INSIDE an array: the element compare passes (-0.0 == 0.0 by
+    design, same as scalars) but _zero_sign/_neg_zeros_in recurse into
+    array cells, so the positional backstop gate opens and the sign
+    divergence rings — without the recursion it passed silently."""
+    import numpy as np
+
+    neg = _frame(k=["a"], v=pd.Series([np.array([-0.0, 1.0])], dtype=object))
+    pos = _frame(k=["a"], v=pd.Series([[0.0, 1.0]], dtype=object))
+    ok, msg = compare(_Spark(neg), _Duck(pos))
+    assert not ok
+    assert "negative-zero" in msg or "negative zeros" in msg
+    # matched signs stay green
+    ok, msg = compare(_Spark(neg), _Duck(neg.copy()))
+    assert ok, msg
+    # positional WITHIN the array: [-0.0, 0.0] vs [0.0, -0.0]
+    ab = _frame(k=["a"], v=pd.Series([[-0.0, 0.0]], dtype=object))
+    ba = _frame(k=["a"], v=pd.Series([[0.0, -0.0]], dtype=object))
+    ok, msg = compare(_Spark(ab), _Duck(ba))
+    assert not ok
+
+
 def test_duplicate_columns_before_case_folding_say_so():
     """Labels that were ALREADY duplicated before lowercasing must not be
     blamed on case-folding — the message drops the 'after case-folding'
