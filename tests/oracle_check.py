@@ -42,7 +42,15 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize_cell(v: Any) -> Any:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    # pd.NA (nullable-dtype frames) and pd.NaT (null timestamps) are
+    # nulls and must equal None/NaN — without the fold, NA-vs-None
+    # reported a false MISMATCH on a null-vs-null pair, and NaT (a
+    # datetime instance) rendered as the string 'NaT' (round-17
+    # self-review; unreachable from toPandas()/fetchdf() today, the
+    # same reachability tier as the nullable-Float64 fix).
+    if v is None or v is pd.NaT or v is pd.NA:
+        return None
+    if isinstance(v, float) and math.isnan(v):
         return None
     if isinstance(v, (pd.Timestamp, dt.datetime)):
         ts = pd.Timestamp(v)
@@ -87,7 +95,9 @@ def _normalize_array_element(x: Any) -> Any:
     class-sensitive element compare.  NaN → None (both engines render
     array nulls as absent values), timestamps/dates → isoformat, numpy
     scalars unwrap, nested arrays recurse."""
-    if x is None or (isinstance(x, float) and math.isnan(x)):
+    if x is None or x is pd.NaT or x is pd.NA:
+        return None
+    if isinstance(x, float) and math.isnan(x):
         return None
     if isinstance(x, (pd.Timestamp, dt.datetime)):
         ts = pd.Timestamp(x)

@@ -343,6 +343,32 @@ def test_negative_zero_positional_divergence_rings():
     assert ok, msg
 
 
+def test_pandas_null_singletons_equal_none():
+    """pd.NA (nullable-dtype frames) and pd.NaT (null timestamps) are
+    nulls: NA-vs-None used to report a false MISMATCH on a null-vs-null
+    pair, and NaT — a datetime instance — normalized to the string
+    'NaT' instead of null (round-17 self-review; unreachable from
+    toPandas()/fetchdf() today, same reachability tier as the
+    nullable-Float64 fix)."""
+    sp = _frame(k=["a", "b"], v=pd.array([1, None], dtype="Int64"))
+    du = _frame(k=["a", "b"], v=[1.0, float("nan")])
+    ok, msg = compare(_Spark(sp), _Duck(du))
+    assert ok, msg
+    spt = _frame(k=["a"], v=pd.Series([pd.NaT], dtype="datetime64[ns]"))
+    dut = _frame(k=["a"], v=pd.Series([None], dtype=object))
+    ok, msg = compare(_Spark(spt), _Duck(dut))
+    assert ok, msg
+    # a null singleton against a real value still rings
+    du_real = _frame(k=["a", "b"], v=[1.0, 2.0])
+    ok, msg = compare(_Spark(sp), _Duck(du_real))
+    assert not ok
+    # and inside arrays
+    sp_arr = _frame(k=["a"], v=pd.Series([[pd.NaT, 1]], dtype=object))
+    du_arr = _frame(k=["a"], v=pd.Series([[None, 1]], dtype=object))
+    ok, msg = compare(_Spark(sp_arr), _Duck(du_arr))
+    assert ok, msg
+
+
 def test_neg_zero_count_handles_nullable_float_dtype():
     """ADVICE r16: pandas NULLABLE Float64 satisfies is_float_dtype, but
     its bare to_numpy() yields an object array carrying pd.NA — signbit
