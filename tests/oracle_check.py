@@ -2,9 +2,12 @@
 
 For each registered query with an oracle: run the Spark builder and the
 DuckDB SQL on the same parquet tables, sort columns by name and rows by all
-values, and compare cell-by-cell (floats to 1e-9 relative; everything else
-exact). This is intentionally *stricter* than a value-hash: it localizes the
-first differing cell for debugging.
+values, and compare cell-by-cell — EXACT on every column including floats
+(rel_tol=0 since the round-10 census; see compare()'s docstring). This is
+intentionally *stricter* than a value-hash: it localizes the first
+differing cell for debugging, and the representation tripwires
+(check_repr_parity + the signed-zero backstop) ring on render divergences
+the cell compare would equate.
 """
 
 from __future__ import annotations
