@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from full_data_infrastructure_spark.cache import tracked_persist
 from full_data_infrastructure_spark.functions.vector import cosine_sql, dot, l2_norm
 from full_data_infrastructure_spark.queries import register
-from full_data_infrastructure_spark.sources.parquet import load_table
+from full_data_infrastructure_spark.sources.parquet import fan_out, load_table
 
 NGRAM = 3
 MINHASH_K = 32
@@ -53,8 +53,16 @@ def word_shingles(toks: Column, n: int = NGRAM) -> Column:
     ``sequence`` + per-index ``element_at``, which re-evaluates the whole
     token-array expression per element (no common-subexpression elimination
     across lambda boundaries; ~20x slower measured at sf0.1).
+
+    ``gram_count`` is clamped at zero so arrays shorter than ``n`` yield
+    an EMPTY shingle array instead of a negative slice length (a runtime
+    error): callers that explode need no guarding pre-filter, which
+    matters because such a filter re-runs the whole tokenizer below any
+    fan_out exchange when the optimizer pushes it down (r17 measurement:
+    the pushed filter serialized tokenization back onto the single scan
+    task the exchange existed to escape).
     """
-    gram_count = F.size(toks) - (n - 1)
+    gram_count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     parts = [F.slice(toks, j + 1, gram_count) for j in range(n)]
     acc = parts[-1]
     for prev in reversed(parts[:-1]):
@@ -68,8 +76,16 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Tokens are materialized through a projection first so the ``split`` runs
     once per row, not once per downstream reference.
     """
-    tokd = docs.select(id_col, doc_tokens().alias("toks")).filter(
-        F.size("toks") >= NGRAM
+    # fan_out BEFORE tokenization: the tokenize/shingle/hash chain is the
+    # expensive part of every dedup query, and a small single-row-group
+    # scan would otherwise run it on one core (see fan_out's docstring;
+    # structural no-op at scale). Applied to the two-column projection so
+    # the exchange, when it exists at all, carries only (id, text). No
+    # size(toks) pre-filter: it would push below the exchange and re-run
+    # the tokenizer on the lone scan task — short docs instead produce an
+    # empty shingle array (word_shingles clamps) that explode drops.
+    tokd = fan_out(docs.select(id_col, "text")).select(
+        id_col, doc_tokens().alias("toks")
     )
     return tokd.select(
         id_col, F.explode(word_shingles(F.col("toks"))).alias("sh")
@@ -180,6 +196,27 @@ def _signatures_from_hashed(hashed: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
+def _sig_sizes_from_hashed(hashed: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sig, sz): the minhash signature AND the per-doc shingle
+    count from ONE aggregation pass over the hashed-shingle table.
+
+    The signature aggregate already groups by doc_id and touches every
+    (doc_id, h) row; folding ``count(1)`` into the same HashAggregate
+    makes the separate sizes groupBy — a second full pass + exchange over
+    the shingle table — free (optimization round 17; sz is exact because
+    hashed_shingles is distinct per doc). Values are identical to
+    :func:`_signatures_from_hashed` + a standalone count."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_h{i}") for i in range(k)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*mins, F.count(F.lit(1)).alias("sz"))
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig"),
+        "sz",
+    )
+
+
 def banded_signatures(
     signatures: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
 ) -> DataFrame:
@@ -238,8 +275,14 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -
     executor memory.
     """
     sh = tracked_persist(hashed_shingles(docs))
-    cand = lsh_candidate_pairs(_signatures_from_hashed(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # One aggregation pass yields signatures AND sizes; persisting it means
+    # the band self-join's two sides and both size lookups read a tiny
+    # (doc_id, sig, sz) cache instead of re-running the 32-hash min
+    # aggregate (the r16 plan computed that aggregate twice and the sizes
+    # aggregate twice — four passes over the shingle table for one).
+    sig_sz = tracked_persist(_sig_sizes_from_hashed(sh))
+    cand = lsh_candidate_pairs(sig_sz)
+    sizes = sig_sz.select("doc_id", "sz")
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h_b"))
     inter = (

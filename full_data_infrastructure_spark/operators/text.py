@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from full_data_infrastructure_spark.queries import register
-from full_data_infrastructure_spark.sources.parquet import load_table
+from full_data_infrastructure_spark.sources.parquet import fan_out, load_table
 
 # Tiny per-language stopword lists for the n-gram/stopword language heuristic.
 # Order matters: ties broken by list order (en > es > fr > de), then 'und'.
@@ -581,16 +581,21 @@ def quality_classifier_scores(docs: DataFrame) -> DataFrame:
     identical; here it is the LCG lattice so the DuckDB oracle recomputes
     it exactly.
 
-    Scale shape: tokenize/gram/hash are scan-local codegen expressions,
-    the weight table is a BROADCAST 256-row join, and the only shuffle is
-    the per-doc_id partial-aggregated sum — one integer per doc crossing
-    the exchange.
+    Scale shape (optimization round 17): the whole scorer is scan-local
+    codegen — ZERO exchanges, zero joins. The weight "table" is a pure
+    function of the bucket byte (the LCG below), so instead of exploding
+    grams, broadcast-joining a 256-row weight frame and re-aggregating by
+    doc_id, each row folds its own gram array with ``F.aggregate``:
+    w(g) = ((1103515245 * int(md5(g)[:2], 16) + 12345) % 2^31) - 2^30
+    evaluated inline (conv() on the hex prefix; all operands positive, so
+    Spark's ``%`` equals the mathematical mod the Python weight used).
+    The per-doc integer sum is associative/commutative, so the result is
+    bit-identical to the join+groupBy form — the r16 plan's Generate,
+    BroadcastExchange (a Python-RDD weight frame that cost a ~0.9 s
+    single-task job per run), and doc_id Exchange all disappear. At
+    100 TB this removes the corpus-sized gram explode AND the per-doc
+    shuffle: the scorer becomes a map-only pass.
     """
-    spark = docs.sparkSession
-    weights = spark.createDataFrame(
-        [(format(b, "02x"), _qc_weight(b)) for b in range(QC_BUCKETS)],
-        ["bucket", "w_int"],
-    )
     toks = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -599,17 +604,25 @@ def quality_classifier_scores(docs: DataFrame) -> DataFrame:
         F.slice("toks", 2, F.size("toks") - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
+    half = QC_SCALE // 2
+
+    def gram_weight(g):
+        bucket = F.conv(F.substring(F.md5(g), 1, 2), 16, 10).cast("bigint")
+        return (
+            F.lit(1103515245).cast("bigint") * bucket + F.lit(12345)
+        ) % F.lit(QC_SCALE) - F.lit(half)
+
     grams = toks.select(
-        "doc_id", F.explode(F.concat("toks", bigrams)).alias("g")
+        "doc_id", F.concat("toks", bigrams).alias("grams")
     )
-    scored = (
-        grams.select("doc_id", F.substring(F.md5("g"), 1, 2).alias("bucket"))
-        .join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("w_int").alias("sw"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
+    scored = grams.select(
+        "doc_id",
+        F.aggregate(
+            "grams",
+            F.lit(0).cast("bigint"),
+            lambda acc, g: acc + gram_weight(g),
+        ).alias("sw"),
+        F.size("grams").cast("bigint").alias("n_grams"),
     )
     return scored.select(
         "doc_id",
@@ -663,7 +676,10 @@ def quality_classifier_scores(docs: DataFrame) -> DataFrame:
     bench=True,
 )
 def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # The scorer is now map-only (zero exchanges), so a single-row-group
+    # scan would run it on one core — fan the scan out first (no-op at
+    # scale, see fan_out).
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return quality_classifier_scores(docs)
 
 

@@ -48,6 +48,48 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df
 
 
+# Fan-out threshold: inputs estimated under this many bytes PER CORE of
+# target parallelism get round-robin repartitioned before an expensive
+# derivation. 16 MiB/core keeps the triggered shuffle trivially small
+# (<= 512 MiB on a 32-core host) while guaranteeing the case that
+# matters — a single-row-group file that scans as ONE task — fans out.
+FAN_OUT_BYTES_PER_CORE = 16 * 1024 * 1024
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for compute-heavy derivations.
+
+    A scan of a small table (one file with one parquet row group) yields a
+    SINGLE input partition, so an expensive per-row derivation chained on
+    it — tokenize -> shingle -> hash, or a fact-table self-join's map side
+    — runs on one core while the rest of the host idles (measured: the
+    whole MinHash pipeline serialized on 1 of 32 cores at sf0.1). At
+    warehouse scale the same scan yields thousands of splits and needs no
+    help; ``spark.sql.files.minPartitionNum`` cannot fix the small case
+    because a single row group is not splittable below one task.
+
+    So: round-robin repartition up to the session's default parallelism
+    ONLY when the optimizer's size estimate says the input is small
+    (under ``FAN_OUT_BYTES_PER_CORE`` per core of target parallelism).
+    The branch is decided from the optimized plan's statistics — no job
+    runs, no stage executes (``df.rdd`` would eagerly run AQE stages on a
+    derived input, so partition-count probing is NOT safe here) — and at
+    warehouse scale the estimate is huge, so the exchange never appears
+    in a 100 TB plan (guide §2: derive partitioning from input size
+    instead of tuning a constant for either regime). When it does fire,
+    the shuffled bytes are bounded by the same threshold that fired it.
+    Only safe where downstream results are partitioning-independent —
+    every aggregation in the engine is (integer/DECIMAL lattices,
+    min/count), the repo's standing bit-identity contract.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size >= target * FAN_OUT_BYTES_PER_CORE:
+        return df
+    return df.repartition(target)
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,

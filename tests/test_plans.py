@@ -473,13 +473,24 @@ def test_semantic_dedup_broadcasts_centroids(qplan):
     assert "CartesianProduct" not in plan
 
 
-def test_quality_classifier_broadcasts_weights(qplan):
-    """The 256-row weight table must reach the gram scan as a broadcast
-    hash join — shuffling the exploded gram stream on its hash bucket
-    would be a corpus-sized exchange for a dimension-sized lookup."""
+def test_quality_classifier_is_map_only(qplan):
+    """The scorer folds each row's own gram array with a higher-order
+    ``aggregate`` — the weight is a pure function of the gram's md5
+    bucket, so there must be NO gram explode (Generate), NO weight-table
+    join of any strategy, and NO per-doc_id aggregation exchange: at
+    100 TB the whole scorer is a map-only pass over the scan.  The only
+    exchange allowed is the scale-adaptive fan_out round-robin, which
+    exists solely below the compute and vanishes at warehouse scale."""
     plan = qplan("quality_classifier")
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    for node in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "Generate",
+    ):
+        assert node not in plan, node
+    assert "hashpartitioning" not in plan
 
 
 def test_runtime_bloom_filter_injection(spark, sf_dir, queries):
