@@ -1362,7 +1362,16 @@ def semantic_dedup_flags(
         emb, cents, carry=("e", "nrm"), cell_alias="cell_id", cos_alias="cos_c"
     )
     w_keep = Window.partitionBy("cell_id").orderBy(F.col("cos_c").asc(), "vec_id")
-    ranked = assigned.withColumn("kr", F.row_number().over(w_keep))
+    # Persisted (optimization round 17): the ranked assignment feeds BOTH
+    # self-join sides and the final kept-flag join, and without the
+    # persist each consumer re-ran centroid scoring + the ranking window
+    # — the r16 plan held four Window evaluations and 18 scans of the
+    # embedding table for one logical assignment pass. This is the
+    # cluster-assignment table SemDeDup materializes between its two
+    # phases; cache budget is the embedding table itself.
+    ranked = tracked_persist(
+        assigned.withColumn("kr", F.row_number().over(w_keep))
+    )
     a = ranked.select(
         "cell_id",
         F.col("kr").alias("kr_a"),

@@ -699,8 +699,16 @@ def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     edges_deg = tracked_persist(sym.join(deg, "src").repartition("src"))
-    nodes = edges_deg.select("src").distinct()
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    # The node set and its 1-row count are PERSISTED (optimization round
+    # 17): n_df is broadcast into r0 and into every iteration's rank
+    # update, and without the persist each of those four broadcasts
+    # re-ran the distinct + count aggregation over the edge table — three
+    # redundant corpus passes for one scalar. Both caches are node-sized
+    # or smaller, the same budget the rank state itself needs.
+    nodes = tracked_persist(edges_deg.select("src").distinct())
+    n_df = tracked_persist(
+        nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    )
     ranks = (
         nodes.select(F.col("src").alias("node"))
         .crossJoin(F.broadcast(n_df))
@@ -708,7 +716,16 @@ def pagerank(edges_undirected: DataFrame, iterations: int = 3) -> DataFrame:
     )
     for _ in range(iterations):
         contrib = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            # SHUFFLE_HASH on the node-sized rank side: the statically
+            # planned alternative is a sort-merge join that re-SORTS the
+            # persisted edge table every iteration (guide §3.1 — pick the
+            # strategy deliberately). Building a hash table from the rank
+            # rows per partition and streaming the edges does the same
+            # join sort-free; ranks is always the smaller side (one row
+            # per node vs one per directed edge).
+            edges_deg.join(
+                ranks.hint("shuffle_hash"), edges_deg["src"] == ranks["node"]
+            )
             .select(
                 "dst",
                 # floor(double) is LONG in Spark; exact integer, < 2^53.

@@ -529,8 +529,16 @@ def _survivors_mixture_pack(
     losers = labels.filter(F.col("cluster_id") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
-    survivors = base.join(losers, "doc_id", "left_anti").select(
-        "doc_id", "lang", "text"
+    # Persisted because mixture_keep consumes the survivor set TWICE —
+    # once to derive the per-language rates, once for the keep join —
+    # and without the persist each consumer re-ran the dedup anti-join
+    # and the label chain above it (optimization round 17: two
+    # corpus-sized subtree evaluations for one). Production pipelines
+    # materialize exactly this intermediate to the lake as the dedup
+    # snapshot (the _clean_corpus rationale); the tracked in-memory
+    # persist is its test-scale stand-in.
+    survivors = tracked_persist(
+        base.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "text")
     )
     return pack_assign(mixture_keep(spark, survivors), carry=("lang",))
 

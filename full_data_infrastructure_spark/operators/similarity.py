@@ -348,7 +348,11 @@ def ivf_candidates(emb: DataFrame) -> DataFrame:
             F.floor(F.count(F.lit(1)) / N_CELLS), F.lit(1).cast("bigint")
         ).alias("stride")
     )
-    centroids = (
+    centroids = tracked_persist(
+        # Persisted (optimization round 17): the centroid table feeds both
+        # the corpus assignment and the query assignment, and each
+        # consumer's packed broadcast otherwise re-ran this stride filter
+        # as its own full corpus pass. N_CELLS rows cached.
         emb.crossJoin(F.broadcast(corpus_n))
         .filter(
             (F.col("vec_id") % F.col("stride") == 0)
@@ -814,7 +818,12 @@ def _pq_artifacts(emb: DataFrame):
         "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en")
     )
     subs = tracked_persist(_subvectors(en))
-    cb = pq_codebook(subs)
+    # The trained codebook is persisted too (optimization round 17): it
+    # feeds BOTH the corpus encode and the query LUT, and without the
+    # persist each consumer re-ran the whole Lloyd refinement (stride
+    # seed + training-sample encode + recenter) — one redundant training
+    # pass per artifact. 512 rows; it is the third index artifact.
+    cb = tracked_persist(pq_codebook(subs))
     codes = tracked_persist(pq_encode(subs, cb))
     q_subs = subs.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
         "vec_id", "query_id"
