@@ -557,6 +557,13 @@ def _clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from full_data_infrastructure_spark.operators.text import qc_keep_col
 
+    # NOT fanned out (r17, considered and rejected): the classifier lives
+    # in a WHERE, and Catalyst pushes deterministic predicates below any
+    # repartition — a fan_out here leaves the fold on the single-task
+    # scan and adds a useless exchange above the join. Scan-local
+    # filtering is the correct 100 TB shape (rows are dropped before
+    # anything moves); the serialized sf0.1 cost is a one-row-group
+    # test-file artifact that only affects the bench constant.
     docs = load_table(spark, sf_dir, "documents")
     contaminated = (
         _decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")

@@ -32,7 +32,7 @@ from full_data_infrastructure_spark.functions.vector import (
     l2_norm,
 )
 from full_data_infrastructure_spark.queries import register
-from full_data_infrastructure_spark.sources.parquet import load_table
+from full_data_infrastructure_spark.sources.parquet import fan_out, load_table
 
 N_QUERIES = 20  # query set: vec_id < 20
 TOP_K = 5
@@ -93,7 +93,12 @@ def knn_bruteforce(
         F.col("e").alias("e_q"),
         l2_norm(F.col("e")).alias("n_q"),
     )
-    c = emb.select(
+    # fan_out BEFORE the broadcast join: the per-pair scoring is
+    # O(|corpus| * |queries| * DIM) map work chained on the corpus scan,
+    # and a single-row-group embeddings file scans as ONE task (measured
+    # r17: the whole scoring pass serialized on one core, 0.55 s of a
+    # 0.84 s query). No-op at warehouse scale (see fan_out).
+    c = fan_out(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("e_c"),
         l2_norm(F.col("e")).alias("n_c"),
@@ -365,7 +370,11 @@ def ivf_candidates(emb: DataFrame) -> DataFrame:
         )
     )
 
-    corpus_cells = ivf_assignments(emb, centroids, n_best=CORPUS_ASSIGN)
+    # fan_out: the corpus assignment is O(|corpus| * N_CELLS * DIM) map
+    # work; a single-row-group scan would run it on one task (r17). The
+    # centroid derivation above stays on the raw scan — it is persisted
+    # and N_CELLS-sized, so it gains nothing from a repartition.
+    corpus_cells = ivf_assignments(fan_out(emb), centroids, n_best=CORPUS_ASSIGN)
     query_vecs = emb.filter(F.col("vec_id") < N_QUERIES)
     query_cells = ivf_assignments(query_vecs, centroids, n_best=N_PROBE).select(
         F.col("vec_id").alias("query_id"), "cell_id"
@@ -814,7 +823,13 @@ def _pq_artifacts(emb: DataFrame):
     the ivfpq plan re-derived them per consumer — persisting the index
     cut the sf0.1 bench 10.1s -> 1.9s for knn_ivfpq, 8.0s -> 1.3s for
     knn_pq, values unchanged)."""
-    en = emb.select(
+    # fan_out: everything below — normalize, subvector explode, the
+    # persisted subs cache and the Lloyd/encode passes that read it —
+    # inherits the scan's partitioning, and a single-row-group scan
+    # serializes the whole PQ construction on one task (r17). The cache
+    # is written already fanned out, so every downstream encode pass
+    # parallelizes too. No-op at warehouse scale (see fan_out).
+    en = fan_out(emb).select(
         "vec_id", F.transform("e", lambda x: x / F.col("nrm")).alias("en")
     )
     subs = tracked_persist(_subvectors(en))

@@ -171,6 +171,44 @@ def test_knn_broadcasts_queries(qplan):
     assert "CartesianProduct" not in plan
 
 
+def test_knn_corpus_side_fans_out(qplan):
+    """The corpus-side scoring is O(|corpus| x |queries| x DIM) map work
+    chained on the embeddings scan; a single-row-group test file scans as
+    ONE task, so without the scale-adaptive fan_out the whole pass
+    serializes on one core (r17 measurement: 0.55 s of a 0.84 s query on
+    a single task). At test scale the round-robin exchange must appear
+    below the scoring; fan_out's own unit test pins that it vanishes on
+    large inputs."""
+    plan = qplan("knn_bruteforce")
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_fan_out_scale_adaptive(spark, sf_dir):
+    """fan_out must (a) repartition a small scan up to the session's
+    default parallelism, (b) change no rows, and (c) be the IDENTITY on
+    inputs the optimizer estimates large — the branch is decided from
+    plan statistics before any job runs, so no exchange can appear in a
+    warehouse-scale plan."""
+    from full_data_infrastructure_spark.sources.parquet import (
+        FAN_OUT_BYTES_PER_CORE,
+        fan_out,
+        load_table,
+    )
+
+    small = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    fanned = fan_out(small)
+    assert "RoundRobinPartitioning" in plan_of(fanned)
+    assert sorted(r.vec_id for r in fanned.collect()) == sorted(
+        r.vec_id for r in small.collect()
+    )
+    # range(n) is estimated at 8 bytes/row: size it past the threshold for
+    # any plausible core count so the no-op branch is exercised exactly as
+    # a warehouse-scale scan would take it.
+    target = spark.sparkContext.defaultParallelism
+    big = spark.range(2 * target * FAN_OUT_BYTES_PER_CORE // 8)
+    assert fan_out(big) is big
+
+
 def test_threshold_limits_join_is_broadcast(qplan):
     plan = qplan("threshold_validation")
     assert "BroadcastHashJoin" in plan
