@@ -94,60 +94,61 @@ _LOADED = False
 #
 # tests/test_registry_order.py asserts the committed tuple equals the
 # computed one, so the literal cannot silently drift from the policy.
-# (Round 16 note: the 8 r11-evidence queries at the SLA horizon —
-# vocab_topk through window_running_total — absorb exactly as the r15
-# VERDICT's judge simulation projected; no forces; history lives in git.)
+# (Round 18 note: the stale-bench pin pulls every r17-touched benched
+# query — quality_classifier, the dedup/corpus-LSH family, both knn
+# entries, the four streaming snapshots — exactly as the r17 VERDICT
+# item 2 prescribed; no forces; history lives in git.)
 DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_benefits",
     "bu_salary_dashboard",
-    "json_extract",
-    "k_anonymity_violations",
-    "knn_ivf",
-    "knn_label_consistency",
-    "knn_lsh",
-    "mad_outliers",
-    "mixture_sample",
-    "mixture_sqrt_temperature",
-    "multimodal_join",
-    "multimodal_payload_dedup",
-    "multimodal_resize",
-    "not_exists_subquery",
-    "notnull_filter",
-    "ntile_price_quartiles",
-    "ordered_limit",
-    "pack_bin_stats",
-    "pack_sequences",
-    "percentile_stats",
-    "pii_redact",
-    "proportional_sample",
-    "rfm_segments",
-    "runtime_filtered_join",
-    "scalar_count",
-    "select_prune_cast",
-    "shard_manifest",
-    "streaming_sessionize_snapshot",
-    "trend_by_event_type",
-    "unpivot_lineitem",
-    "validation_suite",
-    "winnowing_fingerprint",
-    "winsorize_values",
-    "approx_count_distinct",
-    "c4_quality_filters",
-    "chunk_documents",
-    "cohort_retention",
-    "conditional_rate",
-    "count_distinct",
-    "cte_self_join",
-    "cube_counts",
-    "date_format_concat",
-    "debezium_roundtrip",
-    "discount_band_quantity",
-    "domain_cap_sample",
-    "dup_cluster_size_histogram",
-    "embedding_kmeans",
-    "embedding_pca_project",
-    "embedding_quantize_int8",
-    "pagerank_parts",
+    "event_cooccurrence_lift",
+    "event_gap_histogram",
+    "fingerprint_md5",
+    "gapfill_locf",
+    "hard_negative_mining",
+    "jsonl_documents_roundtrip",
+    "jsonl_quarantine_ingest",
+    "knn_pq",
+    "masked_projection",
+    "membership_validation",
+    "multimodal_embed",
+    "multimodal_frame_sample",
+    "pivot_event_counts",
+    "profile_columns",
+    "scalar_subquery_filter",
+    "scd2_history",
+    "scd2_incremental",
+    "sessionize_batch",
+    "snapshot_diff",
+    "stratified_sample",
+    "streaming_dedup_snapshot",
+    "streaming_ema_snapshot",
+    "streaming_funnel_snapshot",
+    "asof_join",
+    "corpus_pipeline_full_lsh",
+    "corpus_pipeline_lsh",
+    "decontaminate_overlap",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "dedup_survivors_lsh",
+    "distinct_projection",
+    "enrichment_distance",
+    "generator_activities",
+    "join_dim_snowflake",
+    "knn_bruteforce",
+    "knn_ivfpq",
+    "multi_aggregate",
+    "paragraph_dedup",
+    "quality_classifier",
+    "range_join",
+    "set_union_except_intersect",
+    "streaming_scd2_bucketed_snapshot",
+    "streaming_scd2_snapshot",
+    "streaming_upsert_bucketed_snapshot",
+    "streaming_upsert_snapshot",
+    "text_stats",
+    "topk_group_count",
+    "window_moving_avg",
 )
 
 
