@@ -114,6 +114,34 @@ def _schema_plus_bucket(schema) -> T.StructType:
     )
 
 
+def _schema_ddl(schema: T.StructType) -> str:
+    """Spark-SQL column list for a declared-schema temp view (the CREATE
+    TEMPORARY VIEW twin of ``spark.read.schema(...)`` — explicit schema,
+    no parquet-footer inference)."""
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def _standing_view_sql(view: str, schema: T.StructType, path: str, fmt: str) -> str:
+    """CREATE OR REPLACE TEMPORARY VIEW over the standing snapshot with the
+    DECLARED schema.  Re-issued every batch so the file listing is fresh
+    (the snapshot directory is swapped between batches); one py4j call
+    instead of the reader-builder chain.
+
+    Why SQL-text folds at all (optimization round 18, guide §1/§5): the
+    foreachBatch folds rebuilt their whole DataFrame lineage per batch —
+    ~60-80 py4j round-trips of LAZY plan construction per micro-batch,
+    measured at 0.65 s/batch against ~1.1 s of actual fold execution on
+    the r18 host (py4j round-trips cost ~10 ms there).  Building the fold
+    as ONE SQL statement per sink start and executing it per batch over
+    two temp views cuts that to ~4 driver calls per batch with a
+    bit-identical plan (same operators, hints preserved).
+    """
+    return (
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} ({_schema_ddl(schema)}) "
+        f"USING {fmt} OPTIONS (path '{path}')"
+    )
+
+
 def read_bucketed_snapshot(spark, path: str, schema, fmt: str = "parquet") -> DataFrame:
     """Consumer-side read of a bucketed snapshot table that is TOTAL on
     the empty cases a live pipeline produces: a stream that has not yet
@@ -190,6 +218,122 @@ def _swap_touched_buckets(out: DataFrame, path: str, touched, fmt: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _scd2_versions_sql(src: str) -> str:
+    """SQL twin of operators.windows.scd2_versions over ``src`` (a view
+    name or parenthesized subquery with user_id/event_type/ts/event_id).
+    Same expressions in the same order: LAG over (user_id; ts, event_id),
+    null-safe state comparison, first-row detection on the non-null
+    event_id (see scd2_versions' docstring for why)."""
+    return f"""
+    SELECT user_id, event_type AS state, ts AS valid_from, event_id
+    FROM (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state,
+               LAG(event_id)   OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_event_id
+        FROM {src}
+    )
+    WHERE prev_event_id IS NULL OR NOT (prev_state <=> event_type)
+    """
+
+
+def _scd2_apply_sql(bview: str, standing_src: str) -> str:
+    """SQL twin of operators.windows.scd2_apply_batch (broadcast_touched
+    form): untouched standing rows pass through an anti join, touched
+    users' versions are replayed with the batch and recompressed.  The
+    BROADCAST hints mirror F.broadcast(touched); joins are null-unsafe
+    equi-joins exactly like the column-name joins in the operator."""
+    batch_cols = f"(SELECT user_id, event_type, ts, event_id FROM {bview})"
+    replayed = f"""
+        SELECT /*+ BROADCAST(t) */
+               s.user_id, s.state AS event_type, s.valid_from AS ts, s.event_id
+        FROM {standing_src} s
+        LEFT SEMI JOIN (SELECT DISTINCT user_id FROM {bview}) t
+          ON s.user_id = t.user_id
+        UNION ALL
+        SELECT user_id, event_type, ts, event_id FROM {batch_cols}
+    """
+    return f"""
+    SELECT /*+ BROADCAST(t) */ s.user_id, s.state, s.valid_from, s.event_id
+    FROM {standing_src} s
+    LEFT ANTI JOIN (SELECT DISTINCT user_id FROM {bview}) t
+      ON s.user_id = t.user_id
+    UNION ALL
+    {_scd2_versions_sql(f"({replayed})")}
+    """
+
+
+def _cdc_apply_sql(
+    bview: str,
+    standing_src: str,
+    all_cols: tuple[str, ...],
+    key: str,
+    order_col: str,
+) -> str:
+    """SQL twin of streaming.cdc.latest_changes + apply_cdc_batch: latest
+    change per key via MAX_BY over the (order_col, lifecycle-stage)
+    comparator struct, upserts replace rows by key, deletes remove them.
+    Column order follows the snapshot schema (``all_cols`` minus op and
+    ``order_col``) exactly as the operator's selects do."""
+    payload_cols = [c for c in all_cols if c != key]
+    data_cols = [c for c in all_cols if c not in ("op", order_col)]
+    stage = (
+        "CASE WHEN op = 'd' THEN 3 WHEN op = 'u' THEN 2 "
+        "WHEN op = 'r' THEN 1 ELSE 0 END"
+    )
+    payload = ", ".join(f"`{c}`" for c in payload_cols)
+    sel_latest = ", ".join(
+        f"`{c}`" if c == key else f"_latest.`{c}` AS `{c}`" for c in data_cols
+    )
+    cols = ", ".join(f"`{c}`" for c in data_cols)
+    return f"""
+    WITH latest AS (
+        SELECT `{key}`,
+               MAX_BY(STRUCT({payload}),
+                      STRUCT(`{order_col}`, {stage})) AS _latest
+        FROM {bview} GROUP BY `{key}`
+    ),
+    upserts AS (
+        SELECT {sel_latest} FROM latest WHERE _latest.op != 'd'
+    ),
+    survivors AS (
+        SELECT s.* FROM {standing_src} s
+        LEFT ANTI JOIN latest l ON s.`{key}` = l.`{key}`
+    )
+    SELECT {cols} FROM survivors UNION ALL SELECT {cols} FROM upserts
+    """
+
+
+def _bucket_wrap_sql(sql: str, key: str, n_buckets: int) -> str:
+    """Append the deterministic key-hash bucket column (_key_bucket's SQL
+    twin) to a fold's output, for the partitioned bucketed write."""
+    return (
+        f"SELECT *, CAST(PMOD(CRC32(CAST(`{key}` AS STRING)), {n_buckets}) AS INT)"
+        f" AS bucket FROM ({sql})"
+    )
+
+
+def _touched_buckets_sql(bview: str, key: str, n_buckets: int) -> str:
+    """Distinct key-hash buckets of a batch (_key_bucket's SQL twin) — the
+    bounded (<= n_buckets rows) driver collect that prunes the standing
+    read and the directory swap."""
+    return (
+        f"SELECT DISTINCT CAST(PMOD(CRC32(CAST(`{key}` AS STRING)), {n_buckets})"
+        f" AS INT) AS bucket FROM {bview}"
+    )
+
+
+def _pruned_standing_src(sview: str, cols: str) -> str:
+    """Bucket-pruned standing subquery for the bucketed folds; ``{buckets}``
+    is formatted per batch (``FALSE`` when the batch touched none, the
+    isin([]) twin).  bucket is a partition DIRECTORY column, so the IN
+    predicate is a partition filter — untouched bucket directories are
+    never listed into the scan (same pruning as _read_touched_buckets,
+    which the consumer-side paths keep using)."""
+    return f"(SELECT {cols} FROM {sview} WHERE {{buckets}})"
+
+
 def start_upsert_sink(
     decoded: DataFrame,
     snapshot_path: str,
@@ -230,10 +374,7 @@ def start_upsert_sink(
     import shutil
     import uuid
 
-    from full_data_infrastructure_spark.streaming.cdc import (
-        apply_cdc_batch,
-        latest_changes,
-    )
+    from full_data_infrastructure_spark.streaming.cdc import latest_changes
 
     def merge_delta(batch_df: DataFrame, batch_id: int) -> None:
         from delta.tables import DeltaTable
@@ -262,25 +403,50 @@ def start_upsert_sink(
     # sink's rationale.
     snapshot_schema = decoded.drop("op", order_col).schema
 
+    # The fold plan is BUILT ONCE as SQL text (the r18 py4j-constant cut —
+    # see _standing_view_sql's rationale); per batch only the two temp
+    # views are (re)bound and the one statement executed.  The SQL is the
+    # operator-for-operator twin of latest_changes + apply_cdc_batch
+    # (asserted equal in tests/test_streaming.py::test_cdc_fold_sql_
+    # matches_operator); the standing view re-CREATE per batch re-lists
+    # the swapped snapshot directory with the DECLARED schema (ADVICE r10).
+    uid = uuid.uuid4().hex[:8]
+    bview = f"__fdi_upsert_batch_{uid}"
+    sview = f"__fdi_upsert_standing_{uid}"
+    all_cols = tuple(decoded.columns)
+    data_cols_sql = ", ".join(f"`{f.name}`" for f in snapshot_schema.fields)
+    apply_sql = _cdc_apply_sql(bview, sview, all_cols, key, order_col)
+    # First batch: no standing table exists yet — fold against an EMPTY
+    # standing side typed off the batch view itself (the batch carries
+    # every snapshot column), the SQL twin of apply_cdc_batch(empty, batch).
+    empty_src = f"(SELECT {data_cols_sql} FROM {bview} WHERE FALSE)"
+    first_sql = _cdc_apply_sql(bview, empty_src, all_cols, key, order_col)
+    pruned_sql = _cdc_apply_sql(
+        bview,
+        _pruned_standing_src(sview, data_cols_sql),
+        all_cols,
+        key,
+        order_col,
+    )
+    touched_sql = _touched_buckets_sql(bview, key, n_buckets or 1)
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if fmt == "delta":
             merge_delta(batch_df, batch_id)
             return
-        empty = spark.createDataFrame([], snapshot_schema)
+        batch_df.createOrReplaceTempView(bview)
         if n_buckets is None:
             if os.path.exists(snapshot_path):
                 # Declared schema, not footer inference: keeps every batch's
                 # standing-table types identical to the declared stream
                 # types (ADVICE r10).
-                snapshot = (
-                    spark.read.format(fmt).schema(empty.schema).load(snapshot_path)
+                spark.sql(
+                    _standing_view_sql(sview, snapshot_schema, snapshot_path, fmt)
                 )
+                merged = spark.sql(apply_sql)
             else:
-                snapshot = empty
-            merged = apply_cdc_batch(
-                snapshot, batch_df, key=key, order_col=order_col
-            )
+                merged = spark.sql(first_sql)
             tmp = f"{snapshot_path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
             merged.write.format(fmt).mode("overwrite").save(tmp)
             if os.path.exists(snapshot_path):
@@ -288,22 +454,23 @@ def start_upsert_sink(
             os.rename(tmp, snapshot_path)
             return
         # Bounded driver action: at most n_buckets distinct values.
-        touched = sorted(
-            r["bucket"]
-            for r in batch_df.select(
-                _key_bucket(F.col(key), n_buckets).alias("bucket")
-            )
-            .distinct()
-            .collect()
-        )
+        touched = sorted(r["bucket"] for r in spark.sql(touched_sql).collect())
         if _bucketed_snapshot_nonempty(snapshot_path):
-            snapshot = _read_touched_buckets(
-                spark, snapshot_path, fmt, touched, empty.schema
+            spark.sql(
+                _standing_view_sql(
+                    sview,
+                    _schema_plus_bucket(snapshot_schema),
+                    snapshot_path,
+                    fmt,
+                )
             )
+            buckets = (
+                f"bucket IN ({', '.join(map(str, touched))})" if touched else "FALSE"
+            )
+            merged_sql = pruned_sql.format(buckets=buckets)
         else:
-            snapshot = empty
-        merged = apply_cdc_batch(snapshot, batch_df, key=key, order_col=order_col)
-        out = merged.withColumn("bucket", _key_bucket(F.col(key), n_buckets))
+            merged_sql = first_sql
+        out = spark.sql(_bucket_wrap_sql(merged_sql, key, n_buckets))
         _swap_touched_buckets(out, snapshot_path, touched, fmt)
 
     writer = decoded.writeStream.foreachBatch(merge).option(
@@ -486,10 +653,7 @@ def start_scd2_sink(
     import shutil
     import uuid
 
-    from full_data_infrastructure_spark.operators.windows import (
-        scd2_apply_batch,
-        scd2_versions,
-    )
+    from full_data_infrastructure_spark.operators.windows import scd2_versions
 
     # Declared standing-table schema: what scd2_versions emits for the
     # DECODED STREAM's column types, computed ONCE at sink start
@@ -506,17 +670,35 @@ def start_scd2_sink(
         )
     ).schema
 
+    # Fold plan built ONCE as SQL text (the r18 py4j-constant cut — see
+    # _standing_view_sql's rationale); the SQL is the operator-for-operator
+    # twin of scd2_apply_batch / scd2_versions (asserted equal in
+    # tests/test_streaming.py::test_scd2_fold_sql_matches_operator).  Per
+    # batch: rebind two temp views, run one statement, write.
+    uid = uuid.uuid4().hex[:8]
+    bview = f"__fdi_scd2_batch_{uid}"
+    sview = f"__fdi_scd2_standing_{uid}"
+    ver_cols_sql = ", ".join(f"`{f.name}`" for f in versions_schema.fields)
+    apply_sql = _scd2_apply_sql(bview, sview)
+    first_sql = _scd2_versions_sql(
+        f"(SELECT user_id, event_type, ts, event_id FROM {bview})"
+    )
+    pruned_sql = _scd2_apply_sql(
+        bview, _pruned_standing_src(sview, ver_cols_sql)
+    )
+    touched_sql = _touched_buckets_sql(bview, "user_id", n_buckets or 1)
+
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.select(*_change_cols)
+        batch_df.createOrReplaceTempView(bview)
         if n_buckets is None:
             if os.path.exists(versions_path):
-                standing = (
-                    spark.read.format(fmt).schema(versions_schema).load(versions_path)
+                spark.sql(
+                    _standing_view_sql(sview, versions_schema, versions_path, fmt)
                 )
-                merged = scd2_apply_batch(standing, batch)
+                merged = spark.sql(apply_sql)
             else:
-                merged = scd2_versions(batch)
+                merged = spark.sql(first_sql)
             tmp = f"{versions_path.rstrip('/')}_swap_{uuid.uuid4().hex[:8]}"
             merged.write.format(fmt).mode("overwrite").save(tmp)
             if os.path.exists(versions_path):
@@ -524,24 +706,25 @@ def start_scd2_sink(
             os.rename(tmp, versions_path)
             return
         # Bounded driver action: at most n_buckets distinct values.
-        touched = sorted(
-            r["bucket"]
-            for r in batch.select(
-                _key_bucket(F.col("user_id"), n_buckets).alias("bucket")
-            )
-            .distinct()
-            .collect()
-        )
+        touched = sorted(r["bucket"] for r in spark.sql(touched_sql).collect())
         if _bucketed_snapshot_nonempty(versions_path):
             # Partition pruning: only the touched bucket directories are
             # scanned — untouched buckets cost zero read AND zero write.
-            standing = _read_touched_buckets(
-                spark, versions_path, fmt, touched, versions_schema
+            spark.sql(
+                _standing_view_sql(
+                    sview,
+                    _schema_plus_bucket(versions_schema),
+                    versions_path,
+                    fmt,
+                )
             )
-            merged = scd2_apply_batch(standing, batch)
+            buckets = (
+                f"bucket IN ({', '.join(map(str, touched))})" if touched else "FALSE"
+            )
+            merged_sql = pruned_sql.format(buckets=buckets)
         else:
-            merged = scd2_versions(batch)
-        out = merged.withColumn("bucket", _key_bucket(F.col("user_id"), n_buckets))
+            merged_sql = first_sql
+        out = spark.sql(_bucket_wrap_sql(merged_sql, "user_id", n_buckets))
         _swap_touched_buckets(out, versions_path, touched, fmt)
 
     writer = changes.writeStream.foreachBatch(fold).option(

@@ -1731,3 +1731,102 @@ def test_bucket_major_offset_survives_wide_ts_span(spark, tmp_path):
         )
         max_touched = max(max_touched, nb)
     assert max_touched <= 4, max_touched
+
+
+def test_scd2_fold_sql_matches_operator(spark):
+    """The r18 SQL-text scd2 fold (one statement per batch instead of
+    ~70 py4j round-trips of lazy plan construction) must be the
+    operator-for-operator twin of scd2_apply_batch / scd2_versions —
+    including NULL-state transitions, untouched users, and equal-ts
+    event_id tiebreaks."""
+    from full_data_infrastructure_spark.operators.windows import (
+        scd2_apply_batch,
+        scd2_versions,
+    )
+    from full_data_infrastructure_spark.streaming.sinks import (
+        _scd2_apply_sql,
+        _scd2_versions_sql,
+    )
+
+    schema = "user_id bigint, event_type string, ts bigint, event_id bigint"
+    old = [(1, "a", 1, 1), (1, None, 2, 2), (2, "a", 2, 3), (4, "x", 1, 9)]
+    new = [(1, "a", 3, 4), (1, "a", 3, 5), (2, None, 4, 6), (3, None, 5, 7)]
+    standing = scd2_versions(spark.createDataFrame(old, schema))
+    batch = spark.createDataFrame(new, schema)
+    batch.createOrReplaceTempView("scd2_sql_twin_b")
+    standing.createOrReplaceTempView("scd2_sql_twin_s")
+
+    def key(rows):
+        return sorted(tuple(repr(x) for x in r) for r in rows)
+
+    got = key(
+        spark.sql(_scd2_apply_sql("scd2_sql_twin_b", "scd2_sql_twin_s")).collect()
+    )
+    want = key(scd2_apply_batch(standing, batch).collect())
+    assert got == want, (got, want)
+    first = key(
+        spark.sql(
+            _scd2_versions_sql(
+                "(SELECT user_id, event_type, ts, event_id FROM scd2_sql_twin_b)"
+            )
+        ).collect()
+    )
+    assert first == key(scd2_versions(batch).collect())
+
+
+def test_cdc_fold_sql_matches_operator(spark):
+    """The r18 SQL-text upsert fold must be the twin of latest_changes +
+    apply_cdc_batch — deletes win equal-ts ties over creates, null data
+    columns survive, extra payload columns keep their order."""
+    from full_data_infrastructure_spark.streaming.cdc import apply_cdc_batch
+    from full_data_infrastructure_spark.streaming.sinks import (
+        _bucket_wrap_sql,
+        _cdc_apply_sql,
+        _key_bucket,
+        _touched_buckets_sql,
+    )
+    from pyspark.sql import functions as F
+
+    cs = "id bigint, name string, v double, op string, ts_ms bigint"
+    snap = spark.createDataFrame(
+        [(1, "old", 1.0), (2, "keep", 2.0)], "id bigint, name string, v double"
+    )
+    ch = [
+        (1, "created", 0.5, "c", 5),
+        (1, "deleted", None, "d", 5),
+        (3, "new", 3.0, "c", 1),
+        (2, None, None, "u", 9),
+    ]
+    chdf = spark.createDataFrame(ch, cs)
+    chdf.createOrReplaceTempView("cdc_sql_twin_b")
+    snap.createOrReplaceTempView("cdc_sql_twin_s")
+    sql = _cdc_apply_sql(
+        "cdc_sql_twin_b",
+        "cdc_sql_twin_s",
+        ("id", "name", "v", "op", "ts_ms"),
+        "id",
+        "ts_ms",
+    )
+
+    def key(rows):
+        return sorted(tuple(repr(x) for x in r) for r in rows)
+
+    assert key(spark.sql(sql).collect()) == key(
+        apply_cdc_batch(snap, chdf, key="id").collect()
+    )
+    # bucket-expression twins: the touched-set SQL and the write-side wrap
+    # must produce _key_bucket's exact values.
+    a = sorted(
+        r["bucket"]
+        for r in chdf.select(_key_bucket(F.col("id"), 8).alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    b = sorted(
+        r["bucket"]
+        for r in spark.sql(_touched_buckets_sql("cdc_sql_twin_b", "id", 8)).collect()
+    )
+    assert a == b
+    wrapped = spark.sql(_bucket_wrap_sql(sql, "id", 8))
+    for r in wrapped.collect():
+        assert r["bucket"] == __import__("zlib").crc32(str(r["id"]).encode()) % 8
