@@ -50,6 +50,20 @@ Schema additions (round 8):
 
 Local iteration: SPARK_GRAFT_BENCH_ONLY=name1,name2 runs a subset (the
 driver never sets it; recorded rounds are always the full set).
+
+Methodology fixes (round 18, both documented with before/after numbers in
+OPTIMIZATION_r18.md; the driver contract — env vars, timed action,
+best-of-N, the one JSON line — is unchanged):
+* a global untimed warm-up SWEEP of the bench set runs before any timing,
+  because the JVM's tiered JIT made recorded numbers depend on registry
+  POSITION (same code: 10.66s at position 2 vs 2.09s at position 23);
+  disable with SPARK_GRAFT_BENCH_SWEEP=0 to reproduce the old behavior;
+* release_persisted() actually releases now (cache.py held weakrefs that
+  were already dead, so the JVM CacheManager silently substituted the
+  PREVIOUS run's cached intermediates into every repeat — best-of-N was
+  partially cache-warm for every query with an operator-internal persist,
+  in every round since those persists landed).  Numbers for the dedup/
+  ANN/pipeline families are therefore HIGHER and honest from r18 on.
 """
 
 from __future__ import annotations
@@ -109,6 +123,27 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     from full_data_infrastructure_spark.cache import release_persisted
+
+    # Global warm-up SWEEP (measurement fix, optimization round 18): one
+    # untimed execution of every benched query BEFORE any timing.  The
+    # per-query warmup below only compiles that query's generated code;
+    # the JVM's tiered JIT keeps compiling Spark-core methods for minutes
+    # after startup, and that global churn lands on whichever queries run
+    # FIRST — measured on the r18 host: pagerank_parts best-of-5 was
+    # 10.66s at bench position 2 and 2.09s at position 23 on IDENTICAL
+    # code (flagship_benefits 0.76s vs 1.31s by position alone), so a
+    # window rotation that reorders the registry changed recorded numbers
+    # by 3-5x.  The sweep brings the whole JVM to the steady state the
+    # docstring above already declares as the measurement target, making
+    # per-query numbers independent of registry position.  Methodology is
+    # otherwise UNCHANGED (same best-of-N of fresh builds, same action,
+    # same release discipline); the sweep caches no data —
+    # release_persisted() drops every operator-internal persist, so each
+    # timed run still computes from the parquet inputs.
+    if os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0":
+        for name, build in bench.items():
+            release_persisted()
+            build(spark, sf_dir).count()
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     for name, build in bench.items():

@@ -325,6 +325,8 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame, n_best: int) -> DataFr
     cells). Ordering matches the window form exactly: score desc,
     cell_id asc."""
     scored = emb.join(F.broadcast(packed_centroids(centroids)), F.lit(True))
+    # The per-cell dot stays the FOLD (r18 measured an unrolled
+    # expansion and reverted it — see pq_encode's rationale).
     per_cell = F.transform(
         "_cells",
         lambda c: F.struct(
@@ -736,6 +738,14 @@ def pq_encode(subs: DataFrame, codebook: DataFrame) -> DataFrame:
     aggregation exchanged a pre-combined row per (vec, s); this form
     exchanges nothing)."""
     j = subs.join(F.broadcast(packed_codebook(codebook)), "s")
+    # The d² stays the zip_with+aggregate FOLD on purpose (r18 measured
+    # an unrolled (x-y)*(x-y) expansion and REVERTED it): transform
+    # lambdas are interpreted either way (CodegenFallback), interpreted
+    # trees get no CSE so the expansion re-evaluates each array access
+    # per reference (88s vs 13s task-time on the corpus encode), and at
+    # top level the 129-node unrolled tree gets inlined through every
+    # projection reference, bloating analysis/optimization wall time past
+    # what the codegen win returns at any tested width.
     per_code = F.transform(
         "_codes",
         lambda c: F.struct(
@@ -817,12 +827,17 @@ def _pq_artifacts(emb: DataFrame):
     query ADC lookup table. One definition so the compression path the
     two indexes score with cannot drift.
 
-    The code table and the query LUT are PERSISTED: they are the index —
-    at 100 TB the code table is a materialized artifact every query
-    batch reads, not a subtree each consumer recomputes (before round 7
-    the ivfpq plan re-derived them per consumer — persisting the index
-    cut the sf0.1 bench 10.1s -> 1.9s for knn_ivfpq, 8.0s -> 1.3s for
-    knn_pq, values unchanged)."""
+    The code table and the query LUT are NOT persisted (optimization
+    round 18): in the current plans each has exactly ONE consumer — the
+    ADC join — so a persist buys zero recomputation and costs a
+    materialization barrier (its own AQE stage-job chain plus the cache
+    write) on every run.  The round-7 persists were added when the plan
+    referenced them from several consumers; after the honest-release fix
+    (cache.py r18) the single-consumer fills showed up as pure overhead.
+    At 100 TB the code table is still a materialized artifact — a real
+    deployment WRITES it once per corpus snapshot and every query batch
+    reads the file, which is a storage decision outside a single query's
+    plan, not an in-plan persist."""
     # fan_out: everything below — normalize, subvector explode, the
     # persisted subs cache and the Lloyd/encode passes that read it —
     # inherits the scan's partitioning, and a single-row-group scan
@@ -839,14 +854,12 @@ def _pq_artifacts(emb: DataFrame):
     # seed + training-sample encode + recenter) — one redundant training
     # pass per artifact. 512 rows; it is the third index artifact.
     cb = tracked_persist(pq_codebook(subs))
-    codes = tracked_persist(pq_encode(subs, cb))
+    codes = pq_encode(subs, cb)
     q_subs = subs.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
         "vec_id", "query_id"
     )
-    lut = tracked_persist(
-        q_subs.join(F.broadcast(cb), "s").select(
-            "query_id", "s", "code", dot(F.col("sub"), F.col("c_sub")).alias("p")
-        )
+    lut = q_subs.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code", dot(F.col("sub"), F.col("c_sub")).alias("p")
     )
     return codes, lut
 
@@ -946,10 +959,11 @@ def ivfpq_shortlist(emb: DataFrame, rerank: int = PQ_RERANK) -> DataFrame:
     IVF prunes WHICH vectors are scored (probed-cell candidates), ADC
     over the PQ code table shrinks what each score COSTS — the classic
     IVFADC index layout (Jégou et al. §V). Public so tests can bound
-    the shortlist. The candidate list persists alongside the code table
-    (_pq_artifacts) — both are index artifacts, not per-consumer
-    subtrees."""
-    cand = tracked_persist(ivf_candidates(emb))
+    the shortlist. The candidate list is consumed exactly once (the ADC
+    join), so it is NOT persisted — see _pq_artifacts' code-table
+    rationale (optimization round 18: single-consumer persists are pure
+    materialization-barrier overhead)."""
+    cand = ivf_candidates(emb)
     codes, lut = _pq_artifacts(emb)
     adc = (
         cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
@@ -1141,6 +1155,8 @@ def nearest_cell(
     SemDeDup (dedup.semantic_dedup_flags) both rank with — the rounding/
     tiebreak contract cannot drift between them."""
     joined = df.join(F.broadcast(packed_centroids(cents)), F.lit(True))
+    # The per-cell dot stays the FOLD (r18 measured an unrolled
+    # expansion and reverted it — see pq_encode's rationale).
     per_cell = F.transform(
         "_cells",
         lambda c: F.struct(
