@@ -55,6 +55,14 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 # matters — a single-row-group file that scans as ONE task — fans out.
 FAN_OUT_BYTES_PER_CORE = 16 * 1024 * 1024
 
+# Width cap for the DERIVED target (r18; ADVICE r17): defaultParallelism
+# on a large cluster can be thousands, and a Catalyst size mis-estimate on
+# a derived input would then inject a thousands-of-partitions round-robin
+# exchange (target * 16 MiB of shuffle) where none was needed.  fan_out
+# exists to give SMALL inputs a parallelism floor — 64-way is that floor's
+# ceiling; an explicit ``min_partitions`` from a caller is honored as-is.
+FAN_OUT_MAX_PARTITIONS = 64
+
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Scale-adaptive parallelism floor for compute-heavy derivations.
@@ -83,8 +91,17 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     min/count), the repo's standing bit-identity contract.
     """
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    target = min_partitions or min(
+        spark.sparkContext.defaultParallelism, FAN_OUT_MAX_PARTITIONS
+    )
+    try:
+        # Private PySpark surface (no public stats accessor exists); a
+        # minor-version drift here must degrade to the scale-safe branch
+        # — identity, no exchange — never break every caller at once
+        # (r18 hardening; pinned by test_fan_out_survives_stats_probe_drift).
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
     if size >= target * FAN_OUT_BYTES_PER_CORE:
         return df
     return df.repartition(target)

@@ -209,6 +209,48 @@ def test_fan_out_scale_adaptive(spark, sf_dir):
     assert fan_out(big) is big
 
 
+def test_fan_out_survives_stats_probe_drift(spark, sf_dir):
+    """The size probe rides a private PySpark surface
+    (``_jdf.queryExecution().optimizedPlan().stats()``); if a Spark minor
+    bump breaks it, fan_out must degrade to the scale-safe IDENTITY —
+    never raise into every dedup/ANN caller at once (r18 hardening)."""
+    from full_data_infrastructure_spark.sources.parquet import fan_out, load_table
+
+    real = load_table(spark, sf_dir, "embeddings").select("vec_id")
+
+    class _Drifted:
+        """Quacks like a DataFrame whose private plan accessor is gone."""
+
+        sparkSession = spark
+
+        @property
+        def _jdf(self):
+            raise AttributeError("queryExecution surface changed")
+
+        def repartition(self, n):  # pragma: no cover - must not be reached
+            raise AssertionError("drifted probe must not trigger an exchange")
+
+    drifted = _Drifted()
+    assert fan_out(drifted) is drifted
+    # and the healthy path still fans the small scan out
+    assert "RoundRobinPartitioning" in plan_of(fan_out(real))
+
+
+def test_fan_out_width_is_capped(spark, sf_dir, monkeypatch):
+    """On a large cluster defaultParallelism is thousands; a size
+    mis-estimate must not inject a thousands-of-partitions exchange.  The
+    DERIVED target is capped at FAN_OUT_MAX_PARTITIONS (an explicit
+    min_partitions is honored as-is)."""
+    import full_data_infrastructure_spark.sources.parquet as pq
+
+    small = pq.load_table(spark, sf_dir, "embeddings").select("vec_id")
+    monkeypatch.setattr(pq, "FAN_OUT_MAX_PARTITIONS", 4)
+    fanned = pq.fan_out(small)
+    assert "RoundRobinPartitioning(4)" in plan_of(fanned), plan_of(fanned)[:400]
+    explicit = pq.fan_out(small, min_partitions=8)
+    assert "RoundRobinPartitioning(8)" in plan_of(explicit)
+
+
 def test_threshold_limits_join_is_broadcast(qplan):
     plan = qplan("threshold_validation")
     assert "BroadcastHashJoin" in plan
